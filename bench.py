@@ -1,0 +1,67 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+
+Each query is executed to completion with the noop sink (full plan
+runs, nothing collected to the driver — the honest way to time a
+distributed plan). One warm-up pass of a tiny query amortizes JVM/
+codegen startup so numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkstreaming_realtime_spark.plans import queries
+from sparkstreaming_realtime_spark.session import get_spark
+
+HEADLINE = [
+    "dau_by_hour",
+    "session_entry_first_daily",
+    "hourly_window_rollup",
+    "order_wide_join",
+    "revenue_by_nation",
+    "pricing_summary",
+    "stats_by_item_segment",
+    "top_k_grouped_avg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="bench")
+    qs = queries()
+
+    # warm-up: JVM, parquet footer cache, codegen
+    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

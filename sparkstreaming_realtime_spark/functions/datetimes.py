@@ -1,0 +1,56 @@
+"""Date/time derivations (SURVEY §2.8 F1-F5).
+
+The reference derives ``dt``/``hr`` by formatting epoch millis with
+``SimpleDateFormat`` and splitting strings (``DwdDauApp.scala:144-149``,
+``DwdOrderApp.scala:136-143``); ages come from wall-clock
+``LocalDate.now()`` (``DwdDauApp.scala:126`` — nondeterministic, and a
+comment at ``DwdOrderApp.scala:114`` admits plain year subtraction is
+wrong). Engine versions are deterministic: dt/hr via ``date_format``,
+age via ``months_between`` against an explicit ``as_of`` date.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dt_col(ts: Column | str) -> Column:
+    """Event-time date string 'yyyy-MM-dd' (F1/F2). Accepts a timestamp
+    column or epoch-millis bigint column."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    c = _as_timestamp(c)
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+def hr_col(ts: Column | str) -> Column:
+    """Event-time hour string 'HH' (F2/F3)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    c = _as_timestamp(c)
+    return F.date_format(c, "HH")
+
+
+def _as_timestamp(c: Column) -> Column:
+    # epoch-millis longs and native timestamps both appear in the
+    # reference's data model (SURVEY §1.3); normalize here.
+    return F.when(
+        c.cast("string").rlike(r"^\d{12,}$"),
+        F.timestamp_millis(c.cast("bigint")),
+    ).otherwise(c.cast("timestamp"))
+
+
+def ts_to_dt_hr(df: DataFrame, ts: str = "ts") -> DataFrame:
+    """Attach dt/hr derived columns — replaces the reference's
+    format-then-split (DwdDauApp.scala:105,144-149)."""
+    return df.withColumn("dt", dt_col(ts)).withColumn("hr", hr_col(ts))
+
+
+def age_as_of(birthday: Column | str, as_of: str) -> Column:
+    """Whole years between a 'yyyy-MM-dd' birthday string and a fixed
+    ``as_of`` date (F4). Deterministic replacement for
+    ``Period.between(parse(birthday), LocalDate.now()).getYears``
+    (DwdDauApp.scala:124-130)."""
+    b = F.col(birthday) if isinstance(birthday, str) else birthday
+    return F.floor(
+        F.months_between(F.to_date(F.lit(as_of)), F.to_date(b)) / 12
+    ).cast("int")

@@ -1,0 +1,587 @@
+"""Query registry — every implemented operator from SURVEY §2 as a
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle SQL
+string over the same parquet tables.
+
+Conventions (driver contract, __spark_entry__.py):
+- every computed column is aliased identically in Spark and SQL;
+- money/float aggregates are rounded (2dp for money, 6dp for ratios)
+  on BOTH sides so cross-engine float-summation order can't flip the
+  value hash;
+- counts are cast to bigint on both sides (DuckDB ``sum(int)`` would
+  otherwise widen to HUGEINT);
+- any LIMIT/top-k query carries a full deterministic ORDER BY
+  (unique tie-break key) on both sides.
+
+The queries run the *operator implementations* from ``..operators``
+and ``..functions`` wherever one exists — this file is the thin
+binding between those operators, the driver's test tables, and the
+oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import match_all_terms
+from ..operators.dau import dedup_first_daily
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.files import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# DAU / dedup surface (SURVEY A1, A2, T2, P12) — `events` plays the page-log
+# stream: user_id≈mid, ts≈epoch ts, event_type≈page_id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dau_total_by_day",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           count(DISTINCT user_id)::BIGINT AS dau_total
+    FROM events GROUP BY 1
+    """,
+    tags=("A1", "T2"),
+)
+def dau_total_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: total deduped actives per day (PublishDaoImpl.java:156-176 —
+    COUNT of the per-day ES index whose doc-id=mid makes it distinct
+    by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "user_id")
+        .distinct()
+        .groupBy("dt")
+        .agg(F.count("*").cast("bigint").alias("dau_total"))
+    )
+
+
+@register(
+    "dau_by_hour",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hr,
+           count(DISTINCT user_id)::BIGINT AS ct
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("A2",),
+)
+def dau_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: deduped actives per (day, hour) — the ES terms-agg on
+    hr.keyword (PublishDaoImpl.java:122-154)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            F.date_format("ts", "HH").alias("hr"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("dt", "hr")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+
+
+@register(
+    "session_entry_first_daily",
+    oracle="""
+    SELECT dt, user_id, event_id AS first_event_id
+    FROM (
+      SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id, event_id,
+             row_number() OVER (
+               PARTITION BY strftime(ts, '%Y-%m-%d'), user_id
+               ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'view'
+    ) WHERE rn = 1
+    """,
+    tags=("T2", "P12"),
+)
+def session_entry_first_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2+P12: session-entry filter then first-record-per-(dt,key)
+    dedup — the exact cross-batch Redis-set semantics of
+    DwdDauApp.scala:69-100, deterministic tiebreak on event_id."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    out = dedup_first_daily(ev, key="user_id", ts="ts", tiebreak="event_id")
+    return out.select("dt", "user_id", F.col("event_id").alias("first_event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Routing / split surface (P3, P9, P10, P11, F8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "error_routing",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%d') AS dt
+    FROM events WHERE event_type = 'error'
+    """,
+    tags=("P3",),
+)
+def error_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: error records split off to their own sink
+    (OdsBaseLogApp.scala:97-101)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("dt")
+    )
+
+
+@register(
+    "cdc_op_normalize",
+    oracle="""
+    SELECT op, count(*)::BIGINT AS n
+    FROM (
+      SELECT CASE event_type
+               WHEN 'signup' THEN 'I' WHEN 'click' THEN 'I'
+               WHEN 'view' THEN 'U' WHEN 'purchase' THEN 'U'
+               ELSE NULL END AS op
+      FROM events
+    ) WHERE op IS NOT NULL GROUP BY op
+    """,
+    tags=("P10",),
+)
+def cdc_op_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: CDC op-type normalization (OdsBaseDbApp.scala:100-109) —
+    map/normalize then drop unknown ops. Implements the *correct*
+    delete mapping the reference dead-codes (SURVEY P10 bug note)."""
+    ev = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type").isin("signup", "click"), "I")
+        .when(F.col("event_type").isin("view", "purchase"), "U")
+        .otherwise(F.lit(None))
+    )
+    return (
+        ev.select(op.alias("op"))
+        .filter(F.col("op").isNotNull())
+        .groupBy("op")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "multiplex_route_counts",
+    oracle="""
+    SELECT CASE event_type
+             WHEN 'error' THEN 'DWD_ERROR_LOG_TOPIC'
+             WHEN 'view' THEN 'DWD_PAGE_LOG_TOPIC'
+             WHEN 'click' THEN 'DWD_PAGE_DISPLAY_TOPIC'
+             WHEN 'purchase' THEN 'DWD_PAGE_ACTION_TOPIC'
+             ELSE 'DWD_START_LOG_TOPIC' END AS topic,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("P9", "P11"),
+)
+def multiplex_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/P11: 1-source→5-sink multiplex routing
+    (OdsBaseLogApp.scala:88-198) — one scan, disjoint route labels."""
+    ev = _t(spark, sf_dir, "events")
+    topic = (
+        F.when(F.col("event_type") == "error", "DWD_ERROR_LOG_TOPIC")
+        .when(F.col("event_type") == "view", "DWD_PAGE_LOG_TOPIC")
+        .when(F.col("event_type") == "click", "DWD_PAGE_DISPLAY_TOPIC")
+        .when(F.col("event_type") == "purchase", "DWD_PAGE_ACTION_TOPIC")
+        .otherwise("DWD_START_LOG_TOPIC")
+    )
+    return ev.groupBy(topic.alias("topic")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("F8", "P1"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/P1: dynamic JSON field access (fastjson getString,
+    OdsBaseLogApp.scala:97-115) as get_json_object over a JSON string
+    column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("int").alias("k_val")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Time rollups (T6, F1-F3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_window_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           count(*)::BIGINT AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("T6", "F1", "F2"),
+)
+def hourly_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: tumbling-window hourly rollup — the engine's upgrade of the
+    reference's string-split hour bucketing (DwdDauApp.scala:144-149)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order wide-table / joins (J1-J5, F10) — orders⋈lineitem plays
+# order_info⋈order_detail; customer/nation play the dims.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_wide_join",
+    oracle="""
+    SELECT l.l_orderkey AS order_id,
+           l.l_linenumber AS detail_line,
+           l.l_partkey AS sku_id,
+           round(l.l_extendedprice, 2) AS order_price,
+           l.l_quantity AS sku_num,
+           o.o_orderstatus AS order_status,
+           round(o.o_totalprice, 2) AS total_amount,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS create_date,
+           o.o_custkey AS user_id,
+           c.c_mktsegment AS user_segment,
+           n.n_name AS province_name
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    tags=("J1", "J2", "J4", "J5", "F10"),
+)
+def order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+J4+J5: the OrderWide build (DwdOrderApp.scala:154-237) as
+    declarative joins — detail⋈info on the order key (1:N preserved),
+    then broadcast dim enrichment. The reflective bean merge
+    (MyBeanUtils.scala:14-46) is the column selection below."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("detail_line"),
+            F.col("l_partkey").alias("sku_id"),
+            F.round("l_extendedprice", 2).alias("order_price"),
+            F.col("l_quantity").alias("sku_num"),
+            F.col("o_orderstatus").alias("order_status"),
+            F.round("o_totalprice", 2).alias("total_amount"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("create_date"),
+            F.col("o_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("user_segment"),
+            F.col("n_name").alias("province_name"),
+        )
+    )
+
+
+@register(
+    "revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*)::BIGINT AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    tags=("J2", "A3"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate sanity over the wide table path."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A3", "TPCH-Q1"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — the canonical partial-agg
+    (map-side combine) shape the engine must keep fast at 100 TB."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# The ES query surface (A3-A6, O1-O3, F11-F14)
+# ---------------------------------------------------------------------------
+
+_ITEM_QUERY = "widget"  # multi-doc match term for p_name (ES match-AND analog)
+
+
+@register(
+    "stats_by_item_segment",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           round(sum(l.l_extendedprice), 2) AS sum_amount
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE list_has_all(
+        list_transform(string_split_regex(lower(trim(p.p_name)), '[^a-z0-9]+'),
+                       x -> x),
+        ['{_ITEM_QUERY}'])
+    GROUP BY 1
+    """,
+    tags=("A3", "F11"),
+)
+def stats_by_item_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+F11: the ``GET /statsByItem`` query
+    (PublisherServiceImpl.java:31-78): ES match-AND on the item name,
+    group by a user dimension, sum the amount measure."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        l.join(F.broadcast(p.filter(match_all_terms("p_name", _ITEM_QUERY))),
+               l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_amount"))
+    )
+
+
+@register(
+    "acctbal_bands",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 2000 THEN 'low'
+                WHEN c_acctbal <= 6000 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*)::BIGINT AS n,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY 1
+    """,
+    tags=("A5",),
+)
+def acctbal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: client-side re-bucketing (the <20/20-29/>=30 age bands,
+    PublisherServiceImpl.java:55-75) done in-engine with when/otherwise."""
+    c = _t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 2000, "low")
+        .when(F.col("c_acctbal") <= 6000, "mid")
+        .otherwise("high")
+    )
+    return c.groupBy(band.alias("band")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "relabel_segment",
+    oracle="""
+    SELECT CASE c_mktsegment WHEN 'BUILDING' THEN 'bldg'
+                             WHEN 'AUTOMOBILE' THEN 'auto'
+                             ELSE lower(c_mktsegment) END AS label,
+           count(*)::BIGINT AS n
+    FROM customer GROUP BY 1
+    """,
+    tags=("A6",),
+)
+def relabel_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: value re-labeling (gender F→女/M→男,
+    PublisherServiceImpl.java:40-54) as a when/otherwise projection."""
+    c = _t(spark, sf_dir, "customer")
+    label = (
+        F.when(F.col("c_mktsegment") == "BUILDING", "bldg")
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", "auto")
+        .otherwise(F.lower("c_mktsegment"))
+    )
+    return c.groupBy(label.alias("label")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+@register(
+    "top_k_grouped_avg",
+    oracle="""
+    SELECT p_brand, round(avg(p_retailprice), 2) AS avg_price,
+           count(*)::BIGINT AS n
+    FROM part GROUP BY p_brand
+    ORDER BY avg_price DESC, p_brand
+    LIMIT 10
+    """,
+    tags=("A4", "O3"),
+)
+def top_k_grouped_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/O3: group-avg ordered by the aggregate, top-k — the ES
+    terms-agg with BucketOrder.aggregation (EsTest.scala:119-154)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .orderBy(F.desc("avg_price"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+@register(
+    "filtered_sorted_paginated",
+    oracle=f"""
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+      WHERE p_retailprice >= 500.0
+        AND list_has_all(
+          list_transform(string_split_regex(lower(trim(p_name)), '[^a-z0-9]+'),
+                         x -> x),
+          ['{_ITEM_QUERY}'])
+    ) WHERE rn > 5 AND rn <= 25
+    """,
+    tags=("O1", "O2", "F11", "F12", "F14"),
+)
+def filtered_sorted_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O2+F12+F14: bool query (range + match) with sort desc and
+    from/size pagination (EsTest.scala:73-113) — row_number window for
+    unambiguous offset semantics."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part")
+    w = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.filter(
+            (F.col("p_retailprice") >= 500.0)
+            & match_all_terms("p_name", _ITEM_QUERY)
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 5) & (F.col("rn") <= 25))
+        .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+@register(
+    "term_exact_update_view",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_type = 'PROMO' THEN 'PROMOTED' ELSE p_type END AS p_type_new
+    FROM part WHERE p_brand = 'Brand#13'
+    """,
+    tags=("F13", "K8", "K9"),
+)
+def term_exact_update_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13+K9: term (exact) predicate + update-by-query
+    (EsTest.scala:179-195 painless script) re-expressed as a
+    conditional column rewrite — the engine's declarative UPDATE."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_brand") == "Brand#13").select(
+        "p_partkey",
+        F.when(F.col("p_type") == "PROMO", "PROMOTED")
+        .otherwise(F.col("p_type"))
+        .alias("p_type_new"),
+    )

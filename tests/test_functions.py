@@ -1,0 +1,112 @@
+"""Unit tests for the scalar function library (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparkstreaming_realtime_spark.functions import (
+    age_as_of,
+    cosine_similarity,
+    hash60,
+    match_all_terms,
+    ngram_shingles,
+    oracle_hash60_sql,
+    tokenize,
+)
+
+
+def test_hash60_matches_python_md5(spark):
+    import hashlib
+
+    rows = spark.range(1).select(hash60(F.lit("abc")).alias("h")).collect()
+    expected = int(hashlib.md5(b"abc").hexdigest()[:15], 16)
+    assert rows[0].h == expected
+
+
+def test_hash60_oracle_parity(spark, duck):
+    vals = ["hello world", "", "日本語テキスト", "a b c d e"]
+    for v in vals:
+        for salt in (None, 7):
+            s = spark.range(1).select(hash60(F.lit(v), salt).alias("h")).collect()[0].h
+            esc = v.replace("'", "''")
+            d = duck.execute(
+                f"SELECT {oracle_hash60_sql(f_esc(esc), salt)}"
+            ).fetchone()[0]
+            assert s == d, (v, salt)
+
+
+def f_esc(v: str) -> str:
+    return f"'{v}'"
+
+
+def test_tokenize(spark):
+    out = (
+        spark.range(1)
+        .select(tokenize(F.lit("Apple iPhone-13  Pro!")).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert out == ["apple", "iphone", "13", "pro"]
+
+
+@pytest.mark.parametrize(
+    "field,query,expected",
+    [
+        ("Apple iPhone 13", "apple iphone", True),
+        ("Apple iPhone 13", "iphone 13", True),
+        ("Apple iPhone 13", "apple galaxy", False),  # AND semantics
+        ("small widget", "widget", True),
+        ("small widget", "", True),
+    ],
+)
+def test_match_all_terms(spark, field, query, expected):
+    got = (
+        spark.range(1)
+        .select(match_all_terms(F.lit(field), query).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert got == expected
+
+
+def test_ngram_shingles(spark):
+    out = (
+        spark.range(1)
+        .select(ngram_shingles(F.lit("a b c d"), 3).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert out == ["a b c", "b c d"]
+    short = (
+        spark.range(1)
+        .select(ngram_shingles(F.lit("a b"), 3).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert short == ["a b"]
+
+
+def test_age_as_of(spark):
+    row = (
+        spark.createDataFrame([("2000-06-15",)], "birthday string")
+        .select(
+            age_as_of("birthday", "2022-06-12").alias("a1"),
+            age_as_of("birthday", "2022-06-16").alias("a2"),
+        )
+        .collect()[0]
+    )
+    assert row.a1 == 21  # birthday not yet reached
+    assert row.a2 == 22
+
+
+def test_cosine_similarity(spark):
+    row = (
+        spark.createDataFrame(
+            [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+            "a array<double>, b array<double>",
+        )
+        .select(F.round(cosine_similarity("a", "b"), 9).alias("c"))
+        .collect()
+    )
+    assert [r.c for r in row] == [1.0, 0.0]

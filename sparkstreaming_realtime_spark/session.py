@@ -65,8 +65,11 @@ def get_spark(
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one warehouse table (columnar parquet scan; Catalyst gets
-    pushdown + pruning for free)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    pushdown + pruning for free). Routed through sources.files.read_table
+    so events gets the same nanos→timestamp normalization everywhere."""
+    from .sources.files import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def load_tables(

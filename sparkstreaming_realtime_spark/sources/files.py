@@ -19,6 +19,12 @@ from pyspark.sql import types as T
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS); vanilla Spark
+        # rejects it unless this (runtime-settable) conf is on. Callers
+        # may hand us an arbitrary session (the driver harness does),
+        # so set it defensively here, not only in session.get_spark().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = events_with_ts(df)

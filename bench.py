@@ -29,6 +29,10 @@ HEADLINE = [
     "pricing_summary",
     "stats_by_item_segment",
     "top_k_grouped_avg",
+    "doc_minhash_near_dup",
+    "doc_simhash",
+    "emb_cosine_topk",
+    "doc_token_stats",
 ]
 
 

@@ -1,0 +1,281 @@
+"""Document deduplication operators — exact, MinHash-LSH, SimHash.
+
+The reference system has no document corpus, but its dedup primitive
+(the Redis ``DAU:<date>`` set, ``DwdDauApp.scala:83-100``) generalizes
+to the operators a 100 TB training-data pipeline needs. All of these
+are pure DataFrame transforms: JVM-side higher-order functions over
+token/shingle arrays, no Python UDFs, so whole-stage codegen applies
+and the only shuffles are the ones the algorithm requires.
+
+Scale design (the part that matters at 100 TB):
+
+- **Exact dedup** is one shuffle on a 60-bit fingerprint;
+  ``min_by``-style aggregation gets map-side partial aggregation.
+- **MinHash-LSH** (Broder 1997; see PAPERS.md) never compares all
+  pairs: each doc emits ``BANDS`` bucket keys (a few rows), candidate
+  generation is a self-equi-join on the bucket key (shuffle on a
+  well-distributed 120-bit-ish key), and exact Jaccard verification
+  runs only on the candidate pairs. Degenerate buckets (boilerplate
+  shingles shared by millions of docs) can be capped with
+  ``max_bucket`` — at 100 TB you always set it.
+- **SimHash** (Charikar 2002) is a per-row fingerprint — zero
+  shuffles to compute; banding its bit-ranges gives Hamming-distance
+  buckets the same LSH way.
+
+Every op is reproducible bit-for-bit by the DuckDB oracle via
+``functions.hashing.hash60`` / ``oracle_hash60_sql``.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+from ..functions.text import ngram_shingles, normalize_text
+
+#: MinHash defaults: 12 independent hash families in 4 bands of 3 rows.
+#: P(candidate | jaccard J) = 1 - (1 - J^3)^4 — 0.995 at J=0.9, 0.62 at
+#: J=0.6, 0.004 at J=0.1. Rows-per-band = 3 (not 2) because false
+#: candidates cost a verify-join each: at J_random ≈ 0.1 (synthetic
+#: small-vocab corpora; boilerplate-heavy web crawls look similar)
+#: r=2 admits ~J²=1% of all pairs — r=3 admits 0.1%. The miss rate at
+#: mid-J is the documented trade; production near-dup thresholds
+#: (0.8+) sit on the steep part of the curve either way.
+N_HASHES = 12
+N_BANDS = 4
+ROWS_PER_BAND = 3
+SIMHASH_BITS = 32
+
+#: Universal-hash family params (Carter-Wegman): family i maps the
+#: 31-bit base hash h to (A[i]*h + B[i]) mod P. One md5 per shingle
+#: total, instead of one per shingle per family — the md5 is ~all the
+#: hash cost in both engines. P = 2^31-1 (prime) keeps a*h+b < 2^62,
+#: inside bigint for Spark (ANSI overflow checks) and DuckDB alike.
+MERSENNE_P = 2_147_483_647
+HASH_A = (1103, 12289, 20011, 32003, 45007, 65003,
+          80021, 95003, 104729, 130003, 150001, 175003)
+HASH_B = (12345, 54321, 98765, 13579, 24680, 112233,
+          445566, 778899, 31415, 27182, 16180, 14142)
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input arrives in fewer partitions. Hash/shingle extraction is
+    CPU-bound per row; a small corpus read from one parquet file would
+    otherwise run single-threaded. At 100 TB the input has thousands
+    of splits and this is a no-op — it only guards the small end."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Exact-dedup key: 60-bit hash of the normalized text. Hashing
+    first means the shuffle moves 8 bytes per doc, not the document."""
+    return hash60(normalize_text(col))
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one row per distinct normalized text, keeping the
+    smallest id as the canonical representative plus the copy count.
+
+    Shape: ``groupBy(fingerprint)`` — a single shuffle on the hash,
+    with map-side partial min/count. No window function (a
+    row_number window would lose partial aggregation; VERDICT r1)."""
+    return (
+        docs.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """(id, distinct token n-gram shingles) — the set representation
+    under Jaccard. Stays inside the row: no explode, no shuffle."""
+    return docs.select(
+        F.col(id_col),
+        F.array_distinct(ngram_shingles(text_col, n)).alias("shingles"),
+    )
+
+
+def minhash_signature(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """Add ``sig``: array of per-family min-hashes.
+
+    One md5-based base hash per shingle (``hash60 mod P``), then each
+    family is a Carter-Wegman affine map of it — min over the shingle
+    array happens inside the row (``array_min ∘ transform``), so the
+    signature costs zero shuffles and exactly one md5 per shingle."""
+    base = shingled.withColumn(
+        "__h", F.transform("shingles", lambda s: hash60(s) % MERSENNE_P)
+    )
+    sig = F.array(
+        *[
+            F.array_min(F.transform("__h", _family(i)))
+            for i in range(n_hashes)
+        ]
+    )
+    return base.withColumn("sig", sig).drop("__h")
+
+
+def _family(i: int):
+    # closure, not functools.partial / default-arg lambda: PySpark's
+    # higher-order-function introspection requires a 1-arg callable
+    a, b = HASH_A[i], HASH_B[i]
+
+    def f(h: Column) -> Column:
+        return (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+
+    return f
+
+
+def lsh_buckets(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Explode the signature into ``bands`` bucket keys
+    ``"<band>:<h0>:<h1>"``. Two docs share a bucket iff one full band
+    of their signatures agrees — the LSH amplification step."""
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(j)),
+                *[
+                    F.col("sig")[j * rows_per_band + r].cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for j in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(band_keys).alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) from bucket co-membership.
+
+    Self-equi-join on the bucket key — the *only* pairwise step, and
+    it is bucket-local. ``max_bucket`` drops buckets larger than the
+    cap before the join (at 100 TB a boilerplate shingle family can
+    put millions of docs in one bucket; capping bounds the join's
+    worst case at cap² per bucket)."""
+    if max_bucket is not None:
+        big = (
+            buckets.groupBy("bucket")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("bucket")
+        )
+        buckets = buckets.join(big, "bucket")
+    a = buckets.select(F.col("bucket"), F.col(id_col).alias("doc_a"))
+    b = buckets.select(F.col("bucket"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard(a: Column | str, b: Column | str) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.size(F.array_intersect(ca, cb)).cast("double") / F.size(
+        F.array_union(ca, cb)
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_n: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Pipeline: shingle → minhash signature → banded buckets →
+    bucket-join candidates → exact Jaccard ≥ threshold on candidates
+    only. The shingle sets are joined back by id for verification, so
+    text never rides through the bucket shuffle."""
+    sh = shingle_sets(spread(docs), text_col, id_col, n=shingle_n)
+    # The shingle sets feed FOUR subtrees (both sides of the bucket
+    # self-join, both sides of the verify join). Materialize once —
+    # the batch analog of persisting the signature table, which is
+    # what a 100 TB dedup run does anyway (signatures are reused
+    # across incremental corpus versions).
+    sh = sh.localCheckpoint(eager=False)
+    cands = lsh_candidate_pairs(
+        lsh_buckets(minhash_signature(sh), id_col), id_col, max_bucket
+    )
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("__sa"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("__sb"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jaccard("__sa", "__sb"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-doc SimHash fingerprint (Charikar 2002): for each bit
+    position, sum ±1 votes from every distinct token's hash; the sign
+    becomes the fingerprint bit. Pure per-row expression — computing
+    fingerprints for 100 TB is embarrassingly parallel, zero shuffles.
+
+    ``bits=32`` keeps the generated expression tree small while still
+    giving 4×8-bit Hamming bands downstream."""
+    docs = spread(docs)
+    toks = F.array_distinct(
+        F.filter(
+            F.split(normalize_text(text_col), r"[^\p{L}\p{N}]+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+    hashes = F.transform(toks, lambda t: hash60(t))
+    def _vote(b: int):
+        # 2-arg closure (see _salted — PySpark HOF arity rules)
+        def f(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return f
+
+    bit_terms = []
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0), _vote(b))
+        bit_terms.append(
+            F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("bigint")
+        )
+    sim = functools.reduce(operator.add, bit_terms)
+    return docs.select(F.col(id_col), sim.alias("simhash"))

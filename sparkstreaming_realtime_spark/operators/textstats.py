@@ -1,0 +1,111 @@
+"""Text analysis operators over a document corpus: token counting,
+quality scoring, language identification.
+
+All pure column expressions over ``tokenize``'s arrays — the same
+token alphabet (``[\\p{L}\\p{N}]`` runs) the match/dedup operators
+use, so every text op in the engine agrees on what a token is
+(ADVICE r1: one alphabet, derived everywhere). Per-row, zero-shuffle
+feature extraction; the only shuffles are the final small group-bys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+#: Function-word lists for the n-gram/stopword language heuristic.
+#: Deliberately tiny (fits in a codegen'd IN-list); a production list
+#: would be ~100 words per language, same plan shape.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es": ("el", "que", "de", "la", "los", "es", "una", "por"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans"),
+}
+
+#: English stopwords for the quality heuristic (subset of EN markers
+#: plus common fillers).
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+
+def token_count(text_col: Column | str) -> Column:
+    return F.size(tokenize(text_col)).cast("bigint")
+
+
+def marker_hits(text_col: Column | str, words: tuple[str, ...]) -> Column:
+    """How many tokens (with multiplicity) are in ``words`` — the
+    scoring primitive for language-ID and stopword ratios."""
+    return F.size(F.filter(tokenize(text_col), lambda t: t.isin(*words)))
+
+
+def predict_lang(text_col: Column | str) -> Column:
+    """Argmax of per-language marker hits, deterministic tie-break in
+    alphabetical language order; 'und' (undetermined) when no marker
+    of any language appears."""
+    scores = {lang: marker_hits(text_col, ws) for lang, ws in LANG_MARKERS.items()}
+    s_de, s_en, s_es, s_fr = (scores[k] for k in ("de", "en", "es", "fr"))
+    return (
+        F.when(s_de + s_en + s_es + s_fr == 0, F.lit("und"))
+        .when((s_de >= s_en) & (s_de >= s_es) & (s_de >= s_fr), F.lit("de"))
+        .when((s_en >= s_es) & (s_en >= s_fr), F.lit("en"))
+        .when(s_es >= s_fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def quality_score(text_col: Column | str) -> Column:
+    """Heuristic [0,1] quality score: length component (saturating at
+    100 tokens) blended with stopword density. Deterministic closed
+    form so the DuckDB oracle reproduces it exactly."""
+    n = token_count(text_col).cast("double")
+    stop = marker_hits(text_col, STOPWORDS).cast("double")
+    length_part = F.least(F.lit(1.0), n / F.lit(100.0))
+    stop_part = F.when(n > 0, stop / n).otherwise(F.lit(0.0))
+    return F.round(length_part * 0.7 + stop_part * 0.3, 6)
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token statistics by language: the per-group rollup a
+    pipeline dashboard wants. One small shuffle."""
+    toks = token_count(text_col)
+    return (
+        docs.select("lang", "source", toks.alias("__n"), F.col("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("__n"), 2).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+def lang_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(labeled lang, predicted lang, count) confusion matrix for the
+    marker heuristic."""
+    return (
+        docs.select("lang", predict_lang(text_col).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def quality_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Histogram of quality-score bands plus the per-band mean score."""
+    q = quality_score(text_col)
+    band = (
+        F.when(q < 0.33, "low").when(q < 0.66, "mid").otherwise("high")
+    )
+    return (
+        docs.select(q.alias("__q"), band.alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("__q"), 6).alias("avg_quality"),
+        )
+    )

@@ -1,0 +1,305 @@
+"""LLM-data-pipeline query registry: dedup / similarity / text-analysis
+/ multimodal operators over the ``documents`` and ``embeddings``
+tables (TESTDATA.md), each with a DuckDB oracle that reproduces the
+computation bit-for-bit.
+
+The oracles for the hash-based operators are *generated* from the
+same constants as the Spark implementation (hash families, band
+layout, token alphabet), so Spark and DuckDB always run the same
+algorithm — the comparison checks the engine, not a lookalike.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import oracle_hash60_sql
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import textstats as ts
+from .queries import _t, register
+
+# --- shared SQL fragments (one token alphabet everywhere: ADVICE r1) ---
+
+#: DuckDB uses RE2 which understands the same \p{L}\p{N} classes as
+#: Spark's Java regex — verified; this is THE token alphabet.
+_TOKS = (
+    r"list_filter(string_split_regex(lower(trim({expr})), "
+    r"'[^\p{{L}}\p{{N}}]+'), x -> x <> '')"
+)
+
+
+def _toks_sql(expr: str) -> str:
+    return _TOKS.format(expr=expr)
+
+
+def _shingles_sql(t: str = "t", n: int = 2) -> str:
+    """Token bigram shingles, distinct — mirrors ngram_shingles + the
+    array_distinct in dedup.shingle_sets (n=2 fixed)."""
+    assert n == 2
+    return (
+        f"list_distinct(CASE WHEN len({t}) >= 2 "
+        f"THEN list_transform(range(1, len({t})), i -> {t}[i] || ' ' || {t}[i+1]) "
+        f"ELSE [array_to_string({t}, ' ')] END)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Cosine with the same fold shape as functions.vectors (cast each
+    element to DOUBLE, sequential sum)."""
+    dot = (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+    )
+    na = f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = f"""
+SELECT {oracle_hash60_sql("lower(trim(text))")} AS fp,
+       min(doc_id) AS keep_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+@register("doc_exact_dedup", oracle=_EXACT_DEDUP_ORACLE, tags=("LLM", "dedup"))
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on a 60-bit text fingerprint, min-id
+    representative + copy count (operators/dedup.py:exact_dedup)."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(h, x -> "
+        f"({dd.HASH_A[i]} * x + {dd.HASH_B[i]}) % {dd.MERSENNE_P}))"
+        for i in range(dd.N_HASHES)
+    )
+    bands = ", ".join(
+        "'{j}'".format(j=j)
+        + "".join(
+            f" || ':' || sig[{j * dd.ROWS_PER_BAND + r + 1}]::VARCHAR"
+            for r in range(dd.ROWS_PER_BAND)
+        )
+        for j in range(dd.N_BANDS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql()} AS s FROM toks),
+hs AS (SELECT doc_id, s,
+              list_transform(s, v -> {oracle_hash60_sql("v")}
+                                     % {dd.MERSENNE_P}) AS h
+       FROM sh),
+sig AS (SELECT doc_id, [{mins}] AS sig FROM hs),
+buckets AS (SELECT doc_id, unnest([{bands}]) AS bucket FROM sig),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM buckets a JOIN buckets b
+           ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(x.s, y.s))::DOUBLE
+               / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+  FROM cand c JOIN sh x ON c.doc_a = x.doc_id
+              JOIN sh y ON c.doc_b = y.doc_id)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6
+"""
+
+
+@register("doc_minhash_near_dup", oracle=_minhash_oracle(), tags=("LLM", "dedup"))
+def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified
+    (operators/dedup.py:near_dup_pairs). 12 hash families, 6 bands × 2
+    rows → P(candidate|J) = 1-(1-J²)⁶; candidates come from the
+    bucket self-join only — never all-pairs."""
+    return dd.near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def _simhash_oracle() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN coalesce(list_sum(list_transform(hs, "
+        f"x -> CASE WHEN (x >> {b}) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, list_distinct({_toks_sql("text")}) AS t
+              FROM documents),
+h AS (SELECT doc_id,
+             list_transform(t, v -> {oracle_hash60_sql("v")}) AS hs
+      FROM toks)
+SELECT doc_id, ({bits})::BIGINT AS simhash FROM h
+"""
+
+
+@register("doc_simhash", oracle=_simhash_oracle(), tags=("LLM", "dedup"))
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per doc (operators/dedup.py:simhash) —
+    per-row, zero-shuffle; Hamming-band buckets come for free
+    downstream by slicing bit ranges."""
+    return dd.simhash(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_QUERY_VEC_ID = 0
+_EMB_DIM = 64
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
+SELECT e.vec_id, e.label,
+       round({_cos_sql("e.embedding", "q.qv")}, 6) AS cos
+FROM embeddings e, q
+WHERE e.vec_id <> {_QUERY_VEC_ID}
+ORDER BY cos DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("emb_cosine_topk", oracle=_TOPK_ORACLE, tags=("LLM", "similarity"))
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 query vector
+    (operators/similarity.py:cosine_topk) — TakeOrderedAndProject, no
+    global sort; the correctness baseline for ANN variants."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim.query_vector(emb, _QUERY_VEC_ID)
+    return sim.cosine_topk(emb, q, k=10, exclude_id=_QUERY_VEC_ID)
+
+
+_IVF_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+flat AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+                unnest(embedding)::DOUBLE AS v
+         FROM embeddings),
+cent AS (SELECT label, list(av ORDER BY i) AS centroid
+         FROM (SELECT label, i, avg(v) AS av FROM flat GROUP BY 1, 2)
+         GROUP BY label),
+best AS (SELECT c.label
+         FROM cent c, q
+         ORDER BY round({_cos_sql("c.centroid", "q.qv")}, 6) DESC, c.label
+         LIMIT 1)
+SELECT e.vec_id, e.label,
+       round({_cos_sql("e.embedding", "q.qv")}, 6) AS cos
+FROM embeddings e JOIN best USING (label), q
+WHERE e.vec_id <> {_QUERY_VEC_ID}
+ORDER BY cos DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@register("emb_ivf_topk", oracle=_IVF_ORACLE, tags=("LLM", "similarity"))
+def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10: query → nearest label-cell centroid → scan only
+    that cell (operators/similarity.py:ivf_topk). At 100 TB the cell
+    filter is partition pruning; the centroid table broadcasts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim.query_vector(emb, _QUERY_VEC_ID)
+    return sim.ivf_topk(emb, q, dim=_EMB_DIM, k=10, exclude_id=_QUERY_VEC_ID)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TOKEN_STATS_ORACLE = f"""
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(len({_toks_sql("text")}))::BIGINT AS total_tokens,
+       round(avg(len({_toks_sql("text")})), 2) AS avg_tokens,
+       round(avg(n_chars), 2) AS avg_chars,
+       count(DISTINCT source)::BIGINT AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+@register("doc_token_stats", oracle=_TOKEN_STATS_ORACLE, tags=("LLM", "text"))
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token statistics (operators/textstats.py:token_stats)."""
+    return ts.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _marker_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_toks_sql('text')}, x -> x IN ({inlist})))"
+
+
+def _lang_id_oracle() -> str:
+    s = {lang: _marker_sql(ws) for lang, ws in ts.LANG_MARKERS.items()}
+    return f"""
+WITH scored AS (
+  SELECT lang, {s['de']} AS s_de, {s['en']} AS s_en,
+               {s['es']} AS s_es, {s['fr']} AS s_fr
+  FROM documents)
+SELECT lang,
+       CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS predicted,
+       count(*)::BIGINT AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+@register("doc_lang_id", oracle=_lang_id_oracle(), tags=("LLM", "text"))
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix from the function-word heuristic
+    (operators/textstats.py:predict_lang); tie-break is alphabetical,
+    pinned identically in both engines."""
+    return ts.lang_confusion(_t(spark, sf_dir, "documents"))
+
+
+def _quality_oracle() -> str:
+    stop = _marker_sql(ts.STOPWORDS)
+    n = f"len({_toks_sql('text')})"
+    q = (
+        f"round(least(1.0, {n}::DOUBLE / 100.0) * 0.7 + "
+        f"(CASE WHEN {n} > 0 THEN {stop}::DOUBLE / {n} ELSE 0.0 END) * 0.3, 6)"
+    )
+    return f"""
+WITH scored AS (SELECT {q} AS q FROM documents)
+SELECT CASE WHEN q < 0.33 THEN 'low'
+            WHEN q < 0.66 THEN 'mid'
+            ELSE 'high' END AS band,
+       count(*)::BIGINT AS n,
+       round(avg(q), 6) AS avg_quality
+FROM scored GROUP BY 1
+"""
+
+
+@register("doc_quality_bands", oracle=_quality_oracle(), tags=("LLM", "text"))
+def doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score banding (operators/textstats.py:quality_score):
+    saturating length component blended with stopword density."""
+    return ts.quality_bands(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (mapInPandas over binary payloads)
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       octet_length(encode(text)) % 640 + 1 AS fake_width,
+       octet_length(encode(text)) % 480 + 1 AS fake_height
+FROM documents
+"""
+
+
+@register("doc_binary_meta", oracle=_MULTIMODAL_ORACLE, tags=("LLM", "multimodal"))
+def doc_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata extraction via Arrow-batched
+    mapInPandas (operators/multimodal.py) — the real decode plumbing
+    with a deterministic stand-in decoder (no imaging libs in env)."""
+    docs = _t(spark, sf_dir, "documents")
+    return mm.extract_binary_meta(mm.documents_as_binary(docs))

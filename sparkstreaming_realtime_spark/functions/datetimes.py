@@ -13,26 +13,42 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
-def dt_col(ts: Column | str) -> Column:
+def dt_col(ts: Column | str, df: DataFrame | None = None) -> Column:
     """Event-time date string 'yyyy-MM-dd' (F1/F2). Accepts a timestamp
-    column or epoch-millis bigint column."""
-    c = F.col(ts) if isinstance(ts, str) else ts
-    c = _as_timestamp(c)
-    return F.date_format(c, "yyyy-MM-dd")
+    column or epoch-millis bigint column; pass ``df`` so the
+    millis-vs-timestamp decision is made once from the schema instead
+    of per row."""
+    return F.date_format(_as_timestamp(ts, df), "yyyy-MM-dd")
 
 
-def hr_col(ts: Column | str) -> Column:
+def hr_col(ts: Column | str, df: DataFrame | None = None) -> Column:
     """Event-time hour string 'HH' (F2/F3)."""
+    return F.date_format(_as_timestamp(ts, df), "HH")
+
+
+def _as_timestamp(ts: Column | str, df: DataFrame | None = None) -> Column:
+    """Normalize epoch-millis longs vs native timestamps (both appear
+    in the reference's data model, SURVEY §1.3).
+
+    The decision is static per column: when the DataFrame (or a
+    string column name on it) is available, branch on the schema's
+    dataType — zero per-row cost. The per-row regex heuristic only
+    remains as the last-ditch fallback for bare-Column callers, where
+    no schema exists to inspect (ADVICE r1: digit-count sniffing
+    misclassifies pre-1973 millis and 12+-digit strings)."""
     c = F.col(ts) if isinstance(ts, str) else ts
-    c = _as_timestamp(c)
-    return F.date_format(c, "HH")
-
-
-def _as_timestamp(c: Column) -> Column:
-    # epoch-millis longs and native timestamps both appear in the
-    # reference's data model (SURVEY §1.3); normalize here.
+    dtype = None
+    if df is not None and isinstance(ts, str):
+        dtype = df.schema[ts].dataType
+    if dtype is not None:
+        if isinstance(dtype, T.LongType):
+            return F.timestamp_millis(c)
+        if isinstance(dtype, T.TimestampType):
+            return c
+        return c.cast("timestamp")
     return F.when(
         c.cast("string").rlike(r"^\d{12,}$"),
         F.timestamp_millis(c.cast("bigint")),
@@ -42,7 +58,7 @@ def _as_timestamp(c: Column) -> Column:
 def ts_to_dt_hr(df: DataFrame, ts: str = "ts") -> DataFrame:
     """Attach dt/hr derived columns — replaces the reference's
     format-then-split (DwdDauApp.scala:105,144-149)."""
-    return df.withColumn("dt", dt_col(ts)).withColumn("hr", hr_col(ts))
+    return df.withColumn("dt", dt_col(ts, df)).withColumn("hr", hr_col(ts, df))
 
 
 def age_as_of(birthday: Column | str, as_of: str) -> Column:

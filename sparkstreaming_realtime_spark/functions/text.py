@@ -55,9 +55,15 @@ def match_all_terms(field: Column | str, query: str) -> Column:
 
 
 def _py_tokenize(q: str) -> list[str]:
+    """Driver-side tokenization of the (literal) query string — same
+    alphabet as TOKEN_SPLIT_RE. Python's ``re`` has no \\p{L}\\p{N}
+    classes; ``[\\W_]`` with UNICODE is the exact complement (``\\w``
+    = letters + digits + underscore), so the three tokenizers (Spark
+    field side, this query side, the DuckDB oracle regex) all split
+    on the same character set (ADVICE r1)."""
     import re
 
-    return [t for t in re.split(r"[^0-9a-zA-Z一-鿿]+", q.lower()) if t]
+    return [t for t in re.split(r"[\W_]+", q.lower(), flags=re.UNICODE) if t]
 
 
 def ngram_shingles(col: Column | str, n: int = 3) -> Column:

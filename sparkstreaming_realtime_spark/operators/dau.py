@@ -36,14 +36,17 @@ def dedup_first_daily(
     (DwdDauApp.scala:83-100), but deterministic via an explicit
     tiebreak column.
 
+    ``tiebreak`` defaults to the key itself, which makes the result
+    deterministic only when (dt, key, ts) is unique — pass a unique
+    column (event id) whenever two records of one key can share a
+    timestamp (ADVICE r1).
+
     Scale: one shuffle on (dt, key); AQE handles skew. State is a
     plain aggregation in batch; the streaming binding uses
     ``dropDuplicates`` + watermark (streaming/pipelines.py).
     """
-    d = df.withColumn("dt", dt_col(ts))
-    order = [F.col(ts).asc()]
-    if tiebreak:
-        order.append(F.col(tiebreak).asc())
+    d = df.withColumn("dt", dt_col(ts, df))
+    order = [F.col(ts).asc(), F.col(tiebreak or key).asc()]
     w = Window.partitionBy("dt", key).orderBy(*order)
     return (
         d.withColumn("__rn", F.row_number().over(w))
@@ -105,7 +108,7 @@ def dau_rows(
     entries = session_entries(page_log)
     deduped = dedup_first_daily(entries, key="mid", ts=ts)
     enriched = enrich_dims(deduped, user_dim, province_dim, as_of)
-    return enriched.withColumn("hr", hr_col(ts))
+    return enriched.withColumn("hr", hr_col(ts, enriched))
 
 
 def dau_realtime(dau_table: DataFrame, td: str) -> dict[str, DataFrame]:

@@ -303,14 +303,20 @@ def order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2+J4+J5: the OrderWide build (DwdOrderApp.scala:154-237) as
     declarative joins — detail⋈info on the order key (1:N preserved),
     then broadcast dim enrichment. The reflective bean merge
-    (MyBeanUtils.scala:14-46) is the column selection below."""
+    (MyBeanUtils.scala:14-46) is the column selection below.
+
+    Join strategy: the big⋈big (lineitem⋈orders) shuffles on the
+    order key; ``nation`` (fixed 25 rows) is hint-broadcast;
+    ``customer`` SCALES with the data (~15 GB at the 100 TB point) so
+    no forced broadcast — AQE picks BHJ while it fits and falls back
+    to SMJ beyond (VERDICT r1 #3)."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(
             F.col("l_orderkey").alias("order_id"),
@@ -350,7 +356,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # scales with SF: AQE decides
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -426,7 +432,7 @@ _ITEM_QUERY = "widget"  # multi-doc match term for p_name (ES match-AND analog)
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE list_has_all(
-        list_transform(string_split_regex(lower(trim(p.p_name)), '[^a-z0-9]+'),
+        list_transform(string_split_regex(lower(trim(p.p_name)), '[^\p{{L}}\p{{N}}]+'),
                        x -> x),
         ['{_ITEM_QUERY}'])
     GROUP BY 1
@@ -441,11 +447,14 @@ def stats_by_item_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # part and customer scale with SF — no forced broadcast; the match
+    # filter on part runs before its join either way (pushdown), and
+    # AQE broadcasts the filtered side at runtime while it fits.
     return (
-        l.join(F.broadcast(p.filter(match_all_terms("p_name", _ITEM_QUERY))),
+        l.join(p.filter(match_all_terms("p_name", _ITEM_QUERY)),
                l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_amount"))
     )
@@ -539,7 +548,7 @@ def top_k_grouped_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM part
       WHERE p_retailprice >= 500.0
         AND list_has_all(
-          list_transform(string_split_regex(lower(trim(p_name)), '[^a-z0-9]+'),
+          list_transform(string_split_regex(lower(trim(p_name)), '[^\p{{L}}\p{{N}}]+'),
                          x -> x),
           ['{_ITEM_QUERY}'])
     ) WHERE rn > 5 AND rn <= 25
@@ -548,19 +557,29 @@ def top_k_grouped_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def filtered_sorted_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1+O2+F12+F14: bool query (range + match) with sort desc and
-    from/size pagination (EsTest.scala:73-113) — row_number window for
-    unambiguous offset semantics."""
+    from/size pagination (EsTest.scala:73-113).
+
+    ES ``from(5).size(20)`` is top-25-then-drop-5: take the top 25 via
+    ``orderBy().limit(25)`` — TakeOrderedAndProject, per-partition
+    partial top-k, no global sort — then number the 25 survivors with
+    a window that is trivially single-task *on 25 rows* (VERDICT r1:
+    the old unpartitioned window ranked every filtered row in one
+    task)."""
     from pyspark.sql import Window
 
     p = _t(spark, sf_dir, "part")
-    w = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
-    return (
+    top = (
         p.filter(
             (F.col("p_retailprice") >= 500.0)
             & match_all_terms("p_name", _ITEM_QUERY)
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 5) & (F.col("rn") <= 25))
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(25)
+    )
+    w = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 5)
         .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
     )
 

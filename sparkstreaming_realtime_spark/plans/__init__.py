@@ -6,5 +6,6 @@ queries, each paired with a DuckDB oracle for correctness checking.
 from .queries import REGISTRY, oracle_sql, queries
 from . import llm_queries  # noqa: F401 — populates REGISTRY on import
 from . import log_queries  # noqa: F401 — populates REGISTRY on import
+from . import cdc_queries  # noqa: F401 — populates REGISTRY on import
 
 __all__ = ["REGISTRY", "queries", "oracle_sql"]

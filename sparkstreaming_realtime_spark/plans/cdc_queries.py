@@ -1,0 +1,215 @@
+"""Registry bindings for the CDC split family (P10/P11/K4) and the
+``dauRealtime`` serving endpoint (SURVEY §2.11).
+
+Like the log-split family, the Spark side runs the real path
+(synthesize Maxwell envelope → to_json → from_json → normalize →
+route / snapshot) while the DuckDB oracle derives outputs directly
+from the flat events table, so envelope handling is genuinely under
+test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import cdc
+from ..operators.dau import dedup_first_daily
+from ..functions.datetimes import hr_col
+from .queries import _t, register
+
+#: synthesis mapping (keep in lockstep with _synthesize_cdc)
+#: event_type → Maxwell type; user_id % 5 → table (4 → unknown table,
+#: exercising the drop branch).
+_TYPE_SQL = """CASE event_type
+    WHEN 'signup' THEN 'bootstrap-insert' WHEN 'click' THEN 'insert'
+    WHEN 'view' THEN 'update' WHEN 'purchase' THEN 'update'
+    WHEN 'error' THEN 'delete' END"""
+_TABLE_SQL = """CASE user_id % 5
+    WHEN 0 THEN 'order_info' WHEN 1 THEN 'order_detail'
+    WHEN 2 THEN 'user_info' WHEN 3 THEN 'base_province'
+    ELSE 'comment_info' END"""
+_OP_SQL = """CASE event_type
+    WHEN 'signup' THEN 'I' WHEN 'click' THEN 'I'
+    WHEN 'view' THEN 'U' WHEN 'purchase' THEN 'U'
+    WHEN 'error' THEN 'D' END"""
+_DATA_SQL = """'{"id":' || (user_id % 100) || ',"v":' || floor("value" * 100)::BIGINT || '}'"""
+
+
+def _synthesize_cdc(events: DataFrame) -> DataFrame:
+    """Deterministic ODS_BASE_DB (Maxwell) records from events, with
+    (ts, event_id) carried along as the write order."""
+    uid = F.col("user_id")
+    mtype = (
+        F.when(F.col("event_type") == "signup", "bootstrap-insert")
+        .when(F.col("event_type") == "click", "insert")
+        .when(F.col("event_type").isin("view", "purchase"), "update")
+        .when(F.col("event_type") == "error", "delete")
+    )
+    table = (
+        F.when(uid % 5 == 0, "order_info")
+        .when(uid % 5 == 1, "order_detail")
+        .when(uid % 5 == 2, "user_info")
+        .when(uid % 5 == 3, "base_province")
+        .otherwise("comment_info")
+    )
+    data = F.struct(
+        (uid % 100).alias("id"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    envelope = F.struct(
+        mtype.alias("type"), table.alias("table"),
+        F.to_json(data).alias("data"),
+    )
+    return events.select(
+        F.to_json(envelope).alias("value"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.col("event_id"),
+    )
+
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the synthesized envelope, carrying the (ts_ms, event_id)
+    write order alongside — the streaming analog is Kafka's
+    (timestamp, offset)."""
+    raw = _synthesize_cdc(_t(spark, sf_dir, "events"))
+    from ..schemas import ODS_BASE_DB_SCHEMA
+
+    return raw.select(
+        F.from_json("value", ODS_BASE_DB_SCHEMA).alias("j"), "ts_ms", "event_id"
+    ).select(
+        F.col("j.type").alias("type"),
+        F.col("j.table").alias("table"),
+        F.col("j.data").alias("data"),
+        "ts_ms",
+        "event_id",
+    )
+
+
+@register(
+    "cdc_route_counts",
+    oracle=f"""
+    SELECT route, count(*)::BIGINT AS n FROM (
+      SELECT CASE
+               WHEN tbl IN ('order_info', 'order_detail')
+                 THEN 'kafka:DWD_' || upper(tbl) || '_' || op
+               WHEN tbl IN ('user_info', 'base_province')
+                 THEN 'redis:DIM:' || upper(tbl)
+               ELSE 'drop' END AS route
+      FROM (SELECT {_TABLE_SQL} AS tbl, {_OP_SQL} AS op FROM events)
+      WHERE op IS NOT NULL
+    ) GROUP BY route
+    """,
+    tags=("P10", "P11"),
+)
+def cdc_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10+P11 for real: op normalization then fact/dim/drop routing
+    with per-topic labels (OdsBaseDbApp.scala:100-141)."""
+    df = cdc.normalize_op(_parsed(spark, sf_dir))
+    return (
+        df.select(cdc.route_label("table", "op").alias("route"))
+        .groupBy("route")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "cdc_fact_rows",
+    oracle=f"""
+    SELECT 'kafka:DWD_' || upper(tbl) || '_' || op AS topic,
+           (user_id % 100)::VARCHAR AS key,
+           {_DATA_SQL} AS value,
+           tbl AS "table", op
+    FROM (SELECT *, {_TABLE_SQL} AS tbl, {_OP_SQL} AS op FROM events)
+    WHERE op IS NOT NULL AND tbl IN ('order_info', 'order_detail')
+    """,
+    tags=("P11", "K1", "K2"),
+)
+def cdc_fact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact branch in Kafka sink shape: (topic, key, value) — keyed
+    send (K2) so one entity's changes stay ordered within a
+    partition."""
+    return cdc.route_facts(cdc.normalize_op(_parsed(spark, sf_dir)))
+
+
+@register(
+    "cdc_dim_snapshot",
+    oracle=f"""
+    SELECT "table", id, data FROM (
+      SELECT tbl AS "table",
+             (user_id % 100)::VARCHAR AS id,
+             {_DATA_SQL} AS data,
+             op,
+             row_number() OVER (
+               PARTITION BY tbl, user_id % 100
+               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM (SELECT *, {_TABLE_SQL} AS tbl, {_OP_SQL} AS op FROM events)
+      WHERE op IS NOT NULL AND tbl IN ('user_info', 'base_province')
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("K4",),
+)
+def cdc_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4: last-write-wins dim snapshot via max_by — one shuffle with
+    map-side partial agg (the oracle uses a rank window; the engine
+    deliberately does not, VERDICT r1 on rank-vs-min_by). Deletes
+    tombstone their key."""
+    dims = cdc.route_dims(cdc.normalize_op(_parsed(spark, sf_dir)))
+    return cdc.dim_snapshot(dims, ord_cols=("ts_ms", "event_id"))
+
+
+_TD = "2024-01-15"
+_YD = "2024-01-14"
+
+
+@register(
+    "dau_realtime_endpoint",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT dt, user_id, hr FROM (
+        SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id,
+               strftime(ts, '%H') AS hr,
+               row_number() OVER (
+                 PARTITION BY strftime(ts, '%Y-%m-%d'), user_id
+                 ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'view')
+      WHERE rn = 1)
+    SELECT 'dauTotal' AS metric, NULL::VARCHAR AS hr, count(*)::BIGINT AS ct
+    FROM firsts WHERE dt = '{_TD}'
+    UNION ALL
+    SELECT 'dauTd' AS metric, hr, count(*)::BIGINT AS ct
+    FROM firsts WHERE dt = '{_TD}' GROUP BY hr
+    UNION ALL
+    SELECT 'dauYd' AS metric, hr, count(*)::BIGINT AS ct
+    FROM firsts WHERE dt = '{_YD}' GROUP BY hr
+    """,
+    tags=("A1", "A2", "F5", "endpoint"),
+)
+def dau_realtime_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``GET /dauRealtime?td=`` golden endpoint
+    (PublishDaoImpl.java:104-176) as one oracle-checkable frame:
+    total actives for td plus hour buckets for td and td-1, labeled by
+    metric. Partition pruning on dt makes each leg a one-partition
+    scan on a dt-partitioned warehouse layout."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    d = dedup_first_daily(ev, key="user_id", ts="ts", tiebreak="event_id")
+    base = d.select("dt", "user_id", hr_col("ts", d).alias("hr"))
+    total = (
+        base.filter(F.col("dt") == _TD)
+        .agg(F.count("*").cast("bigint").alias("ct"))
+        .select(F.lit("dauTotal").alias("metric"),
+                F.lit(None).cast("string").alias("hr"), "ct")
+    )
+    td_hr = (
+        base.filter(F.col("dt") == _TD)
+        .groupBy("hr")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+        .select(F.lit("dauTd").alias("metric"), "hr", "ct")
+    )
+    yd_hr = (
+        base.filter(F.col("dt") == _YD)
+        .groupBy("hr")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+        .select(F.lit("dauYd").alias("metric"), "hr", "ct")
+    )
+    return total.unionAll(td_hr).unionAll(yd_hr)

@@ -1,0 +1,89 @@
+"""Unit tests for the CDC split + dim snapshot
+(OdsBaseDbApp.scala:58-141 semantics)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_realtime_spark.operators import cdc
+
+
+def _cdc_rows(spark, rows):
+    """rows: (type, table, data_dict, ts_ms, seq)"""
+    data = [
+        (json.dumps({"type": t, "table": tb, "data": json.dumps(d)}), ts, seq)
+        for t, tb, d, ts, seq in rows
+    ]
+    raw = spark.createDataFrame(data, "value string, ts_ms long, event_id long")
+    from sparkstreaming_realtime_spark.schemas import ODS_BASE_DB_SCHEMA
+
+    return raw.select(
+        F.from_json("value", ODS_BASE_DB_SCHEMA).alias("j"), "ts_ms", "event_id"
+    ).select(
+        F.col("j.type").alias("type"), F.col("j.table").alias("table"),
+        F.col("j.data").alias("data"), "ts_ms", "event_id",
+    )
+
+
+def test_normalize_op_correct_delete_mapping(spark):
+    df = _cdc_rows(
+        spark,
+        [
+            ("bootstrap-insert", "user_info", {"id": 1}, 1, 1),
+            ("insert", "user_info", {"id": 2}, 2, 2),
+            ("update", "user_info", {"id": 1}, 3, 3),
+            ("delete", "user_info", {"id": 2}, 4, 4),
+            ("weird", "user_info", {"id": 3}, 5, 5),  # dropped
+        ],
+    )
+    ops = [r["op"] for r in cdc.normalize_op(df).orderBy("event_id").collect()]
+    # the reference's dead-code bug maps delete unreachably; we fix it
+    assert ops == ["I", "I", "U", "D"]
+
+
+def test_route_label_fact_dim_drop(spark):
+    df = cdc.normalize_op(
+        _cdc_rows(
+            spark,
+            [
+                ("insert", "order_info", {"id": 1}, 1, 1),
+                ("update", "user_info", {"id": 1}, 2, 2),
+                ("insert", "comment_info", {"id": 1}, 3, 3),
+            ],
+        )
+    )
+    got = [r["r"] for r in
+           df.select(cdc.route_label("table", "op").alias("r"))
+           .orderBy("r").collect()]
+    assert got == ["drop", "kafka:DWD_ORDER_INFO_I", "redis:DIM:USER_INFO"]
+
+
+def test_dim_snapshot_last_write_wins_and_tombstone(spark):
+    df = cdc.normalize_op(
+        _cdc_rows(
+            spark,
+            [
+                ("insert", "user_info", {"id": 1, "v": 10}, 100, 1),
+                ("update", "user_info", {"id": 1, "v": 20}, 200, 2),
+                # same ts as above → seq breaks the tie
+                ("update", "user_info", {"id": 1, "v": 30}, 200, 3),
+                ("insert", "user_info", {"id": 2, "v": 5}, 100, 4),
+                ("delete", "user_info", {"id": 2, "v": 5}, 300, 5),
+            ],
+        )
+    )
+    snap = cdc.dim_snapshot(cdc.route_dims(df), ord_cols=("ts_ms", "event_id"))
+    rows = {r["id"]: json.loads(r["data"]) for r in snap.collect()}
+    assert rows == {"1": {"id": 1, "v": 30}}  # id 2 tombstoned
+
+
+def test_fact_rows_kafka_shape(spark):
+    df = cdc.normalize_op(
+        _cdc_rows(spark, [("insert", "order_detail", {"id": 7, "v": 1}, 1, 1)])
+    )
+    r = cdc.route_facts(df).collect()[0]
+    assert r["topic"] == "kafka:DWD_ORDER_DETAIL_I"
+    assert r["key"] == "7"
+    assert json.loads(r["value"])["id"] == 7

@@ -148,7 +148,8 @@ ORDER_DETAIL_SCHEMA = _fields(
 
 #: bean/OrderWide.scala:5-41 — detail ⊕ info ⊕ dims. In DataFrame land
 #: the reflective bean merge (util/MyBeanUtils.scala:14-46) is just a
-#: column-name union; see operators/order_wide.py.
+#: column-name union; see streaming/pipelines.py:streaming_order_wide
+#: (stream-stream) and plans/queries.py:order_wide_join (batch).
 ORDER_WIDE_DETAIL_COLS = [
     "detail_id", "order_id", "sku_id", "sku_name", "order_price", "sku_num",
     "split_total_amount", "split_activity_amount", "split_coupon_amount",

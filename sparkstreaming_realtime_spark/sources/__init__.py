@@ -1,5 +1,6 @@
-"""Source helpers: batch parquet/json readers and (gated) Kafka
-readStream builders (SURVEY §2.1)."""
+"""Batch source helpers (parquet warehouse tables). Streaming
+sources — Kafka builders and the file test source — live in
+``..streaming.sources`` (SURVEY §2.1)."""
 
 from .files import events_with_ts, read_table
 

@@ -1,0 +1,34 @@
+"""Structured Streaming surface — the engine's replacement for the
+reference's four DStream apps and their Redis sidecar state.
+
+Mapping (SURVEY §1.5, §2.9):
+
+- Kafka direct stream + Redis offset store (S1–S4,
+  ``MykafkaUtils.scala:41-64``, ``MyOffsetUtils.scala:20-63``) →
+  ``readStream.format("kafka")`` + **checkpointLocation** (offset
+  restore/commit is the checkpoint, built in — sources.py).
+- Redis ``DAU:<date>`` dedup set with no expiry
+  (``DwdDauApp.scala:83-100`` — leaks forever) → watermarked
+  ``dropDuplicates`` keyed state with eviction (pipelines.py).
+- 24 h Redis join cache choreography (``DwdOrderApp.scala:165-237``)
+  → watermarked stream-stream inner join; Spark's symmetric state
+  store IS that buffer-and-match, with correct late/TTL semantics.
+- Per-partition Kafka producer + flush (K1–K3) → Kafka sink epochs;
+  ES bulk doc-id idempotent write (K5, ``MyEsUtils.scala:41-52``) →
+  deterministic per-batch overwrite in ``foreachBatch`` (sinks.py).
+- 5 s / 2 s batch triggers (T1) → ``trigger(processingTime=...)``;
+  tests use ``Trigger.AvailableNow`` for bounded runs.
+"""
+
+from .pipelines import streaming_dau_dedup, streaming_order_wide
+from .sinks import idempotent_parquet_sink, kafka_sink_options
+from .sources import file_stream, kafka_stream_options
+
+__all__ = [
+    "streaming_dau_dedup",
+    "streaming_order_wide",
+    "idempotent_parquet_sink",
+    "kafka_sink_options",
+    "file_stream",
+    "kafka_stream_options",
+]

@@ -1,0 +1,110 @@
+"""Streaming pipelines (SURVEY T1–T7, J3): the DAU dedup and the
+order wide-table join, bound to Structured Streaming state.
+
+These are the reference's two hardest behaviors:
+
+- ``DwdDauApp.scala:83-100`` keeps a Redis set ``DAU:<yyyy-MM-dd>``
+  per day and admits a mid only on first ``sadd`` — but never sets
+  the intended 24 h expiry (comment at :79), so state grows forever.
+  :func:`streaming_dau_dedup` is the same first-wins semantics with
+  ``dropDuplicates`` keyed (mid, dt) state that the watermark
+  actually evicts (T2, fixed leak).
+- ``DwdOrderApp.scala:165-237`` implements a cross-batch inner join
+  by hand: per batch ``fullOuterJoin``, then each unmatched side
+  probes/caches Redis with 24 h TTLs. The *observable* semantics are
+  an inner join where either side may arrive up to 24 h late, 1:N
+  preserved, late-beyond-TTL dropped (T3/T4).
+  :func:`streaming_order_wide` is exactly Spark's watermarked
+  stream-stream inner join — the symmetric state store buffers and
+  matches just like the Redis choreography, with eviction.
+
+Both are transform-only (source-agnostic); bind with
+``run_available_now`` (tests) or a processing-time trigger (T1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.datetimes import dt_col
+
+
+def streaming_dau_dedup(
+    page_log: DataFrame,
+    key: str = "mid",
+    ts: str = "event_time",
+    watermark: str = "25 hours",
+) -> DataFrame:
+    """T2: session-entry filter + cross-batch daily dedup.
+
+    State is keyed (key, dt); the watermark must exceed one day so a
+    key seen at 23:59 still blocks a duplicate at 00:01 *of the same
+    dt* while letting yesterday's state age out — 25 h mirrors the
+    reference's intended-but-missing 24 h TTL with a safety hour.
+    A mid active on two calendar days counts once per day (dt is part
+    of the state key), matching the per-day Redis sets."""
+    entries = page_log.filter(F.col("last_page_id").isNull())
+    with_dt = entries.withColumn("dt", dt_col(ts, entries))
+    return with_dt.withWatermark(ts, watermark).dropDuplicates([key, "dt"])
+
+
+def streaming_order_wide(
+    order_info: DataFrame,
+    order_detail: DataFrame,
+    ts: str = "event_time",
+    ttl: str = "24 hours",
+) -> DataFrame:
+    """J3/T3/T4: the order wide-table stream-stream join.
+
+    Inner equi-join on the order id with both sides watermarked at
+    the reference's 24 h Redis TTL and a join-time range bound —
+    Spark buffers unmatched rows in the symmetric state store (the
+    ``ORDERJOIN:*`` keys of DwdOrderApp.scala:203-230), emits on
+    match (1:N preserved), and drops a side that stays unmatched past
+    the watermark (the reference's silent post-TTL drop, :206,230).
+    """
+    info = order_info.withWatermark(ts, ttl).alias("i")
+    detail = order_detail.withWatermark(ts, ttl).alias("d")
+    cond = (F.col("i.id") == F.col("d.order_id")) & (
+        F.col(f"d.{ts}").between(
+            F.col(f"i.{ts}") - F.expr(f"INTERVAL {ttl}"),
+            F.col(f"i.{ts}") + F.expr(f"INTERVAL {ttl}"),
+        )
+    )
+    # detail ⊕ info column union — the reflective bean merge
+    # (MyBeanUtils.scala:14-46, OrderWide.scala:48-60) as a plain
+    # select: info.id → order_id, detail.id → detail_id, detail's
+    # order_id dropped (same value as info.id), colliding leftover
+    # names get a detail_ prefix.
+    info_cols = [
+        F.col("i.id").alias("order_id") if c == "id" else F.col(f"i.{c}")
+        for c in order_info.columns
+    ]
+    seen = {c for c in order_info.columns if c != "id"} | {"order_id"}
+    detail_cols = []
+    for c in order_detail.columns:
+        if c == "id":
+            detail_cols.append(F.col("d.id").alias("detail_id"))
+        elif c == "order_id":
+            continue
+        elif c in seen:
+            detail_cols.append(F.col(f"d.{c}").alias(f"detail_{c}"))
+        else:
+            detail_cols.append(F.col(f"d.{c}"))
+    return info.join(detail, cond, "inner").select(*info_cols, *detail_cols)
+
+
+def run_available_now(
+    df: DataFrame, sink_fn, checkpoint: str, query_name: str = "q"
+):
+    """T1/T5 binding: drain everything available as micro-batches,
+    write through ``sink_fn`` (foreachBatch), commit offsets in the
+    checkpoint (S3/S4/K10 built in), then stop."""
+    return (
+        df.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )

@@ -604,3 +604,121 @@ def term_exact_update_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("p_type"))
         .alias("p_type_new"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small ES document ops (S6, K6, K7, F9, F15) — the EsTest.scala demo
+# surface as warehouse-table view rewrites.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "get_by_id",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, round(p_retailprice, 2) AS price
+    FROM part WHERE p_partkey = 100
+    """,
+    tags=("S6",),
+)
+def get_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: point read of one doc (EsTest.scala:54-60 getById) — an
+    equality filter Catalyst pushes into the parquet scan; on a
+    key-bucketed warehouse layout this touches one file."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") == 100).select(
+        "p_partkey", "p_name", "p_brand",
+        F.round("p_retailprice", 2).alias("price"),
+    )
+
+
+@register(
+    "delete_by_id_view",
+    oracle="""
+    SELECT p_partkey, p_brand
+    FROM part
+    WHERE p_partkey BETWEEN 95 AND 105 AND p_partkey <> 100
+    """,
+    tags=("K7",),
+)
+def delete_by_id_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: delete-by-id (EsTest.scala:160-163 DeleteRequest) as the
+    declarative table rewrite ``table WHERE key <> id`` — the
+    engine's DELETE (a Delta/Iceberg deployment would do the same
+    rewrite transactionally). Windowed to ±5 keys so the oracle diff
+    is readable."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_partkey").between(95, 105))
+        .filter(F.col("p_partkey") != 100)
+        .select("p_partkey", "p_brand")
+    )
+
+
+@register(
+    "upsert_single_view",
+    oracle="""
+    SELECT p_partkey, p_brand FROM part WHERE p_partkey BETWEEN 95 AND 99
+    UNION ALL
+    SELECT -1 AS p_partkey, 'Brand#new' AS p_brand
+    """,
+    tags=("K6", "K8"),
+)
+def upsert_single_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6: single idempotent put (EsTest.scala:224-235) as
+    union-with-literal-row — one new doc appended to a keyed view;
+    replay-safety comes from the key (see streaming.sinks for the
+    batch-id variant)."""
+    p = _t(spark, sf_dir, "part")
+    base = p.filter(F.col("p_partkey").between(95, 99)).select(
+        "p_partkey", "p_brand"
+    )
+    new_row = spark.range(1).select(
+        F.lit(-1).cast("long").alias("p_partkey"),
+        F.lit("Brand#new").alias("p_brand"),
+    )
+    return base.unionAll(new_row)
+
+
+@register(
+    "to_json_serialize",
+    oracle="""
+    SELECT '{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name || '"}'
+           AS doc
+    FROM nation
+    """,
+    tags=("F9",),
+)
+def to_json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: bean→JSON serialization (JSON.toJSONString,
+    OdsBaseLogApp.scala:130; MyEsUtils.scala:45) as ``to_json(struct)``
+    — the exact bytes the Kafka/ES sinks would carry."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        F.to_json(F.struct("n_nationkey", "n_name")).alias("doc")
+    )
+
+
+@register(
+    "highlight_match",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, 'widget', '<em>widget</em>', 'g')
+             AS highlighted
+    FROM part
+    WHERE list_has_all(
+        list_transform(string_split_regex(lower(trim(p_name)),
+                                          '[^\\p{L}\\p{N}]+'), x -> x),
+        ['widget'])
+    """,
+    tags=("F15", "F11"),
+)
+def highlight_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: ES highlight (EsTest.scala:92,105-108) — wrap every
+    occurrence of the matched term in <em> tags over the match-AND
+    result set; a cosmetic regexp_replace, kept JVM-side."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(match_all_terms("p_name", _ITEM_QUERY)).select(
+        "p_partkey",
+        F.regexp_replace("p_name", _ITEM_QUERY, f"<em>{_ITEM_QUERY}</em>")
+        .alias("highlighted"),
+    )

@@ -104,3 +104,109 @@ def ivf_topk(
     )
     cell_members = emb.join(F.broadcast(best_cell), cell_col)
     return cosine_topk(cell_members, query, k, id_col, exclude_id)
+
+
+# --- random-hyperplane (sign) LSH: the bucketed scale path ---------------
+
+#: Charikar 2002 sign-LSH defaults: 16 signature bits in 4 bands of 4.
+#: P(two vectors share a band | angle θ) = (1 - θ/π)^4 per band — at
+#: cos 0.9 (θ≈26°) a band matches with p≈0.52, any of 4 with p≈0.95;
+#: random pairs (θ≈90°) survive with p≈0.06^… ≈ 0.2% — the same
+#: band-amplification trade as the MinHash defaults in dedup.py.
+RH_PLANES = 16
+RH_BANDS = 4
+RH_ROWS = 4
+
+
+def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, i) is
+    derived from md5('rp:<p>:<i>') exactly like functions.hashing's
+    hash60, mapped to [-1, 1]. Python-side constants — both the Spark
+    plan and the DuckDB oracle consume the identical literals, so
+    bucketing is reproducible everywhere (no RNG, no seed drift)."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"rp:{p}:{i}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def rh_signature_bits(
+    emb_col: Column | str, planes: list[list[float]]
+) -> list[Column]:
+    """One sign bit per hyperplane: dot(v, plane) >= 0. The dot is a
+    zip_with/aggregate fold over a literal array — JVM codegen, no
+    UDF, no shuffle."""
+    from ..functions.vectors import dot
+
+    c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
+    return [
+        (dot(c, F.array(*[F.lit(x) for x in plane])) >= 0).cast("int")
+        for plane in planes
+    ]
+
+
+def rh_band_buckets(
+    emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    bands: int = RH_BANDS,
+    rows_per_band: int = RH_ROWS,
+) -> DataFrame:
+    """Explode each vector into ``bands`` bucket keys
+    '<band>:<bit..bit>' — identical LSH-amplification shape to
+    dedup.lsh_buckets, so candidate generation is the same
+    bucket-local self-join, never all-pairs."""
+    bits = rh_signature_bits("embedding", planes)
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[bits[b * rows_per_band + r].cast("string")
+                  for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    return emb.select(F.col(id_col), F.explode(keys).alias("bucket"))
+
+
+def rh_near_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: sign-LSH band buckets →
+    bucket-local candidate self-join → exact cosine ≥ threshold on
+    candidates only. The vector payload joins back by id, so 64·8
+    bytes per row never ride the bucket shuffle (same shape as
+    dedup.near_dup_pairs; at 100 TB raise rows_per_band to keep
+    buckets small)."""
+    from ..functions.vectors import cosine_similarity
+
+    planes = random_hyperplanes(RH_PLANES, dim)
+    buckets = rh_band_buckets(emb, planes, id_col)
+    a = buckets.select(F.col("bucket"), F.col(id_col).alias("vec_a"))
+    b = buckets.select(F.col("bucket"), F.col(id_col).alias("vec_b"))
+    cands = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col(id_col).alias("vec_a"), F.col("embedding").alias("__ea"))
+    eb = emb.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("__eb"))
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", F.round(cosine_similarity("__ea", "__eb"), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )

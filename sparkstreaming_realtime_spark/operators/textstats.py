@@ -109,3 +109,31 @@ def quality_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.avg("__q"), 6).alias("avg_quality"),
         )
     )
+
+
+def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-level tf-idf: top-k terms by summed tf·idf.
+
+    The canonical three-shuffle shape — explode terms, tf per
+    (doc, term), df per term — then a broadcastable scalar N (kept as
+    a 1-row frame crossJoin, no driver collect) and a top-k
+    TakeOrdered. idf uses the plain ln(N/df) form; terms in every doc
+    get idf 0 and drop out of the ranking naturally."""
+    toks = docs.select("doc_id", F.explode(tokenize(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n = docs.agg(F.count("*").cast("double").alias("__n"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("__tfidf", F.col("tf") * F.log(F.col("__n") / F.col("df")))
+        .groupBy("term")
+        .agg(F.round(F.sum("__tfidf"), 4).alias("tfidf"))
+        .orderBy(F.desc("tfidf"), F.asc("term"))
+        .limit(k)
+    )

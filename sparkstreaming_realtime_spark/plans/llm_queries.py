@@ -116,8 +116,8 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6
 @register("doc_minhash_near_dup", oracle=_minhash_oracle(), tags=("LLM", "dedup"))
 def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified
-    (operators/dedup.py:near_dup_pairs). 12 hash families, 6 bands × 2
-    rows → P(candidate|J) = 1-(1-J²)⁶; candidates come from the
+    (operators/dedup.py:near_dup_pairs). 12 hash families, 4 bands × 3
+    rows → P(candidate|J) = 1-(1-J³)⁴; candidates come from the
     bucket self-join only — never all-pairs."""
     return dd.near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
@@ -303,3 +303,80 @@ def doc_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a deterministic stand-in decoder (no imaging libs in env)."""
     docs = _t(spark, sf_dir, "documents")
     return mm.extract_binary_meta(mm.documents_as_binary(docs))
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH embedding near-dup + tf-idf (added r2)
+# ---------------------------------------------------------------------------
+
+
+def _rh_oracle() -> str:
+    """Replicates rh_near_dup_pairs: identical plane literals, band
+    keys, bucket self-join, cosine verify."""
+    planes = sim.random_hyperplanes(sim.RH_PLANES, _EMB_DIM)
+
+    def dot_lit(plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            f"p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+        )
+
+    bits = [f"(CASE WHEN {dot_lit(p)} >= 0 THEN 1 ELSE 0 END)" for p in planes]
+    bands = ", ".join(
+        "'{b}'".format(b=b)
+        + "".join(
+            f" || ':' || {bits[b * sim.RH_ROWS + r]}::VARCHAR"
+            for r in range(sim.RH_ROWS)
+        )
+        for b in range(sim.RH_BANDS)
+    )
+    return f"""
+WITH buckets AS (
+  SELECT vec_id, unnest([{bands}]) AS bucket FROM embeddings),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+verified AS (
+  SELECT c.vec_a, c.vec_b,
+         round({_cos_sql("x.embedding", "y.embedding")}, 6) AS cos
+  FROM cand c JOIN embeddings x ON c.vec_a = x.vec_id
+              JOIN embeddings y ON c.vec_b = y.vec_id)
+SELECT vec_a, vec_b, cos FROM verified WHERE cos >= 0.4
+"""
+
+
+@register("emb_near_dup_lsh", oracle=_rh_oracle(), tags=("LLM", "similarity", "dedup"))
+def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH (Charikar 2002): 16
+    deterministic hyperplane bits in 4 bands of 4, bucket-local
+    candidate join, exact cosine >= 0.4 verify
+    (operators/similarity.py:rh_near_dup_pairs). Candidate recall at
+    a given cosine follows 1-(1-(1-θ/π)^4)^4 — the banding constants
+    are the tunable, never an all-pairs fallback."""
+    return sim.rh_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_toks_sql("text")}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT term, round(sum(tf * ln(n.n / df)), 4) AS tfidf
+FROM tf JOIN dfreq USING (term), n
+GROUP BY term
+ORDER BY tfidf DESC, term
+LIMIT 20
+"""
+
+
+@register("doc_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("LLM", "text"))
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms by summed tf·idf
+    (operators/textstats.py:tfidf_top_terms): explode → tf, df
+    shuffles → broadcast scalar N → TakeOrdered top-k."""
+    return ts.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=20)

@@ -159,3 +159,28 @@ def test_simhash_parity_with_duckdb_oracle(spark, duck, sf_dir):
     got = sorted(tuple(r) for r in spec.fn(spark, sf_dir).collect())
     want = sorted(tuple(r) for r in duck.execute(spec.oracle).fetchall())
     assert got == want
+
+
+def test_rh_near_dup_finds_planted_pair(spark):
+    import math
+    base = [1.0] + [0.0] * 63
+    near = [0.99] + [0.01] * 63   # cos ≈ 0.99 with base
+    far = [0.0, 1.0] + [0.0] * 62
+    emb = spark.createDataFrame(
+        [(0, base, 0), (1, near, 0), (2, far, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = sim.rh_near_dup_pairs(emb, dim=64, threshold=0.9).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in pairs] == [(0, 1)]
+    assert pairs[0]["cos"] > 0.9
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    docs = _docs(
+        spark,
+        [(1, "common common rareword"), (2, "common common common"),
+         (3, "common other")],
+    )
+    rows = {r["term"]: r["tfidf"] for r in ts.tfidf_top_terms(docs, k=10).collect()}
+    # 'rareword' appears in 1/3 docs; 'common' in all → idf 0, drops
+    assert rows["rareword"] > rows.get("common", 0.0)

@@ -108,3 +108,48 @@ def run_available_now(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_hourly_rollup(
+    events: DataFrame,
+    ts: str = "event_time",
+    lateness: str = "2 hours",
+) -> DataFrame:
+    """T6+T7: watermarked tumbling-window rollup — the streaming
+    binding of plans.queries.hourly_window_rollup. The watermark
+    bounds window state (closed windows finalize and evict once event
+    time passes window_end + lateness) and defines the late-data drop
+    point; append output mode emits each window exactly once."""
+    return (
+        events.withWatermark(ts, lateness)
+        .groupBy(F.window(ts, "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type",
+                "n", "sum_value")
+    )
+
+
+def multiplex_sink(base_path: str):
+    """P9's streaming binding: ONE source scan per micro-batch feeding
+    all five outputs. foreachBatch persists the parsed batch, writes
+    each branch, then unpersists — the declarative version of the
+    reference's single foreachPartition pass over five producers
+    (OdsBaseLogApp.scala:88-198). Each branch write is idempotent per
+    batch id (see sinks.idempotent_parquet_sink rationale)."""
+    import os
+
+    from ..operators.log_split import log_split
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for name, branch in log_split(batch_df).items():
+                out = os.path.join(base_path, name, f"batch={batch_id}")
+                branch.write.mode("overwrite").parquet(out)
+        finally:
+            batch_df.unpersist()
+
+    return write

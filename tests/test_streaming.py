@@ -30,11 +30,17 @@ PAGE_SCHEMA = (
 )
 
 
-def _write_jsonl(path: str, rows: list[dict]) -> None:
+def _write_jsonl(path: str, rows: list[dict] | None = None, seq: int = 0) -> None:
+    """Write one fixture micro-batch. ``seq`` pins the file's mtime
+    (spaced 10 s apart) — the file source orders batches by
+    modification time, and sub-millisecond writes would otherwise
+    make batch order nondeterministic."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
+    base = 1_700_000_000
+    os.utime(path, (base + 10 * seq, base + 10 * seq))
 
 
 def _drain(df, sink_fn, checkpoint):
@@ -48,13 +54,13 @@ def test_dedup_across_micro_batches(spark, tmp_path):
     day) — the Redis sismember/sadd semantics via keyed state — while
     the same mid on ANOTHER day passes (per-day scope)."""
     src = str(tmp_path / "src")
-    _write_jsonl(f"{src}/b1.json", [
+    _write_jsonl(f"{src}/b1.json", seq=1, rows=[
         {"mid": "m1", "last_page_id": None, "page_id": "home",
          "event_time": "2024-01-01 08:00:00"},
         {"mid": "m2", "last_page_id": "home", "page_id": "cart",
          "event_time": "2024-01-01 08:01:00"},  # not a session entry
     ])
-    _write_jsonl(f"{src}/b2.json", [
+    _write_jsonl(f"{src}/b2.json", seq=2, rows=[
         {"mid": "m1", "last_page_id": None, "page_id": "home",
          "event_time": "2024-01-01 09:00:00"},  # dup within day → drop
         {"mid": "m1", "last_page_id": None, "page_id": "home",
@@ -87,15 +93,15 @@ def test_order_join_matches_across_batches(spark, tmp_path):
     batch 2 (the Redis cache-then-match path, DwdOrderApp.scala:183-232),
     1:N preserved."""
     isrc, dsrc = str(tmp_path / "info"), str(tmp_path / "detail")
-    _write_jsonl(f"{isrc}/b1.json", [
+    _write_jsonl(f"{isrc}/b1.json", seq=1, rows=[
         {"id": 1, "user_id": 10, "total_amount": 99.0,
          "event_time": "2024-01-01 08:00:00"},
     ])
-    _write_jsonl(f"{dsrc}/b1.json", [
+    _write_jsonl(f"{dsrc}/b1.json", seq=1, rows=[
         {"id": 101, "order_id": 1, "sku_id": 7, "order_price": 49.5,
          "event_time": "2024-01-01 08:00:05"},
     ])
-    _write_jsonl(f"{dsrc}/b2.json", [
+    _write_jsonl(f"{dsrc}/b2.json", seq=2, rows=[
         {"id": 102, "order_id": 1, "sku_id": 8, "order_price": 49.5,
          "event_time": "2024-01-01 08:10:00"},  # late second detail
         {"id": 103, "order_id": 2, "sku_id": 9, "order_price": 5.0,
@@ -121,7 +127,7 @@ def test_checkpoint_restores_offsets(spark, tmp_path):
     ONLY newly arrived data — offset restore/commit with no replay,
     the MyOffsetUtils contract, for free."""
     src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
-    _write_jsonl(f"{src}/b1.json", [
+    _write_jsonl(f"{src}/b1.json", seq=1, rows=[
         {"mid": "m1", "last_page_id": None, "page_id": "home",
          "event_time": "2024-01-01 08:00:00"}])
     sink = idempotent_parquet_sink(out, key_cols=("mid", "dt"))
@@ -129,7 +135,7 @@ def test_checkpoint_restores_offsets(spark, tmp_path):
     n_after_first = read_sink(spark, out).count()
     # restart with one new file: only it is processed (and state
     # survives: m1 on the same day stays deduped)
-    _write_jsonl(f"{src}/b2.json", [
+    _write_jsonl(f"{src}/b2.json", seq=2, rows=[
         {"mid": "m1", "last_page_id": None, "page_id": "home",
          "event_time": "2024-01-01 09:00:00"},
         {"mid": "m9", "last_page_id": None, "page_id": "home",
@@ -166,3 +172,94 @@ def test_kafka_option_builders():
     assert explicit["startingOffsets"] == '{"t":{"0":42}}'
     snk = kafka_sink_options("DWD_PAGE_LOG_TOPIC", "broker:9092")
     assert snk["topic"] == "DWD_PAGE_LOG_TOPIC"
+
+
+EVENTS_SCHEMA = "event_type string, value double, event_time timestamp"
+
+
+def test_windowed_rollup_with_watermark(spark, tmp_path):
+    """T6/T7: watermarked hourly windows finalize in append mode once
+    event time passes window end + lateness; late-beyond-watermark
+    rows are dropped."""
+    src = str(tmp_path / "src")
+    _write_jsonl(f"{src}/b1.json", seq=1, rows=[
+        {"event_type": "view", "value": 1.0, "event_time": "2024-01-01 08:05:00"},
+        {"event_type": "view", "value": 2.0, "event_time": "2024-01-01 08:55:00"},
+        {"event_type": "click", "value": 5.0, "event_time": "2024-01-01 08:30:00"},
+    ])
+    _write_jsonl(f"{src}/b2.json", seq=2, rows=[
+        # advances watermark far past 09:00 → 08:00 windows finalize
+        {"event_type": "view", "value": 9.0, "event_time": "2024-01-01 23:00:00"},
+    ])
+    # spacer batch: Spark filters late events against the PREVIOUS
+    # batch's watermark (lenient late-filter) while evicting with the
+    # current one, so the advance must be two batches before the late
+    # row for the drop to engage.
+    _write_jsonl(f"{src}/b3.json", seq=3, rows=[
+        {"event_type": "view", "value": 9.5, "event_time": "2024-01-01 23:30:00"},
+    ])
+    _write_jsonl(f"{src}/b4.json", seq=4, rows=[
+        # late for the (long-finalized) 08:00 window → dropped
+        {"event_type": "view", "value": 100.0, "event_time": "2024-01-01 08:10:00"},
+    ])
+    from sparkstreaming_realtime_spark.streaming.pipelines import (
+        streaming_hourly_rollup,
+    )
+
+    rolled = streaming_hourly_rollup(
+        file_stream(spark, src, EVENTS_SCHEMA, max_files_per_trigger=1))
+    out = str(tmp_path / "out")
+    sink = idempotent_parquet_sink(out, key_cols=("hour_start", "event_type"),
+                                   partition_col=None)
+    q = (rolled.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {
+        (str(r["hour_start"]), r["event_type"]): (r["n"], r["sum_value"])
+        for r in read_sink(spark, out).collect()
+    }
+    # finalized 08:00 windows reflect only the on-time rows
+    assert got[("2024-01-01 08:00:00", "view")] == (2, 3.0)
+    assert got[("2024-01-01 08:00:00", "click")] == (1, 5.0)
+    # the 23:00 window is not finalized (watermark never passed it)
+    assert ("2024-01-01 23:00:00", "view") not in got
+
+
+def test_streaming_multiplex_matches_batch_split(spark, tmp_path):
+    """P9 streaming binding: the foreachBatch 5-way multiplex produces
+    exactly what the batch log_split produces on the same records."""
+    import glob
+
+    from sparkstreaming_realtime_spark.operators.log_split import log_split
+    from sparkstreaming_realtime_spark.streaming.pipelines import multiplex_sink
+
+    rows = [
+        {"common": {"mid": "m1", "uid": "1", "ar": "1", "ch": "c", "is_new": "1",
+                    "md": "m", "os": "o", "vc": "v", "ba": "b"},
+         "page": {"page_id": "home", "item": "1", "item_type": "sku_id",
+                  "during_time": 5, "source_type": "s"},
+         "displays": [{"display_type": "promo", "item": "2",
+                       "item_type": "sku_id", "pos_id": "1", "order": "1"}],
+         "ts": 1000},
+        {"common": {"mid": "m2", "uid": "2", "ar": "1", "ch": "c", "is_new": "0",
+                    "md": "m", "os": "o", "vc": "v", "ba": "b"},
+         "err": "x", "ts": 2000},
+    ]
+    src = str(tmp_path / "src")
+    _write_jsonl(f"{src}/b1.json", seq=1, rows=[{"value": json.dumps(r)} for r in rows])
+    stream = file_stream(spark, src, "value string")
+    base = str(tmp_path / "mux")
+    q = run_available_now(stream, multiplex_sink(base), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    batch_raw = spark.createDataFrame(
+        [(json.dumps(r),) for r in rows], "value string")
+    expected = {k: sorted(map(tuple, v.collect()))
+                for k, v in log_split(batch_raw).items()}
+    for name, want in expected.items():
+        files = glob.glob(f"{base}/{name}/batch=*")
+        got = (sorted(map(tuple, spark.read.parquet(*files).collect()))
+               if files and any(glob.glob(f"{f}/*.parquet") for f in files)
+               else [])
+        assert got == want, name

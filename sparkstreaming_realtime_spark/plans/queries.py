@@ -424,7 +424,7 @@ _ITEM_QUERY = "widget"  # multi-doc match term for p_name (ES match-AND analog)
 
 @register(
     "stats_by_item_segment",
-    oracle=f"""
+    oracle=rf"""
     SELECT c.c_mktsegment AS segment,
            round(sum(l.l_extendedprice), 2) AS sum_amount
     FROM lineitem l
@@ -540,7 +540,7 @@ def top_k_grouped_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "filtered_sorted_paginated",
-    oracle=f"""
+    oracle=rf"""
     SELECT p_partkey, p_name, round(p_retailprice, 2) AS price
     FROM (
       SELECT *, row_number() OVER (

@@ -62,11 +62,22 @@ def ts_to_dt_hr(df: DataFrame, ts: str = "ts") -> DataFrame:
 
 
 def age_as_of(birthday: Column | str, as_of: str) -> Column:
-    """Whole years between a 'yyyy-MM-dd' birthday string and a fixed
+    """Whole years between a 'yyyy-MM-dd' birthday and a fixed
     ``as_of`` date (F4). Deterministic replacement for
     ``Period.between(parse(birthday), LocalDate.now()).getYears``
-    (DwdDauApp.scala:124-130)."""
-    b = F.col(birthday) if isinstance(birthday, str) else birthday
-    return F.floor(
-        F.months_between(F.to_date(F.lit(as_of)), F.to_date(b)) / 12
+    (DwdDauApp.scala:124-130).
+
+    Explicit calendar formula (year delta, minus one before the
+    birthday-in-year) rather than ``months_between/12``: identical
+    results for real birthdays, and portable — every engine agrees on
+    year/month/day extraction while fractional-month semantics differ
+    (the reference's own comment at DwdOrderApp.scala:114 flags the
+    naive year subtraction this replaces)."""
+    b = F.to_date(F.col(birthday) if isinstance(birthday, str) else birthday)
+    ao = F.to_date(F.lit(as_of))
+    before_birthday = (F.month(ao) < F.month(b)) | (
+        (F.month(ao) == F.month(b)) & (F.dayofmonth(ao) < F.dayofmonth(b))
+    )
+    return (
+        F.year(ao) - F.year(b) - F.when(before_birthday, 1).otherwise(0)
     ).cast("int")

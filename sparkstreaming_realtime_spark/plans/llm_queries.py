@@ -380,3 +380,50 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/textstats.py:tfidf_top_terms): explode → tf, df
     shuffles → broadcast scalar N → TakeOrdered top-k."""
     return ts.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=20)
+
+
+_BPE_ORACLE = rf"""
+SELECT lang,
+       sum(len({_toks_sql("text")}))::BIGINT AS word_tokens,
+       sum(len(regexp_extract_all(text,
+           '[\p{{L}}\p{{N}}]+|[^\s\p{{L}}\p{{N}}]')))::BIGINT AS bpe_ish_tokens,
+       round(sum(len(regexp_extract_all(text,
+           '[\p{{L}}\p{{N}}]+|[^\s\p{{L}}\p{{N}}]')))::DOUBLE
+             / sum(len({_toks_sql("text")})), 4) AS bpe_per_word
+FROM documents GROUP BY lang
+"""
+
+
+@register("doc_bpe_token_stats", oracle=_BPE_ORACLE, tags=("LLM", "text"))
+def doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-ish vs BPE-ish token-cost stats per language
+    (operators/textstats.py:token_cost_stats) — the corpus tokenizer
+    cost estimate, pure regex both engines."""
+    return ts.token_cost_stats(_t(spark, sf_dir, "documents"))
+
+
+_FRAME_ORACLE = """
+SELECT doc_id, i AS frame_idx,
+       CASE WHEN i < n - 1 THEN step ELSE len - step * (n - 1) END
+         AS frame_bytes
+FROM (
+  SELECT doc_id,
+         octet_length(encode(text)) AS len,
+         least(4, octet_length(encode(text))) AS n,
+         octet_length(encode(text))
+           // least(4, octet_length(encode(text))) AS step,
+         unnest(range(0, least(4, octet_length(encode(text))))) AS i
+  FROM documents WHERE octet_length(encode(text)) > 0)
+"""
+
+
+@register("doc_frame_sample", oracle=_FRAME_ORACLE, tags=("LLM", "multimodal"))
+def doc_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (operators/multimodal.py:frame_sample):
+    1→N row fan-out inside Arrow-batched mapInPandas, 4 evenly spaced
+    slices per payload. The oracle recomputes slice geometry from byte
+    lengths; the head-bytes column is covered by unit tests (blob
+    comparison is engine-specific)."""
+    docs = _t(spark, sf_dir, "documents")
+    frames = mm.frame_sample(mm.documents_as_binary(docs), n_frames=4)
+    return frames.select("doc_id", "frame_idx", "frame_bytes")

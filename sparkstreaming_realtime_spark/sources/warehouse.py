@@ -1,0 +1,56 @@
+"""Warehouse table layout: dt-partitioned parquet, the engine's
+replacement for the reference's per-day Elasticsearch indexes
+(``gmall_day_info_<date>``, DwdDauApp.scala:177;
+``gmall_order_wide_<date>``, DwdOrderApp.scala:248).
+
+The reference picks an index per day by string-building the index
+name; here the day is a partition column, which buys:
+
+- **partition pruning**: ``WHERE dt = '...'`` never touches other
+  days' files (the per-day index selection, done by the planner);
+- **idempotent day rewrites**: dynamic partition overwrite replaces
+  exactly the days present in the batch — the doc-id-overwrite
+  semantics at day granularity;
+- **retention**: dropping a day is deleting a directory.
+
+At 100 TB each dt partition should hold files sized near the scan
+split (128 MB–1 GB); callers control that with ``target_files`` —
+a plain repartition on the partition key plus a within-day salt so
+one hot day still writes in parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_warehouse(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("dt",),
+    mode: str = "overwrite",
+    target_files: int | None = None,
+) -> None:
+    """Write a dt-partitioned warehouse table. With
+    ``partitionOverwriteMode=dynamic``, ``overwrite`` replaces only
+    the partitions present in ``df`` — an idempotent per-day rewrite,
+    not a table wipe."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if target_files is not None:
+        # explicit numPartitions: AQE coalescing respects user-pinned
+        # counts, so a hot day really does split into ~target_files
+        salt = (F.rand(seed=0) * target_files).cast("int")
+        df = df.repartition(
+            target_files, *[F.col(c) for c in partition_by], salt
+        )
+    (
+        df.write.mode(mode)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -184,3 +184,25 @@ def test_tfidf_rare_term_outranks_common(spark):
     rows = {r["term"]: r["tfidf"] for r in ts.tfidf_top_terms(docs, k=10).collect()}
     # 'rareword' appears in 1/3 docs; 'common' in all → idf 0, drops
     assert rows["rareword"] > rows.get("common", 0.0)
+
+
+def test_frame_sample_geometry_and_heads(spark):
+    docs = _docs(spark, [(1, "abcdefgh"), (2, "xy"), (3, "")])
+    frames = mm.frame_sample(mm.documents_as_binary(docs), n_frames=4)
+    rows = sorted(
+        (r["doc_id"], r["frame_idx"], r["frame_bytes"], bytes(r["frame_head"]))
+        for r in frames.collect()
+    )
+    # doc 1: 8 bytes / 4 frames of 2; doc 2: 2 bytes → 2 frames of 1;
+    # doc 3: empty → no frames
+    assert rows == [
+        (1, 0, 2, b"ab"), (1, 1, 2, b"cd"), (1, 2, 2, b"ef"), (1, 3, 2, b"gh"),
+        (2, 0, 1, b"x"), (2, 1, 1, b"y"),
+    ]
+
+
+def test_bpe_ish_counts_punctuation_separately(spark):
+    docs = _docs(spark, [(1, "don't stop-me now!!")])
+    got = docs.select(ts.bpe_ish_token_count("text").alias("n")).collect()[0]["n"]
+    # don / ' / t / stop / - / me / now / ! / ! = 9
+    assert got == 9

@@ -1,0 +1,62 @@
+"""Warehouse layout tests: dt partitioning, partition pruning, and
+dynamic-partition-overwrite idempotency (the per-day ES index
+semantics, SURVEY §1.1 item 4)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from sparkstreaming_realtime_spark.sources.warehouse import (
+    read_warehouse,
+    write_warehouse,
+)
+
+
+def _dau(spark, rows):
+    return spark.createDataFrame(rows, "dt string, mid string, ct int")
+
+
+def test_partition_pruning_skips_other_days(spark, tmp_path):
+    path = str(tmp_path / "dau")
+    write_warehouse(
+        _dau(spark, [("2024-01-01", "m1", 1), ("2024-01-02", "m2", 2),
+                     ("2024-01-03", "m3", 3)]),
+        path,
+    )
+    df = read_warehouse(spark, path).filter(F.col("dt") == "2024-01-02")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the day filter must be a partition filter on the scan, not a
+    # post-scan Filter over all days
+    assert "PartitionFilters" in plan
+    assert "2024-01-02" in plan
+    assert [r["mid"] for r in df.collect()] == ["m2"]
+
+
+def test_dynamic_overwrite_replaces_only_present_days(spark, tmp_path):
+    path = str(tmp_path / "dau")
+    write_warehouse(
+        _dau(spark, [("2024-01-01", "m1", 1), ("2024-01-02", "m2", 2)]), path
+    )
+    # rewrite day 2 only (the replayed-day case); day 1 must survive
+    write_warehouse(_dau(spark, [("2024-01-02", "m2b", 9)]), path)
+    got = sorted(
+        (str(r["dt"]), r["mid"]) for r in read_warehouse(spark, path).collect()
+    )
+    assert got == [("2024-01-01", "m1"), ("2024-01-02", "m2b")]
+
+
+def test_target_files_spreads_a_hot_day(spark, tmp_path):
+    path = str(tmp_path / "dau")
+    rows = [("2024-01-01", f"m{i}", i) for i in range(1000)]
+    write_warehouse(_dau(spark, rows), path, target_files=4)
+    day_dir = os.path.join(path, "dt=2024-01-01")
+    n_files = len([f for f in os.listdir(day_dir) if f.endswith(".parquet")])
+    assert n_files >= 2  # the salt split one hot day across files
+    assert read_warehouse(spark, path).count() == 1000

@@ -135,3 +135,34 @@ def dau_realtime(dau_table: DataFrame, td: str) -> dict[str, DataFrame]:
         .agg(F.count("*").cast("bigint").alias("ct"))
     )
     return {"dauTotal": total, "dauTd": by_hr, "dauYd": by_hr_yd}
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization via ``session_window`` — the engine
+    upgrade of the reference's session-entry heuristic (P12 just
+    filters ``last_page_id IS NULL``; real session analytics needs the
+    grouping itself).
+
+    One shuffle on the key; Spark merges overlapping windows per key
+    internally (no self-join, no window-function sort at global
+    scope). Streaming binding: identical expression under
+    ``withWatermark`` — session windows close when the watermark
+    passes last-event + gap."""
+    return (
+        events.groupBy(F.session_window(ts, gap).alias("sw"), F.col(key))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

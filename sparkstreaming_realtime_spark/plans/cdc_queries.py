@@ -297,3 +297,38 @@ def dau_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.select(
         "dt", "user_id", "user_gender", "user_age", "province_name"
     )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, "value",
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, "value",
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, new_session
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id,
+           min(ts) AS session_start,
+           count(*)::BIGINT AS n_events,
+           round(sum("value"), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    tags=("T6", "P12", "extension"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (30-minute inactivity gap) via
+    Spark's native session_window (operators/dau.py:sessionize). The
+    oracle derives the same sessions with the lag+cumsum islands
+    technique — two independent formulations agreeing on every
+    session boundary."""
+    from ..operators.dau import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"))

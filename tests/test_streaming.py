@@ -263,3 +263,35 @@ def test_streaming_multiplex_matches_batch_split(spark, tmp_path):
                if files and any(glob.glob(f"{f}/*.parquet") for f in files)
                else [])
         assert got == want, name
+
+
+def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
+    """Custom keyed state (applyInPandasWithState): per-key running
+    totals must carry across micro-batches — the typed replacement for
+    the reference's Redis accumulators."""
+    from sparkstreaming_realtime_spark.streaming.stateful import running_profiles
+
+    src = str(tmp_path / "src")
+    _write_jsonl(f"{src}/b1.json", seq=1, rows=[
+        {"key": "a", "value": 1.0}, {"key": "a", "value": 2.0},
+        {"key": "b", "value": 10.0}])
+    _write_jsonl(f"{src}/b2.json", seq=2, rows=[
+        {"key": "a", "value": 4.0}])
+    stream = file_stream(spark, src, "key string, value double",
+                         max_files_per_trigger=1)
+    seen = []
+
+    def sink(bdf, bid):
+        seen.extend((bid, r["key"], r["n_events"], r["sum_value"])
+                    for r in bdf.collect())
+
+    q = (running_profiles(stream).writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    final = {k: (n, s) for _, k, n, s in seen}
+    assert final["a"] == (3, 7.0)   # state accumulated across batches
+    assert final["b"] == (1, 10.0)
+    # batch 1 (the second file) saw only 'a', already including batch-0 state
+    last_batch = [t for t in seen if t[0] == max(x[0] for x in seen)]
+    assert last_batch == [(1, "a", 3, 7.0)]

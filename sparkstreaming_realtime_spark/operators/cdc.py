@@ -129,3 +129,28 @@ def dim_snapshot(
     )
     # a delete as the last write removes the key from the snapshot
     return snap.filter(F.col("op") != "D").drop("op")
+
+
+def route_with_config(cdc_df: DataFrame, config: DataFrame) -> DataFrame:
+    """P13: table-set routing driven by a *config table* instead of
+    literals — the reference re-reads Redis sets ``FACT:TABLES`` /
+    ``DIM:TABLES`` and broadcasts them every batch
+    (OdsBaseDbApp.scala:80-93).
+
+    ``config`` has (table, kind∈{fact,dim}) rows; it joins in as a
+    broadcast (tiny by construction), so routing changes take effect
+    without re-deploying — the streaming binding re-reads the config
+    source inside each foreachBatch (see streaming tests)."""
+    c = F.broadcast(config.select("table", "kind"))
+    joined = cdc_df.join(c, "table", "left")
+    route = (
+        F.when(
+            F.col("kind") == "fact",
+            F.concat(F.lit("kafka:DWD_"), F.upper("table"),
+                     F.lit("_"), F.col("op")),
+        )
+        .when(F.col("kind") == "dim",
+              F.concat(F.lit("redis:DIM:"), F.upper("table")))
+        .otherwise(F.lit("drop"))
+    )
+    return joined.withColumn("route", route).drop("kind")

@@ -87,3 +87,24 @@ def test_fact_rows_kafka_shape(spark):
     assert r["topic"] == "kafka:DWD_ORDER_DETAIL_I"
     assert r["key"] == "7"
     assert json.loads(r["value"])["id"] == 7
+
+
+def test_route_with_config_is_dynamic(spark):
+    """P13: routing follows the config table — reclassifying a table
+    from fact to dim changes its route with no code change (the
+    per-batch re-read-and-broadcast of OdsBaseDbApp.scala:80-93)."""
+    df = cdc.normalize_op(
+        _cdc_rows(spark, [("insert", "order_info", {"id": 1}, 1, 1)])
+    )
+    cfg_fact = spark.createDataFrame(
+        [("order_info", "fact")], "table string, kind string")
+    cfg_dim = spark.createDataFrame(
+        [("order_info", "dim")], "table string, kind string")
+    cfg_absent = spark.createDataFrame(
+        [("other", "fact")], "table string, kind string")
+    r1 = cdc.route_with_config(df, cfg_fact).collect()[0]["route"]
+    r2 = cdc.route_with_config(df, cfg_dim).collect()[0]["route"]
+    r3 = cdc.route_with_config(df, cfg_absent).collect()[0]["route"]
+    assert r1 == "kafka:DWD_ORDER_INFO_I"
+    assert r2 == "redis:DIM:ORDER_INFO"
+    assert r3 == "drop"

@@ -33,6 +33,10 @@ HEADLINE = [
     "doc_simhash",
     "emb_cosine_topk",
     "doc_token_stats",
+    "log_split_page",
+    "cdc_dim_snapshot",
+    "dau_enriched",
+    "user_sessions",
 ]
 
 

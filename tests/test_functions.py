@@ -110,3 +110,22 @@ def test_cosine_similarity(spark):
         .collect()
     )
     assert [r.c for r in row] == [1.0, 0.0]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Skew-salted join must be row-for-row identical to the plain
+    join it replaces — on data with one hot key."""
+    from sparkstreaming_realtime_spark.functions.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, 0), (3, 1)], "k int, v int"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold")], "k int, name string")
+    plain = sorted(map(tuple, big.join(small, "k", "inner").collect()))
+    salted = sorted(map(tuple, salted_join(big, small, "k", salts=4).collect()))
+    assert salted == plain
+    left_plain = sorted(map(tuple, big.join(small, "k", "left").collect()))
+    left_salted = sorted(
+        map(tuple, salted_join(big, small, "k", salts=4, how="left").collect())
+    )
+    assert left_salted == left_plain

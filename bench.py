@@ -46,8 +46,16 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = queries()
 
-    # warm-up: JVM, parquet footer cache, codegen
-    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm-up: JVM, parquet footer cache, codegen. Every headline
+    # query once at the smallest SF — the generated classes are the
+    # same, so the timed sf run measures steady-state execution, not
+    # Janino compilation (cold codegen is 5-10s for the big
+    # synthesis/hash expression trees and would dominate one-shot
+    # timings).
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        if name in qs:
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

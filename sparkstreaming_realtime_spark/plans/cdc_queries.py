@@ -332,3 +332,52 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dau import sessionize
 
     return sessionize(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "events_asof_last_order",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             (o_orderdate + INTERVAL 360 MONTH)::TIMESTAMP AS ots,
+             max(o_orderkey) AS last_order_key
+      FROM orders
+      GROUP BY o_custkey, o_orderdate),
+    e AS (SELECT event_id, user_id, ts FROM events)
+    SELECT e.event_id, e.user_id, o.last_order_key,
+           o.ots AS last_order_ts
+    FROM e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.ots
+    """,
+    tags=("extension", "asof"),
+)
+def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event picks up the user's
+    most recent order at or before the event time. Orders are shifted
+    +360 months into the event-time era and collapsed to one row per
+    (customer, day) so the as-of target is unique. The oracle is
+    DuckDB's NATIVE ``ASOF LEFT JOIN`` — a fully independent
+    implementation agreeing row-for-row with the union-and-carry
+    window composition."""
+    from ..operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("last_order_key"))
+        .select(
+            "o_custkey",
+            F.add_months("o_orderdate", 360).cast("timestamp").alias("ots"),
+            "last_order_key",
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    joined = as_of_join(
+        ev, o, key="user_id", left_ts="ts", right_ts="ots",
+        payload_cols=("last_order_key", "ots"),
+    )
+    return joined.select(
+        "event_id", "user_id", "last_order_key",
+        F.col("ots").alias("last_order_ts"),
+    )

@@ -381,3 +381,45 @@ def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "last_order_key",
         F.col("ots").alias("last_order_ts"),
     )
+
+
+@register(
+    "orders_events_range_join",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             o_custkey AS user_id,
+             (o_orderdate + INTERVAL 360 MONTH)::TIMESTAMP AS ots
+      FROM orders)
+    SELECT o.o_orderkey,
+           count(e.event_id)::BIGINT AS n_in_range
+    FROM o LEFT JOIN events e
+      ON e.user_id = o.user_id
+     AND e.ts >= o.ots
+     AND e.ts < o.ots + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    """,
+    tags=("extension", "range-join"),
+)
+def orders_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/range_join.py): events per order
+    within 7 days after the (era-shifted) order time. The engine side
+    is a pure equi-join on (key, time-bucket) with a ≤2× candidate
+    factor; the oracle is DuckDB's planner running the plain
+    inequality join — independent implementations, same counts."""
+    from ..operators.range_join import range_join_count
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.col("o_custkey").alias("user_id"),
+            F.add_months("o_orderdate", 360).cast("timestamp").alias("ots"),
+        )
+    )
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    counted = range_join_count(
+        o, ev, key="user_id", left_ts="ots", right_ts="ts",
+        window_seconds=7 * 86400,
+    )
+    return counted.select("o_orderkey", "n_in_range")

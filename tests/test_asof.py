@@ -48,3 +48,35 @@ def test_as_of_join_keeps_all_left_rows(spark):
     out = as_of_join(left, right, "user_id", "ts", "ots", ("val",))
     assert out.count() == left.count()
     assert set(out.columns) == {"event_id", "user_id", "ts", "val"}
+
+
+def test_range_join_count_boundaries(spark):
+    """Range [lts, lts+w): inclusive start, exclusive end, cross-bucket
+    matches counted, other keys ignored."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.operators.range_join import (
+        range_join_count,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "u1", "2024-01-01 10:00:00"), (2, "u2", "2024-01-01 10:00:00")],
+        "oid long, user_id string, ots string",
+    ).withColumn("ots", F.col("ots").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:00:00"),  # == start → counted
+            ("u1", "2024-01-01 10:59:59"),  # inside → counted
+            ("u1", "2024-01-01 11:00:00"),  # == end → excluded
+            ("u1", "2024-01-01 09:59:59"),  # before → excluded
+            ("u2", "2024-01-01 10:30:00"),  # other key
+        ],
+        "user_id string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["oid"]: r["n_in_range"]
+        for r in range_join_count(
+            left, right, "user_id", "ots", "ts", window_seconds=3600
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}

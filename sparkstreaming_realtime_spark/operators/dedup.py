@@ -293,3 +293,44 @@ def simhash(
         ],
     )
     return g.select(F.col(id_col), sim.alias("simhash"))
+
+
+#: Winnowing defaults (Schleimer/Wilkerson/Aiken 2003, "local
+#: algorithms for document fingerprinting"): k-token shingles hashed,
+#: then the minimum hash of every w-length window of consecutive
+#: shingle hashes; distinct minima form the fingerprint set.
+#: Guarantee: any shared run of >= w+k-1 tokens yields a shared
+#: fingerprint, so partial overlap (plagiarism-style) is detectable
+#: where whole-set MinHash only sees global similarity.
+WINNOW_K = 4
+WINNOW_W = 5
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing fingerprints: one (id, fingerprint) row per distinct
+    window-minimum shingle hash.
+
+    All per-doc work is in-row array expressions (sequence/slice/
+    array_min) — the rolling window never leaves the row, so
+    fingerprinting is embarrassingly parallel; only the final explode
+    materializes the (small) fingerprint set."""
+    sh = ngram_shingles(text_col, n=k)
+    hashes = F.transform(sh, lambda s: hash60(s))
+    n = F.size(hashes)
+    minima = F.when(
+        n >= w,
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(w)),
+            lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+        ),
+    ).otherwise(F.array(F.array_min(hashes)))
+    return spread(docs).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(minima)).alias("fingerprint"),
+    )

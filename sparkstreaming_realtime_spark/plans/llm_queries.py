@@ -427,3 +427,36 @@ def doc_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     frames = mm.frame_sample(mm.documents_as_binary(docs), n_frames=4)
     return frames.select("doc_id", "frame_idx", "frame_bytes")
+
+
+def _winnow_oracle() -> str:
+    toks = _toks_sql("text")
+    k, w = dd.WINNOW_K, dd.WINNOW_W
+    shingles = (
+        f"CASE WHEN len(t) >= {k} "
+        f"THEN list_transform(range(1, len(t) - {k - 2}), "
+        f"i -> array_to_string(t[i:i+{k - 1}], ' ')) "
+        f"ELSE [array_to_string(t, ' ')] END"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
+sh AS (SELECT doc_id, {shingles} AS s FROM toks),
+h AS (SELECT doc_id, list_transform(s, v -> {oracle_hash60_sql("v")}) AS hs
+      FROM sh),
+m AS (SELECT doc_id,
+             CASE WHEN len(hs) >= {w}
+                  THEN list_transform(range(1, len(hs) - {w - 2}),
+                                      i -> list_min(hs[i:i+{w - 1}]))
+                  ELSE [list_min(hs)] END AS minima
+      FROM h)
+SELECT doc_id, unnest(list_distinct(minima)) AS fingerprint FROM m
+"""
+
+
+@register("doc_winnow_fingerprints", oracle=_winnow_oracle(), tags=("LLM", "dedup"))
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash window minima,
+    operators/dedup.py:winnow_fingerprints) — detects shared runs of
+    >= w+k-1 tokens between documents, the partial-overlap complement
+    to whole-set MinHash."""
+    return dd.winnow_fingerprints(_t(spark, sf_dir, "documents"))

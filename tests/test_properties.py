@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the parity-critical
+primitives: the cross-engine hash, the shared token alphabet, and the
+set-similarity math. These are the contracts every oracle depends on,
+so they get fuzzed, not just spot-checked."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sparkstreaming_realtime_spark.functions.hashing import (
+    hash60,
+    oracle_hash60_sql,
+)
+
+# printable-ish text incl. unicode letters, digits, punctuation
+TEXT = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+        max_codepoint=0x2FFF,
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+@settings(max_examples=50, deadline=None)
+@given(TEXT)
+def test_hash60_duckdb_matches_python_reference(s):
+    """The DuckDB oracle fold of hash60 must equal the definitional
+    md5-prefix integer for arbitrary unicode input."""
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {oracle_hash60_sql('?')}", [s]
+    ).fetchone()[0]
+    assert got == _py_hash60(s)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_hash60_spark_matches_python_reference(spark, strings):
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = [r["h"] for r in df.select(hash60("s").alias("h")).collect()]
+    assert got == [_py_hash60(s) for s in strings]
+
+
+@settings(max_examples=50, deadline=None)
+@given(TEXT)
+def test_token_alphabet_python_equals_duckdb(s):
+    """One token alphabet (ADVICE r1): the Python query-side tokenizer
+    and the DuckDB oracle regex agree on arbitrary text."""
+    from sparkstreaming_realtime_spark.functions.text import _py_tokenize
+
+    con = duckdb.connect()
+    duck = con.execute(
+        r"SELECT list_filter(string_split_regex(lower(trim(?)),"
+        r" '[^\p{L}\p{N}]+'), x -> x <> '')",
+        [s],
+    ).fetchone()[0]
+    assert _py_tokenize(s) == list(duck)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 20), min_size=0, max_size=15),
+    st.lists(st.integers(0, 20), min_size=0, max_size=15),
+)
+def test_jaccard_bounds_and_symmetry(spark, xs, ys):
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.operators.dedup import jaccard
+
+    a = sorted(set(xs)) or [0]
+    b = sorted(set(ys)) or [0]
+    df = spark.createDataFrame(
+        [([str(x) for x in a], [str(y) for y in b])],
+        "a array<string>, b array<string>",
+    )
+    j_ab, j_ba = df.select(
+        F.round(jaccard("a", "b"), 9).alias("ab"),
+        F.round(jaccard("b", "a"), 9).alias("ba"),
+    ).collect()[0]
+    expect = len(set(a) & set(b)) / len(set(a) | set(b))
+    assert j_ab == j_ba
+    assert abs(j_ab - round(expect, 9)) < 1e-9

@@ -722,3 +722,115 @@ def highlight_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_name", _ITEM_QUERY, f"<em>{_ITEM_QUERY}</em>")
         .alias("highlighted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OLAP analytics extensions beyond the reference's ES aggregations —
+# the queries a user switching from the reference would expect an
+# engine to also answer (percentiles, rollups, per-group top-N).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont("value", 0.5), 6) AS p50,
+           round(quantile_cont("value", 0.9), 6) AS p90,
+           round(quantile_cont("value", 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("extension", "percentiles"),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the linear-interpolation
+    definition, so values hash-match. At 100 TB swap in
+    ``approx_percentile`` (t-digest, one pass, mergeable) — exact
+    percentile's per-group sort is the documented cost."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "revenue_rollup",
+    oracle="""
+    SELECT coalesce(n.n_name, 'ALL') AS nation,
+           coalesce(c.c_mktsegment, 'ALL') AS segment,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*)::BIGINT AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+    tags=("extension", "rollup"),
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (nation → segment → grand total) in one
+    pass — Spark expands grouping sets inside a single aggregate
+    (partial-agg friendly), no self-unions. NULL grouping slots are
+    labeled 'ALL' so the hash compare is null-safe."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "top_orders_per_nation",
+    oracle="""
+    SELECT nation, o_orderkey, total FROM (
+      SELECT n.n_name AS nation, o.o_orderkey,
+             round(o.o_totalprice, 2) AS total,
+             row_number() OVER (
+               PARTITION BY n.n_name
+               ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) WHERE rn <= 3
+    """,
+    tags=("extension", "top-n-per-group"),
+)
+def top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per nation — a PARTITIONED rank window (25 keys ×
+    per-key sort), the scale-safe form of per-group top-N; contrast
+    with the global TakeOrdered used for un-grouped top-k."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )

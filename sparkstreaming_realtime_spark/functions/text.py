@@ -21,7 +21,15 @@ TOKEN_SPLIT_RE = r"[^\p{L}\p{N}]+"
 
 def normalize_text(col: Column | str) -> Column:
     """Lowercase + trim — the shared normalization in front of
-    tokenize/fingerprint/dedup so near-dup operators agree on input."""
+    tokenize/fingerprint/dedup so near-dup operators agree on input.
+
+    Known cross-engine boundary (property-tested): characters whose
+    Unicode lowercase expands to multiple codepoints (practically
+    U+0130 'İ') case-fold differently — JVM/Python produce
+    ``i + U+0307``, DuckDB produces ``i`` — so oracle parity on text
+    containing them is not guaranteed. No other such character exists
+    in the BMP's common scripts; corpora where this matters should
+    NFKC-normalize upstream."""
     c = F.col(col) if isinstance(col, str) else col
     return F.lower(F.trim(c))
 

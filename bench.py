@@ -37,6 +37,8 @@ HEADLINE = [
     "cdc_dim_snapshot",
     "dau_enriched",
     "user_sessions",
+    "shipping_priority",
+    "forecast_revenue",
 ]
 
 

@@ -132,3 +132,39 @@ def frame_sample(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(sample, FRAME_SCHEMA)
+
+
+EMB_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("l2_norm", T.DoubleType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("std", T.DoubleType()),
+        T.StructField("n_nonzero", T.LongType()),
+    ]
+)
+
+
+def embedding_features(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Vectorized numpy feature extraction over embedding arrays —
+    the mapInPandas pattern for work that IS better in Python
+    (numpy's SIMD batch math over a stacked matrix) than per-row
+    Column expressions: one np.stack per Arrow batch, then columnar
+    reductions. Round to 6dp so results are engine-comparable."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            m = np.stack(pdf[emb_col].to_numpy()).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "l2_norm": np.round(np.sqrt((m * m).sum(axis=1)), 6),
+                    "mean": np.round(m.mean(axis=1), 6),
+                    "std": np.round(m.std(axis=1), 6),
+                    "n_nonzero": (m != 0).sum(axis=1).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(extract, EMB_FEATURE_SCHEMA)

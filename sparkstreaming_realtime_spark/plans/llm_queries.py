@@ -460,3 +460,33 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= w+k-1 tokens between documents, the partial-overlap complement
     to whole-set MinHash."""
     return dd.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_EMB_FEATURES_ORACLE = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(embedding, x -> x::DOUBLE))
+           / len(embedding) AS mu
+  FROM embeddings)
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm,
+       round(mu, 6) AS mean,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> (x::DOUBLE - mu) * (x::DOUBLE - mu)))
+             / len(embedding)), 6) AS std,
+       list_sum(list_transform(embedding,
+             x -> CASE WHEN x <> 0 THEN 1 ELSE 0 END))::BIGINT AS n_nonzero
+FROM b
+"""
+
+
+@register("emb_feature_extract", oracle=_EMB_FEATURES_ORACLE,
+          tags=("LLM", "multimodal", "similarity"))
+def emb_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numpy-vectorized per-vector features via Arrow mapInPandas
+    (operators/multimodal.py:embedding_features) — the pattern for
+    work genuinely better in batched Python (SIMD matrix math) than
+    Column expressions; the oracle recomputes the same statistics in
+    SQL."""
+    return mm.embedding_features(_t(spark, sf_dir, "embeddings"))

@@ -920,3 +920,31 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n"),
         )
     )
+
+
+@register(
+    "sql_text_api",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)::BIGINT AS n,
+           round(sum(l_extendedprice), 2) AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("extension", "sql-api"),
+)
+def sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw-SQL entry point: register the warehouse tables
+    as views (session.load_tables) and run Spark SQL text — a surface
+    the reference doesn't have at all (its 'queries' are hand-built ES
+    DSL). Demonstrates that every table is reachable via plain SQL."""
+    from ..session import load_tables
+
+    load_tables(spark, sf_dir, register_views=True)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_extendedprice), 2) AS total
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

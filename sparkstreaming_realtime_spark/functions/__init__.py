@@ -12,9 +12,11 @@ from .text import (
     normalize_text,
     tokenize,
 )
+from .skew import salted_join
 from .vectors import cosine_similarity, dot, l2_norm
 
 __all__ = [
+    "salted_join",
     "age_as_of",
     "dt_col",
     "hr_col",

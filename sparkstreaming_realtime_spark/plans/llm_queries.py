@@ -490,3 +490,48 @@ def emb_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Column expressions; the oracle recomputes the same statistics in
     SQL."""
     return mm.embedding_features(_t(spark, sf_dir, "embeddings"))
+
+
+_SAMPLE_KEY = "('doc:' || doc_id::VARCHAR)"
+_SAMPLE_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         {oracle_hash60_sql(_SAMPLE_KEY)} % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 10 THEN 'test'
+            WHEN bucket < 20 THEN 'holdout'
+            ELSE 'train' END AS split,
+       lang, count(*)::BIGINT AS n_docs
+FROM b GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+@register("doc_hash_split", oracle=_SAMPLE_ORACLE, tags=("LLM", "sampling"))
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout/test split by hash bucket — the
+    reproducible alternative to ``df.sample`` a 100 TB corpus needs:
+    membership depends only on the stable doc key, so re-runs,
+    incremental corpus versions, and different engines all agree (the
+    DuckDB oracle computes the identical split). Buckets compose:
+    ``bucket < 10`` is a 10 % sample, growing a sample keeps prior
+    members. Pure projection + one aggregate — no shuffle beyond the
+    final small groupBy, nothing driver-side."""
+    from ..functions.hashing import hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        hash60(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))) % 100
+    )
+    return (
+        docs.select(
+            F.when(bucket < 10, "test")
+            .when(bucket < 20, "holdout")
+            .otherwise("train")
+            .alias("split"),
+            "lang",
+        )
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("split", "lang")
+    )

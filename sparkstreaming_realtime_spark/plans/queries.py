@@ -923,6 +923,150 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "returned_orders_by_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("TPCH-Q4", "semi-join"),
+)
+def returned_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a LEFT SEMI join. The semi join never
+    materializes the probe side's columns and stops at the first match
+    per key — at 100 TB this halves the shuffle vs an inner-join +
+    distinct formulation, and the orders-side date filter is pushed to
+    the scan before the shuffle."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "customers_no_big_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*)::BIGINT AS n_customers,
+           round(avg(c_acctbal), 2) AS avg_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("TPCH-Q22", "anti-join"),
+)
+def customers_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: NOT EXISTS as a LEFT ANTI join. The orders side
+    is filtered and projected to the join key alone before the shuffle,
+    so the anti join moves 8 bytes per qualifying order regardless of
+    table width."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "promo_revenue_pct",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    tags=("TPCH-Q14", "conditional-agg"),
+)
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation computing a ratio in
+    ONE pass (no self-join, no second scan). `part` is a per-SF-small
+    dim here so Catalyst broadcasts it under AQE; the lineitem month
+    filter reaches the parquet scan."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "brand_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 40
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    tags=("TPCH-Q16", "distinct-agg"),
+)
+def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) alongside a plain SUM in one
+    grouped aggregate. Catalyst plans this as the two-phase expand +
+    partial-agg strategy, so the distinct does not force a second
+    shuffle of the raw join output."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 40)
+        .select("p_partkey", "p_brand")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    return (
+        p.join(l, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
     "sql_text_api",
     oracle="""
     SELECT l_returnflag,

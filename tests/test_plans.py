@@ -87,3 +87,18 @@ def test_minhash_plan_has_no_python_udfs(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_semi_and_anti_joins_plan_as_such(spark, sf_dir):
+    """EXISTS / NOT EXISTS must plan as LeftSemi / LeftAnti — never as
+    an inner join + distinct (which shuffles the full match set)."""
+    assert "LeftSemi" in _plan(spark, sf_dir, "returned_orders_by_priority")
+    assert "LeftAnti" in _plan(spark, sf_dir, "customers_no_big_orders")
+
+
+def test_promo_ratio_single_scan(spark, sf_dir):
+    """The conditional-agg ratio must read lineitem once — a self-join
+    or second scan would double the 100 TB read."""
+    plan = _plan(spark, sf_dir, "promo_revenue_pct")
+    assert plan.count("lineitem.parquet") <= 1
+    assert "PushedFilters" in plan

@@ -39,6 +39,8 @@ HEADLINE = [
     "user_sessions",
     "shipping_priority",
     "forecast_revenue",
+    "returned_orders_by_priority",
+    "promo_revenue_pct",
 ]
 
 

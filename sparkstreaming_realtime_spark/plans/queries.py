@@ -369,6 +369,40 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_acctbal_salted",
+    oracle="""
+    SELECT n.n_name AS nation, count(*)::BIGINT AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("skew", "extension"),
+)
+def nation_acctbal_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join as a first-class, oracle-checked operator: every
+    nation key is hot by construction (SF-scaling customers over 25 fixed
+    keys), the textbook case where a plain shuffle join puts 1/25th of
+    100 TB on one reducer. ``salted_join`` spreads each hot key over 8
+    salted reducers by replicating the fixed-size side; the oracle is the
+    plain join — identical output proves the rewrite is semantics-free.
+    (Broadcast solves this case when the engine allows it; salting is the
+    fallback for stream-static joins and no-AQE deployments.)"""
+    from ..functions.skew import salted_join
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").withColumnRenamed("n_nationkey", "c_nationkey")
+    return (
+        salted_join(c, n, on="c_nationkey", salts=8)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,

@@ -369,6 +369,92 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_order_wide_parity",
+    oracle="""
+    SELECT o.o_orderkey AS order_id, o.o_custkey AS user_id,
+           round(o.o_totalprice, 2) AS total_amount,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           l.l_orderkey * 10 + l.l_linenumber AS detail_id,
+           l.l_partkey AS sku_id,
+           round(l.l_extendedprice, 2) AS order_price,
+           strftime(l.l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate BETWEEN o.o_orderdate - INTERVAL 24 HOURS
+                           AND o.o_orderdate + INTERVAL 24 HOURS
+    """,
+    tags=("J3", "T3", "streaming"),
+)
+def streaming_order_wide_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming order-wide join (J3/T3: watermarked
+    stream-stream inner join with the reference's 24 h TTL as the join
+    range bound, DwdOrderApp.scala:165-237) run end-to-end through
+    Structured Streaming — file source → symmetric-hash join state →
+    AvailableNow drain → memory sink — and oracle-checked against the
+    equivalent batch SQL. Orders play order_info (event_time =
+    o_orderdate), lineitems play order_detail (event_time =
+    l_shipdate), so only ships within 24 h of order placement match:
+    the time-bound state pruning is genuinely exercised, not mocked.
+    Cross-batch arrival/late-drop behavior is pinned separately by
+    tests/test_streaming.py with maxFilesPerTrigger=1."""
+    import tempfile
+    import uuid
+
+    from ..streaming.pipelines import streaming_order_wide
+
+    ob = _t(spark, sf_dir, "orders")
+    lb = _t(spark, sf_dir, "lineitem")
+    so = (
+        spark.readStream.schema(ob.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "orders.parquet")
+        .load(sf_dir)
+    )
+    sl = (
+        spark.readStream.schema(lb.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "lineitem.parquet")
+        .load(sf_dir)
+    )
+    info = so.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("user_id"),
+        F.round("o_totalprice", 2).alias("total_amount"),
+        # parquet stores NTZ; watermarks require TIMESTAMP_LTZ. The cast
+        # shifts both sides identically, so the ±24 h bound and the
+        # date_format strings are tz-invariant.
+        F.col("o_orderdate").cast("timestamp").alias("event_time"),
+    )
+    detail = sl.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("sku_id"),
+        F.round("l_extendedprice", 2).alias("order_price"),
+        F.col("l_shipdate").cast("timestamp").alias("event_time"),
+    )
+    name = "sow_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_order_wide(info, detail)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sow_ckpt_"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "order_id",
+        "user_id",
+        "total_amount",
+        F.date_format("event_time", "yyyy-MM-dd").alias("order_date"),
+        "detail_id",
+        "sku_id",
+        "order_price",
+        F.date_format("detail_event_time", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+@register(
     "nation_acctbal_salted",
     oracle="""
     SELECT n.n_name AS nation, count(*)::BIGINT AS n_customers,
@@ -1097,6 +1183,47 @@ def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
         .orderBy("p_brand")
+    )
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, round(o.o_totalprice, 2) AS total_price,
+           round(t.sum_qty, 2) AS sum_qty
+    FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_price DESC, o.o_orderkey LIMIT 20
+    """,
+    tags=("TPCH-Q18", "having"),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate lineitem FIRST (HAVING prunes to a
+    handful of hot orders), then join the tiny survivor set back to
+    orders/customer. Aggregating before joining is the scale move — the
+    join input shrinks from billions of lineitems to the qualifying
+    keys, and the final TakeOrdered never sees a global sort."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    t = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 300)
+    )
+    return (
+        t.join(o, o.o_orderkey == t.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("__sq", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(20)
     )
 
 

@@ -455,6 +455,63 @@ def streaming_order_wide_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dau_dedup_parity",
+    oracle="""
+    SELECT DISTINCT 'mid_' || user_id::VARCHAR AS mid,
+           strftime(ts, '%Y-%m-%d') AS dt
+    FROM events
+    WHERE event_id % 3 = 0
+    """,
+    tags=("T2", "P12", "streaming"),
+)
+def streaming_dau_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming DAU dedup (T2: session-entry filter + cross-batch
+    first-wins dedup keyed (mid, dt), DwdDauApp.scala:69-100) run
+    through real Structured Streaming state — file source →
+    watermarked dropDuplicates → AvailableNow → memory sink. Which
+    physical row wins per key is arrival-order dependent, so the query
+    projects to the (mid, dt) membership set — exactly the information
+    the Redis set holds — which IS deterministic and oracle-checkable
+    as DISTINCT. The session-entry rule mirrors synthesize_ods_log
+    (last_page_id null iff event_id % 3 == 0). Cross-batch admission
+    and watermark eviction are pinned by tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from ..sources.files import events_with_ts
+    from ..streaming.pipelines import streaming_dau_dedup
+
+    eb = _t(spark, sf_dir, "events")  # also sets the nanos conf
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    page_log = events_with_ts(raw).select(
+        F.concat(F.lit("mid_"), F.col("user_id").cast("string")).alias("mid"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("page_"), (F.col("event_id") % 7).cast("string")))
+        .alias("last_page_id"),
+        F.col("ts").cast("timestamp").alias("event_time"),
+    )
+    name = "dau_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_dau_dedup(page_log)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dau_ckpt_"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("mid", "dt")
+
+
+@register(
     "nation_acctbal_salted",
     oracle="""
     SELECT n.n_name AS nation, count(*)::BIGINT AS n_customers,

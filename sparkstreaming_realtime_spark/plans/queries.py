@@ -369,6 +369,46 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dau_approx_vs_exact",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt,
+           count(DISTINCT user_id)::BIGINT AS dau_exact,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    tags=("A1", "approx", "extension"),
+)
+def dau_approx_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 at 100 TB: exact per-day distinct users needs a full shuffle
+    of every (dt, user_id) pair; HyperLogLog++
+    (``approx_count_distinct``, rsd=2 %) answers the same question from
+    a bounded sketch that merges map-side. The query computes BOTH and
+    emits the accuracy contract (|approx − exact| / exact ≤ 5 %) as a
+    checked column — the oracle pins the exact count and asserts the
+    contract holds, so a sketch regression fails the gate."""
+    ev = _t(spark, sf_dir, "events")
+    per_day = (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"), "user_id"
+        )
+        .groupBy("dt")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("dau_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+        )
+    )
+    return per_day.select(
+        "dt",
+        "dau_exact",
+        (
+            F.abs(F.col("__approx") - F.col("dau_exact"))
+            / F.col("dau_exact")
+            <= 0.05
+        ).alias("approx_within_5pct"),
+    ).orderBy("dt")
+
+
+@register(
     "streaming_order_wide_parity",
     oracle="""
     SELECT o.o_orderkey AS order_id, o.o_custkey AS user_id,

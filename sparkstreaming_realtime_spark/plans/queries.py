@@ -552,6 +552,61 @@ def streaming_dau_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_hourly_rollup_parity",
+    oracle="""
+    SELECT hour_start, event_type, n, sum_value FROM (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, event_type,
+             count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY 1, 2)
+    WHERE hour_start + INTERVAL 1 HOUR
+          <= (SELECT max(ts) FROM events) - INTERVAL 2 HOURS
+    """,
+    tags=("T6", "T7", "streaming"),
+)
+def streaming_hourly_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6/T7 end-to-end: the watermarked tumbling-window rollup run
+    through real Structured Streaming (file source → window state →
+    AvailableNow → memory sink, append mode). Append emits exactly the
+    windows the final watermark (max event time − 2 h lateness) has
+    closed — the oracle reproduces that emission rule as
+    ``window_end <= max(ts) − 2 h``, so both the aggregation values
+    AND the watermark-finalization semantics are under the gate. Late
+    drop across batches is pinned by tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from ..sources.files import events_with_ts
+    from ..streaming.pipelines import streaming_hourly_rollup
+
+    _t(spark, sf_dir, "events")  # sets the nanos read conf
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = events_with_ts(raw).select(
+        F.col("ts").cast("timestamp").alias("event_time"),
+        "event_type",
+        "value",
+    )
+    name = "swr_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_hourly_rollup(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="swr_ckpt_"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "nation_acctbal_salted",
     oracle="""
     SELECT n.n_name AS nation, count(*)::BIGINT AS n_customers,

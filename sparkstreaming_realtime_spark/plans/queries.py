@@ -1405,3 +1405,49 @@ def sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "small_qty_order_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size <= 5
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+    tags=("TPCH-Q17", "correlated-subquery"),
+)
+def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity threshold), hand-decorrelated into an aggregate + self-join.
+
+    Scale design: the part filter prunes FIRST and is joined into
+    lineitem before any aggregation, so the per-key avg is computed only
+    over lineitems of qualifying parts — never a full-table group-by.
+    Both the threshold aggregate and the final filter shuffle on the
+    same key (l_partkey); the threshold side is one row per qualifying
+    part, so AQE broadcasts it back. No window, so the avg gets map-side
+    partial aggregation.
+    """
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 5))
+        .select("p_partkey")
+    )
+    lj = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    thresh = lj.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * F.lit(0.2)).alias("__qty_thresh")
+    )
+    return (
+        lj.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__qty_thresh"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+    )

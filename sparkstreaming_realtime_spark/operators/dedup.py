@@ -334,3 +334,73 @@ def winnow_fingerprints(
         F.col(id_col),
         F.explode(F.array_distinct(minima)).alias("fingerprint"),
     )
+
+
+def dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    verified near-dup pair graph, canonical doc = min id per component.
+
+    This is the end-step of a corpus dedup run (the reference stops at
+    pairs; a training pipeline must pick ONE survivor per duplicate
+    group, and pairs alone can't — transitivity chains A~B~C into one
+    group even when A,C never share a bucket).
+
+    Algorithm: min-label propagation. labels start as each node's own
+    id; each round every node takes the min of its own label and its
+    neighbors' labels; stop when no label changed. Near-dup components
+    are near-cliques (tiny diameter), so this converges in 2–4 rounds.
+    At 100 TB the same loop holds — each round is one shuffle join on
+    the edge list — but a pathological long-chain graph would want the
+    two-phase large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce"); near-dup graphs are not that
+    shape. Edges are persisted once; label lineage is cut per round via
+    localCheckpoint so the plan doesn't deepen with iterations.
+
+    Returns (doc_id, cluster_id, is_keep) for every doc that appears
+    in at least one verified pair; is_keep=1 marks the canonical doc.
+    """
+    pairs = near_dup_pairs(docs, text_col, id_col, threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
+        .union(pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select("node").distinct().withColumn("label", F.col("node"))
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("nbr"), F.col("label")), "nbr"
+            )
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).cast("int").alias("is_keep"),
+    )

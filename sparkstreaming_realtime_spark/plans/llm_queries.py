@@ -77,7 +77,9 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """The shared CTE chain ending at ``verified`` (near-dup pairs),
+    reused by the pair query and the cluster query."""
     mins = ", ".join(
         f"list_min(list_transform(h, x -> "
         f"({dd.HASH_A[i]} * x + {dd.HASH_B[i]}) % {dd.MERSENNE_P}))"
@@ -92,7 +94,7 @@ def _minhash_oracle() -> str:
         for j in range(dd.N_BANDS)
     )
     return f"""
-WITH toks AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
+toks AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
 sh AS (SELECT doc_id, {_shingles_sql()} AS s FROM toks),
 hs AS (SELECT doc_id, s,
               list_transform(s, v -> {oracle_hash60_sql("v")}
@@ -109,7 +111,34 @@ verified AS (
                / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
   FROM cand c JOIN sh x ON c.doc_a = x.doc_id
               JOIN sh y ON c.doc_b = y.doc_id)
-SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6
+"""
+
+
+def _minhash_oracle() -> str:
+    return (
+        f"WITH {_minhash_ctes()} "
+        "SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6"
+    )
+
+
+def _dup_clusters_oracle() -> str:
+    """Connected components as a recursive transitive closure: every
+    node's cluster id is the min doc_id it can reach over the verified
+    pair graph (UNION dedups visited rows, so cycles terminate)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.6),
+edges AS (SELECT doc_a AS node, doc_b AS nbr FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT node, node FROM edges
+  UNION
+  SELECT e.node, reach.r FROM edges e JOIN reach ON reach.node = e.nbr
+)
+SELECT node AS doc_id, min(r) AS cluster_id,
+       (node = min(r))::INT AS is_keep
+FROM reach GROUP BY node
 """
 
 
@@ -120,6 +149,16 @@ def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows → P(candidate|J) = 1-(1-J³)⁴; candidates come from the
     bucket self-join only — never all-pairs."""
     return dd.near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+@register("doc_dup_clusters", oracle=_dup_clusters_oracle(), tags=("LLM", "dedup"))
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment (operators/dedup.py:dup_clusters):
+    connected components over the verified near-dup pairs via min-label
+    propagation, canonical survivor = min doc_id per component. The
+    oracle recomputes the components as a recursive transitive closure
+    — an algorithm-independent cross-check of the iterative Spark loop."""
+    return dd.dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
 def _simhash_oracle() -> str:

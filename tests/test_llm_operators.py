@@ -206,3 +206,20 @@ def test_bpe_ish_counts_punctuation_separately(spark):
     got = docs.select(ts.bpe_ish_token_count("text").alias("n")).collect()[0]["n"]
     # don / ' / t / stop / - / me / now / ! / ! = 9
     assert got == 9
+
+
+def test_dup_clusters_transitive_chain(spark):
+    # a~b and b~c are near-dups; a~c overlap is weaker — transitivity
+    # must still put all three in ONE cluster, keeping min id only.
+    base = "spark query engine reads parquet files fast and well "
+    a = base * 6
+    b = base * 5 + "with vectorized readers enabled today "
+    c = base * 5 + "with vectorized readers enabled soon "
+    docs = _docs(spark, [(10, a), (11, b), (12, c), (99, "unrelated text")])
+    rows = {
+        r["doc_id"]: (r["cluster_id"], r["is_keep"])
+        for r in dd.dup_clusters(docs, threshold=0.5).collect()
+    }
+    assert set(rows) == {10, 11, 12}  # 99 is a singleton: not emitted
+    assert {cid for cid, _ in rows.values()} == {10}
+    assert rows[10][1] == 1 and rows[11][1] == 0 and rows[12][1] == 0

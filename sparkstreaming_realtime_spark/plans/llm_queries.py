@@ -574,3 +574,33 @@ def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+_SAMPLE_RATES = {"en": 0.2, "zh": 0.9, "de": 0.7, "fr": 0.7, "es": 0.7}
+
+
+def _stratified_sample_oracle() -> str:
+    from ..operators.sampling import oracle_stratified_sample_sql
+
+    pred = oracle_stratified_sample_sql("lang", _SAMPLE_RATES, "doc_id")
+    return f"""
+    SELECT doc_id, lang, source FROM documents WHERE {pred}
+    """
+
+
+@register(
+    "doc_stratified_sample",
+    oracle=_stratified_sample_oracle(),
+    tags=("LLM", "sampling"),
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample
+    (operators/sampling.py): downsample the majority language (en
+    20 %), keep most of the tail (70-90 %). Selection is a pure
+    hash-threshold filter pushed to the scan — reproducible across
+    reruns/engines, no rand(), no shuffle; rates hold at any corpus
+    size by concentration."""
+    from ..operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, "lang", _SAMPLE_RATES, "doc_id")

@@ -1029,6 +1029,39 @@ def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_percentiles_approx",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont("value", 0.5), 6) AS p50_exact,
+           TRUE AS approx_within_2pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("extension", "percentiles", "sketch"),
+)
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``approx_percentile`` (mergeable
+    one-pass sketch with map-side partial aggregation) instead of exact
+    percentile's per-group sort. Same contract pattern as
+    ``dau_approx_vs_exact``: compute BOTH, emit the exact value plus a
+    checked |approx − exact| ≤ 2 % column the oracle pins to TRUE — a
+    sketch-accuracy regression fails the gate. accuracy=10000 bounds
+    rank error at 0.01 % of rows, far inside 2 % value error here."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("__p50_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "p50_exact",
+        (
+            F.abs(F.col("__p50_approx") - F.col("p50_exact"))
+            <= F.abs(F.col("p50_exact")) * 0.02
+        ).alias("approx_within_2pct"),
+    )
+
+
+@register(
     "revenue_rollup",
     oracle="""
     SELECT coalesce(n.n_name, 'ALL') AS nation,

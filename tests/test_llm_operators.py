@@ -223,3 +223,25 @@ def test_dup_clusters_transitive_chain(spark):
     assert set(rows) == {10, 11, 12}  # 99 is a singleton: not emitted
     assert {cid for cid, _ in rows.values()} == {10}
     assert rows[10][1] == 1 and rows[11][1] == 0 and rows[12][1] == 0
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    from sparkstreaming_realtime_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en").otherwise("zh").alias("lang"),
+    )
+    rates = {"en": 0.25, "zh": 0.75}
+    s1 = stratified_sample(df, "lang", rates, "doc_id")
+    got = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 1000 en rows at 25%, 3000 zh rows at 75% — allow ±20% relative
+    assert abs(got["en"] - 250) < 50 and abs(got["zh"] - 2250) < 450
+    # rerun selects the exact same rows (no rand())
+    s2 = stratified_sample(df, "lang", rates, "doc_id")
+    assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
+        r["doc_id"] for r in s2.collect()
+    )
+    # unknown stratum defaults to dropped
+    df2 = df.withColumn("lang", F.lit("xx"))
+    assert stratified_sample(df2, "lang", rates, "doc_id").count() == 0

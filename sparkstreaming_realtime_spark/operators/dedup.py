@@ -404,3 +404,61 @@ def dup_clusters(
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).cast("int").alias("is_keep"),
     )
+
+
+def near_dup_join(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_n: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup: match a NEW batch against the kept corpus.
+
+    The production dedup shape — a 100 TB corpus is deduped once, then
+    every incoming batch checks only new×corpus bucket collisions
+    (never corpus×corpus, which :func:`near_dup_pairs` would redo from
+    scratch). Cost scales with |batch| + collided corpus buckets, not
+    |corpus|²; persisting the corpus signature/bucket table across
+    batches makes the steady-state cost |batch|-bound.
+
+    Returns (new_id, corpus_id, jaccard ≥ threshold): the new docs to
+    REJECT and which kept doc they duplicate. ``max_bucket`` caps
+    corpus-side bucket sizes (a boilerplate bucket with millions of
+    members would otherwise dominate the join)."""
+    sh_new = shingle_sets(spread(new_docs), text_col, id_col, n=shingle_n)
+    sh_new = sh_new.localCheckpoint(eager=False)
+    sh_old = shingle_sets(spread(corpus), text_col, id_col, n=shingle_n)
+    sh_old = sh_old.localCheckpoint(eager=False)
+    bn = lsh_buckets(minhash_signature(sh_new), id_col).select(
+        F.col(id_col).alias("new_id"), "bucket"
+    )
+    bo = lsh_buckets(minhash_signature(sh_old), id_col)
+    if max_bucket is not None:
+        small = (
+            bo.groupBy("bucket")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("bucket")
+        )
+        bo = bo.join(small, "bucket")
+    bo = bo.select(F.col(id_col).alias("corpus_id"), "bucket")
+    cands = (
+        bn.join(bo, "bucket")
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    sa = sh_new.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("__sa"))
+    sb = sh_old.select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("__sb")
+    )
+    return (
+        cands.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn("jaccard", F.round(jaccard("__sa", "__sb"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

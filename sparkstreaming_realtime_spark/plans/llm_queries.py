@@ -77,9 +77,9 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-def _minhash_ctes() -> str:
-    """The shared CTE chain ending at ``verified`` (near-dup pairs),
-    reused by the pair query and the cluster query."""
+def _minhash_base_ctes() -> str:
+    """The CTE chain up through ``buckets`` (shingle → minhash →
+    banded LSH buckets), shared by all minhash-family oracles."""
     mins = ", ".join(
         f"list_min(list_transform(h, x -> "
         f"({dd.HASH_A[i]} * x + {dd.HASH_B[i]}) % {dd.MERSENNE_P}))"
@@ -101,7 +101,14 @@ hs AS (SELECT doc_id, s,
                                      % {dd.MERSENNE_P}) AS h
        FROM sh),
 sig AS (SELECT doc_id, [{mins}] AS sig FROM hs),
-buckets AS (SELECT doc_id, unnest([{bands}]) AS bucket FROM sig),
+buckets AS (SELECT doc_id, unnest([{bands}]) AS bucket FROM sig)
+"""
+
+
+def _minhash_ctes() -> str:
+    """Base chain plus ``cand``/``verified`` (all-pairs within the one
+    corpus), used by the pair query and the cluster query."""
+    return f"""{_minhash_base_ctes()},
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM buckets a JOIN buckets b
            ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
@@ -159,6 +166,39 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the components as a recursive transitive closure
     — an algorithm-independent cross-check of the iterative Spark loop."""
     return dd.dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.6)
+
+
+def _incremental_near_dup_oracle() -> str:
+    return f"""
+WITH {_minhash_base_ctes()},
+cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+         FROM buckets a JOIN buckets b ON a.bucket = b.bucket
+         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+verified AS (
+  SELECT c.new_id, c.corpus_id,
+         round(len(list_intersect(x.s, y.s))::DOUBLE
+               / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+  FROM cand c JOIN sh x ON c.new_id = x.doc_id
+              JOIN sh y ON c.corpus_id = y.doc_id)
+SELECT new_id, corpus_id, jaccard FROM verified WHERE jaccard >= 0.6
+"""
+
+
+@register(
+    "doc_incremental_near_dup",
+    oracle=_incremental_near_dup_oracle(),
+    tags=("LLM", "dedup", "incremental"),
+)
+def doc_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (operators/dedup.py:near_dup_join): a
+    deterministic tenth of the corpus plays the incoming batch, the
+    rest the kept corpus; only new×corpus bucket collisions are
+    verified — the steady-state production shape where per-batch cost
+    is |batch|-bound, never |corpus|²."""
+    docs = _t(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dd.near_dup_join(new_batch, corpus, threshold=0.6)
 
 
 def _simhash_oracle() -> str:

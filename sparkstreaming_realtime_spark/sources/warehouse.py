@@ -54,3 +54,31 @@ def write_warehouse(
 
 def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_by: tuple[str, ...],
+    n_buckets: int = 8,
+    sort_by: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a hash-bucketed (and optionally sort-ordered) table.
+
+    The 100 TB join strategy for tables joined repeatedly on the same
+    key (orders⋈lineitem on orderkey every day): both sides bucketed
+    on the join key with the same bucket count are ALREADY co-located,
+    so the join plans with zero Exchange — the shuffle is paid once at
+    write time, then amortized over every subsequent join. With
+    ``sort_by`` the per-bucket files are sort-ordered and the
+    SortMergeJoin's sort drops too.
+
+    Registered as an external table (explicit ``path``) in the session
+    catalog — bucketing metadata lives in the catalog, which is why
+    this is ``saveAsTable`` and not a bare ``.parquet(path)``."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.option("path", path).saveAsTable(table)

@@ -245,3 +245,13 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark):
     # unknown stratum defaults to dropped
     df2 = df.withColumn("lang", F.lit("xx"))
     assert stratified_sample(df2, "lang", rates, "doc_id").count() == 0
+
+
+def test_near_dup_join_only_crosses_batch_and_corpus(spark):
+    a = "spark query engine reads parquet files fast " * 5
+    new = _docs(spark, [(100, a)])
+    # corpus contains TWO near-identical docs; their mutual pair must
+    # NOT appear — only new×corpus matches do
+    corpus = _docs(spark, [(1, a + "extra tail words "), (2, a + "extra tail words again ")])
+    got = dd.near_dup_join(new, corpus, threshold=0.5).collect()
+    assert sorted((r["new_id"], r["corpus_id"]) for r in got) == [(100, 1), (100, 2)]

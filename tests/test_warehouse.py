@@ -60,3 +60,32 @@ def test_target_files_spreads_a_hot_day(spark, tmp_path):
     n_files = len([f for f in os.listdir(day_dir) if f.endswith(".parquet")])
     assert n_files >= 2  # the salt split one hot day across files
     assert read_warehouse(spark, path).count() == 1000
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from sparkstreaming_realtime_spark.sources.warehouse import write_bucketed
+
+    o = spark.range(0, 1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_flag")
+    )
+    l = spark.range(0, 3000).select(
+        (F.col("id") % 1000).alias("l_orderkey"), F.col("id").alias("l_qty")
+    )
+    write_bucketed(o, "t_orders_b", str(tmp_path / "o"), ("o_orderkey",), 4,
+                   sort_by=("o_orderkey",))
+    write_bucketed(l, "t_lineitem_b", str(tmp_path / "l"), ("l_orderkey",), 4,
+                   sort_by=("l_orderkey",))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        j = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # both sides pre-bucketed on the join key: no shuffle at all
+        assert "Exchange" not in plan
+        assert j.count() == 3000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -153,3 +153,64 @@ def multiplex_sink(base_path: str):
             batch_df.unpersist()
 
     return write
+
+
+def corpus_dedup_sink(corpus_path: str, rejected_path: str, threshold: float = 0.6):
+    """Streaming corpus dedup: per micro-batch, reject near-dups and
+    grow the kept corpus — the streaming binding of
+    ``operators/dedup.py:near_dup_join`` (the LLM-pipeline analog of
+    the reference's Redis first-wins set, with similarity instead of
+    equality).
+
+    Per batch: (1) within-batch pairs via ``near_dup_pairs`` reject
+    the larger id of each verified pair; (2) survivors check
+    new×corpus collisions via ``near_dup_join``. Kept docs land in
+    ``corpus_path/batch=<id>``, rejects (with the kept doc they
+    duplicate) in ``rejected_path/batch=<id>`` — per-batch-id
+    overwrite makes replay idempotent (T5). At 100 TB the corpus
+    signature table would be persisted and appended instead of
+    re-derived per batch; the observable semantics are identical."""
+    import os
+
+    from ..operators.dedup import near_dup_join, near_dup_pairs
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            intra = near_dup_pairs(batch_df, threshold=threshold).select(
+                F.col("doc_b").alias("new_id"),
+                F.col("doc_a").alias("corpus_id"),
+                "jaccard",
+            )
+            survivors = batch_df.join(
+                intra.select(F.col("new_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            ).persist()
+            try:
+                corpus = spark.read.parquet(corpus_path)
+            except Exception:
+                corpus = None
+            if corpus is not None and not corpus.isEmpty():
+                hits = near_dup_join(survivors, corpus, threshold=threshold)
+                kept = survivors.join(
+                    hits.select(F.col("new_id").alias("doc_id")).distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
+            else:
+                hits = None
+                kept = survivors
+            kept.write.mode("overwrite").parquet(
+                os.path.join(corpus_path, f"batch={batch_id}")
+            )
+            rejected = intra if hits is None else intra.unionByName(hits)
+            rejected.write.mode("overwrite").parquet(
+                os.path.join(rejected_path, f"batch={batch_id}")
+            )
+            survivors.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return write

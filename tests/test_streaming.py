@@ -295,3 +295,37 @@ def test_apply_in_pandas_with_state_accumulates(spark, tmp_path):
     # batch 1 (the second file) saw only 'a', already including batch-0 state
     last_batch = [t for t in seen if t[0] == max(x[0] for x in seen)]
     assert last_batch == [(1, "a", 3, 7.0)]
+
+
+def test_corpus_dedup_across_micro_batches(spark, tmp_path):
+    """Streaming corpus dedup: a near-dup arriving in a LATER
+    micro-batch is rejected against the corpus built by earlier
+    batches; within-batch dups are rejected too; novel docs grow the
+    corpus."""
+    from sparkstreaming_realtime_spark.streaming.pipelines import corpus_dedup_sink
+
+    base = "spark query engine reads parquet files fast and well "
+    src = str(tmp_path / "docs")
+    _write_jsonl(f"{src}/b1.json", seq=1, rows=[
+        {"doc_id": 1, "text": base * 5},
+        {"doc_id": 2, "text": "completely different words about other topics"},
+    ])
+    _write_jsonl(f"{src}/b2.json", seq=2, rows=[
+        # near-dup of doc 1 (previous batch) → rejected vs corpus
+        {"doc_id": 3, "text": base * 5 + "tail "},
+        # novel → kept
+        {"doc_id": 4, "text": "fresh unrelated content entirely here today"},
+        # 5 and 6 are within-batch dups → 6 rejected intra-batch
+        {"doc_id": 5, "text": "ducks swim across the quiet green pond daily " * 5},
+        {"doc_id": 6, "text": "ducks swim across the quiet green pond daily " * 5},
+    ])
+    stream = file_stream(spark, src, "doc_id long, text string",
+                         max_files_per_trigger=1)
+    corpus, rejected = str(tmp_path / "corpus"), str(tmp_path / "rejected")
+    _drain(stream, corpus_dedup_sink(corpus, rejected, threshold=0.6),
+           str(tmp_path / "ckpt"))
+    kept_ids = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert kept_ids == [1, 2, 4, 5]
+    rej = sorted((r["new_id"], r["corpus_id"])
+                 for r in spark.read.parquet(rejected).collect())
+    assert rej == [(3, 1), (6, 5)]

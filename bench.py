@@ -41,6 +41,9 @@ HEADLINE = [
     "forecast_revenue",
     "returned_orders_by_priority",
     "promo_revenue_pct",
+    "doc_incremental_near_dup",
+    "doc_stratified_sample",
+    "small_qty_order_revenue",
 ]
 
 

@@ -1484,3 +1484,87 @@ def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("__qty_thresh"))
         .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
     )
+
+
+@register(
+    "waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, count(*)::BIGINT AS numwait
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE n.n_name = 'NATION_9' AND o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10
+    """,
+    tags=("TPCH-Q21", "exists", "not-exists"),
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS and NOT EXISTS, decorrelated
+    into a left-semi and a left-anti join on the shared order key
+    (Q21's receipt/commit lateness becomes ``l_returnflag='R'`` — the
+    test tables carry no receipt dates; the decorrelation under test
+    is identical). 'Sole-blame' semantics: count, per supplier of a
+    small nation, the returned items on finished multi-supplier orders
+    where no OTHER supplier had a return.
+
+    Scale shape: both existence probes shuffle on l_orderkey — the
+    same key as the orders join, so AQE can reuse the exchange; the
+    nation-filtered supplier dim broadcasts; the final top-10 is
+    TakeOrdered, no global sort."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3")
+    )
+    base = (
+        l1.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        # no broadcast hint: supplier scales with SF (nation filter or
+        # not) — AQE broadcasts while it fits and shuffles beyond
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("__ok2"))
+            & (F.col("l_suppkey") != F.col("__sk2")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("__ok3"))
+            & (F.col("l_suppkey") != F.col("__sk3")),
+            "leftanti",
+        )
+    )
+    return (
+        base.groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )

@@ -63,18 +63,21 @@ def enrich_dims(
     user_key: str = "user_id",
     province_key: str = "province_id",
 ) -> DataFrame:
-    """J4+J5: dimension enrichment as broadcast hash joins, replacing
-    per-row Redis GETs (DwdDauApp.scala:115-143, DwdOrderApp.scala:102-133).
+    """J4+J5: dimension enrichment as hash joins, replacing per-row
+    Redis GETs (DwdDauApp.scala:115-143, DwdOrderApp.scala:102-133).
 
     ``as_of`` pins the age computation (F4) — the reference uses wall
     clock, which is nondeterministic (DwdDauApp.scala:126).
+
+    Only the province dim carries a broadcast hint: it is fixed-size
+    (one row per province). The user dim scales with the user base —
+    AQE broadcasts it while it fits and shuffle-joins beyond, instead
+    of a hardcoded hint OOMing executors at 100 TB.
     """
-    u = F.broadcast(
-        user_dim.select(
-            F.col("id").alias("__uid"),
-            F.col("gender").alias("user_gender"),
-            age_as_of("birthday", as_of).alias("user_age"),
-        )
+    u = user_dim.select(
+        F.col("id").alias("__uid"),
+        F.col("gender").alias("user_gender"),
+        age_as_of("birthday", as_of).alias("user_age"),
     )
     p = F.broadcast(
         province_dim.select(

@@ -71,12 +71,24 @@ def _synthesize_cdc(events: DataFrame) -> DataFrame:
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the synthesized envelope, carrying the (ts_ms, event_id)
     write order alongside — the streaming analog is Kafka's
-    (timestamp, offset)."""
-    raw = _synthesize_cdc(_t(spark, sf_dir, "events"))
+    (timestamp, offset).
+
+    Same two plan moves as the log-split family (see
+    ``operators/log_split.py:parse_ods_log``): rebalance the
+    single-file scan to core count before the CPU-bound JSON work, and
+    pin exactly ONE ``from_json`` per row with an ``explode(array())``
+    barrier — downstream routing filters would otherwise push through
+    the projection and re-parse the envelope per predicate."""
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    raw = _synthesize_cdc(ev)
     from ..schemas import ODS_BASE_DB_SCHEMA
 
     return raw.select(
-        F.from_json("value", ODS_BASE_DB_SCHEMA).alias("j"), "ts_ms", "event_id"
+        F.explode(F.array(F.from_json("value", ODS_BASE_DB_SCHEMA))).alias("j"),
+        "ts_ms",
+        "event_id",
     ).select(
         F.col("j.type").alias("type"),
         F.col("j.table").alias("table"),

@@ -39,7 +39,17 @@ _PAGE_SQL = """
 
 
 def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ls.synthesize_ods_log(_t(spark, sf_dir, "events"))
+    # The events table arrives as one small parquet file → one input
+    # split, but the JSON round-trip downstream is CPU-bound, so the
+    # file-size-derived parallelism is the wrong unit of work. Rebalance
+    # to the cluster's core count before the expensive per-row work —
+    # the shuffle moves 5 narrow columns, the win is every core parsing.
+    # (The production binding reads Kafka, whose topic partitions supply
+    # this parallelism for free.)
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return ls.synthesize_ods_log(ev)
 
 
 @register(
@@ -55,7 +65,7 @@ def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def log_split_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3: error branch of the 1→5 split (whole-record routing,
     OdsBaseLogApp.scala:97-101)."""
-    return ls.split_error(ls.parse_ods_log(_raw(spark, sf_dir)))
+    return ls.split_error(ls.parse_ods_log(_raw(spark, sf_dir), branch="error"))
 
 
 @register(
@@ -70,7 +80,7 @@ def log_split_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4+P5: PageLog projection with the reference's renames
     (ar→province_id etc., OdsBaseLogApp.scala:117-130) after a real
     from_json round-trip."""
-    return ls.split_page(ls.parse_ods_log(_raw(spark, sf_dir)))
+    return ls.split_page(ls.parse_ods_log(_raw(spark, sf_dir), branch="page"))
 
 
 @register(
@@ -93,7 +103,7 @@ def log_split_displays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6: displays[] fan-out — explode() vs the reference's per-row
     loop (OdsBaseLogApp.scala:133-151); 1 + event_id % 3 rows per
     click."""
-    return ls.split_displays(ls.parse_ods_log(_raw(spark, sf_dir)))
+    return ls.split_displays(ls.parse_ods_log(_raw(spark, sf_dir), branch="display"))
 
 
 @register(
@@ -113,7 +123,7 @@ def log_split_displays(spark: SparkSession, sf_dir: str) -> DataFrame:
 def log_split_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7: actions[] fan-out (OdsBaseLogApp.scala:153-168); 1 +
     event_id % 2 rows per purchase."""
-    return ls.split_actions(ls.parse_ods_log(_raw(spark, sf_dir)))
+    return ls.split_actions(ls.parse_ods_log(_raw(spark, sf_dir), branch="action"))
 
 
 @register(
@@ -132,4 +142,4 @@ def log_split_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def log_split_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8: StartLog projection (OdsBaseLogApp.scala:170-184)."""
-    return ls.split_start(ls.parse_ods_log(_raw(spark, sf_dir)))
+    return ls.split_start(ls.parse_ods_log(_raw(spark, sf_dir), branch="start"))

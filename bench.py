@@ -44,6 +44,9 @@ HEADLINE = [
     "doc_incremental_near_dup",
     "doc_stratified_sample",
     "small_qty_order_revenue",
+    "local_supplier_volume",
+    "customer_order_distribution",
+    "disjunctive_part_revenue",
 ]
 
 

@@ -462,3 +462,41 @@ def near_dup_join(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token n-gram with an evaluation set (the n-gram-overlap
+    contamination test of Brown et al. 2020 Appendix C; n=13 there,
+    parameterized here because the test corpus' docs are short).
+
+    Returns (doc_id, n_shared) for contaminated corpus docs — the
+    anti-join complement is the clean training set.
+
+    Scale shape: the eval side is small by definition (benchmarks are
+    thousands of rows, the corpus is billions) → its distinct n-gram
+    hash set BROADCASTS; the corpus side explodes to one row per
+    distinct n-gram but the contaminated-gram join filters almost all
+    of them before the per-doc count, which aggregates map-side. The
+    60-bit gram hash keeps the exploded rows narrow (8 bytes, not the
+    gram text)."""
+    grams = lambda df: df.select(  # noqa: E731
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(ngram_shingles(F.col(text_col), n))
+        ).alias("__g"),
+    ).select(id_col, hash60(F.col("__g")).alias("__gh"))
+
+    eval_grams = grams(eval_set).select("__gh").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(eval_grams), "__gh")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )

@@ -169,3 +169,140 @@ def token_cost_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("bpe_per_word"),
         )
     )
+
+
+def bigram_list(text_col: Column | str) -> Column:
+    """NON-distinct token bigrams — repetition measurement needs the
+    multiplicities that ``ngram_shingles``'s dedup (built for MinHash)
+    throws away. Empty array below 2 tokens."""
+    toks = tokenize(text_col)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(2)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    return F.when(k >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_ratio(text_col: Column | str) -> Column:
+    """Gopher-style repetition signal (Rae et al. 2021 §A1.1): the
+    fraction of bigram occurrences that are repeats of an earlier
+    bigram in the same document — 1 − distinct/total. High values
+    flag boilerplate/spam for the quality gate. Pure codegen array
+    ops, zero shuffle."""
+    b = bigram_list(text_col)
+    total = F.size(b)
+    return F.when(
+        total > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(b)).cast("double") / total, 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus rollup of the repetition signal: docs per band + band
+    mean, the dashboard a filtering run is tuned against."""
+    rep = repetition_ratio(text_col)
+    band = (
+        F.when(rep < 0.1, "low")
+        .when(rep < 0.3, "mid")
+        .otherwise("high")
+    )
+    return (
+        docs.select(rep.alias("__r"), band.alias("band"))
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("__r"), 6).alias("avg_repetition"),
+        )
+    )
+
+
+def top_bigrams(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-wide top-k bigrams by occurrence (vocabulary/merges-table
+    prep). Explode → count → TakeOrdered: the count shuffle gets
+    map-side partials, the top-k never globally sorts."""
+    return (
+        docs.select(F.explode(bigram_list(text_col)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
+def temperature_resample(
+    docs: DataFrame, group_col: str = "lang", alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the multilingual-mix
+    sampler of Conneau & Lample 2019 §3.1, downsample-only form):
+    group g keeps rate (n_min/n_g)^(1-α) — the biggest groups shrink
+    toward the α-tempered share, the smallest keeps everything.
+
+    Membership is decided by a 60-bit hash of the doc id against the
+    rate — deterministic, reproducible across engines and runs, and
+    embarrassingly parallel (no per-group reservoir state). The group
+    rate table is a tiny broadcast; the only shuffle is the counting
+    pass."""
+    from ..functions.hashing import hash60
+
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("__n"))
+    nmin = counts.agg(F.min("__n").alias("__nmin"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        group_col,
+        F.col("__n"),
+        F.pow(F.col("__nmin") / F.col("__n"), 1.0 - alpha).alias("__rate"),
+    )
+    u = hash60(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))) / F.lit(
+        float(1 << 60)
+    )
+    kept = (
+        docs.join(F.broadcast(rates), group_col)
+        .withColumn("__keep", u < F.col("__rate"))
+    )
+    return (
+        kept.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.first("__rate"), 6).alias("rate"),
+            F.sum(F.col("__keep").cast("bigint")).cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+def sequence_packing(
+    docs: DataFrame,
+    budget: int = 512,
+    part_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    batcher): within each shard, documents concatenate in doc_id order
+    and cut into fixed token-budget bins; a doc's bin is its exclusive
+    running-token-count div budget.
+
+    The window is partitioned by shard (source) — packing is
+    inherently sequential per shard, so the shard IS the parallelism
+    unit; at 100 TB you shard to (source, day) or finer and every
+    shard packs independently. Returns per-bin occupancy."""
+    from pyspark.sql.window import Window
+
+    toks = token_count(text_col)
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = F.coalesce(F.sum("__tok").over(w), F.lit(0))
+    return (
+        docs.select(part_col, "doc_id", toks.alias("__tok"))
+        .withColumn("bin", F.floor(pre / budget).cast("bigint"))
+        .groupBy(part_col, "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__tok").cast("bigint").alias("sum_tokens"),
+        )
+    )

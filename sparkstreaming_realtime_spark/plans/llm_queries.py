@@ -644,3 +644,146 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return stratified_sample(docs, "lang", _SAMPLE_RATES, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: repetition, vocabulary, decontamination, mixing, packing
+# ---------------------------------------------------------------------------
+
+#: NON-distinct bigram list (repetition needs multiplicities)
+_BIGRAMS_SQL = (
+    "CASE WHEN len(t) >= 2 "
+    "THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) "
+    "ELSE []::VARCHAR[] END"
+)
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (SELECT {_toks_sql("text")} AS t FROM documents),
+b AS (SELECT {_BIGRAMS_SQL} AS b FROM toks),
+rep AS (SELECT CASE WHEN len(b) > 0
+                    THEN round(1 - len(list_distinct(b))::DOUBLE / len(b), 6)
+                    ELSE 0.0 END AS r
+        FROM b)
+SELECT CASE WHEN r < 0.1 THEN 'low'
+            WHEN r < 0.3 THEN 'mid' ELSE 'high' END AS band,
+       count(*)::BIGINT AS n_docs,
+       round(avg(r), 6) AS avg_repetition
+FROM rep GROUP BY band
+"""
+
+
+@register("doc_repetition_bands", oracle=_REPETITION_ORACLE, tags=("LLM", "quality"))
+def doc_repetition_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-bigram fraction per doc (Rae et al. 2021
+    §A1.1), banded corpus-wide — the boilerplate/spam signal of a
+    quality-filter pass. Pure codegen array ops per row, one tiny
+    3-key aggregate."""
+    return ts.repetition_bands(_t(spark, sf_dir, "documents"))
+
+
+_TOP_BIGRAMS_ORACLE = f"""
+WITH toks AS (SELECT {_toks_sql("text")} AS t FROM documents),
+b AS (SELECT unnest({_BIGRAMS_SQL}) AS bigram FROM toks)
+SELECT bigram, count(*)::BIGINT AS n
+FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+@register("doc_top_bigrams", oracle=_TOP_BIGRAMS_ORACLE, tags=("LLM", "vocab"))
+def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams (vocabulary / BPE-merges prep):
+    explode → map-side-partial count → TakeOrdered, never a global
+    sort."""
+    return ts.top_bigrams(_t(spark, sf_dir, "documents"))
+
+
+def _grams5_sql(t: str = "t") -> str:
+    """Distinct 5-gram shingles mirroring ngram_shingles(n=5) incl.
+    its short-doc fallback (whole text as one shingle)."""
+    g = (
+        f"list_transform(range(1, len({t}) - 3), "
+        f"i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2]"
+        f" || ' ' || {t}[i+3] || ' ' || {t}[i+4])"
+    )
+    return (
+        f"CASE WHEN len({t}) >= 5 THEN list_distinct({g}) "
+        f"ELSE [array_to_string({t}, ' ')] END"
+    )
+
+
+_DECONTAMINATE_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
+g AS (SELECT doc_id, unnest({_grams5_sql()}) AS gram FROM toks),
+gh AS (SELECT doc_id, {oracle_hash60_sql("gram")} AS h FROM g),
+ev AS (SELECT DISTINCT h FROM gh WHERE doc_id % 50 = 0)
+SELECT doc_id, count(*)::BIGINT AS n_shared
+FROM gh JOIN ev USING (h)
+WHERE doc_id % 50 <> 0
+GROUP BY doc_id
+"""
+
+
+@register("doc_decontaminate", oracle=_DECONTAMINATE_ORACLE, tags=("LLM", "dedup"))
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (Brown et al. 2020 App. C): training
+    docs sharing any 5-gram with the held-out slice (doc_id % 50 = 0
+    plays the benchmark). The eval gram-hash set broadcasts; the
+    corpus explode collapses again in a map-side-partial count. The
+    anti-join complement is the clean training set."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return dd.decontaminate(corpus, ev, n=5)
+
+
+_RESAMPLE_ORACLE = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+r AS (SELECT lang, n,
+             pow((SELECT min(n) FROM c)::DOUBLE / n, 0.5) AS rate
+      FROM c),
+k AS (SELECT d.lang, r.rate,
+             CASE WHEN {oracle_hash60_sql("'doc:' || d.doc_id::VARCHAR")}
+                       / 1152921504606846976.0 < r.rate
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d JOIN r USING (lang))
+SELECT lang, count(*)::BIGINT AS n_docs, round(rate, 6) AS rate,
+       sum(keep)::BIGINT AS n_kept
+FROM k GROUP BY lang, rate
+"""
+
+
+@register(
+    "doc_temperature_resample", oracle=_RESAMPLE_ORACLE, tags=("LLM", "sampling")
+)
+def doc_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-tempered language mix (Conneau & Lample 2019 §3.1,
+    downsample-only, α=0.5): language g keeps sqrt(n_min/n_g) of its
+    docs, decided per row by a 60-bit id hash — deterministic,
+    stateless, reproducible in both engines. The rate table is a
+    broadcast; counting is the only shuffle."""
+    return ts.temperature_resample(_t(spark, sf_dir, "documents"))
+
+
+_PACKING_ORACLE = f"""
+WITH t AS (SELECT source, doc_id,
+                  len({_toks_sql("text")}) AS tok
+           FROM documents),
+p AS (SELECT source, tok,
+             coalesce(sum(tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+      FROM t)
+SELECT source, (pre // 512)::BIGINT AS bin,
+       count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS sum_tokens
+FROM p GROUP BY source, bin
+"""
+
+
+@register("doc_sequence_packing", oracle=_PACKING_ORACLE, tags=("LLM", "packing"))
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: docs concatenate in doc_id
+    order within their shard and cut into 512-token bins (a doc's bin
+    = exclusive running count div budget). Per-shard windows — the
+    shard is the parallelism unit, exactly how a 100 TB run shards by
+    (source, day)."""
+    return ts.sequence_packing(_t(spark, sf_dir, "documents"))

@@ -255,3 +255,71 @@ def test_near_dup_join_only_crosses_batch_and_corpus(spark):
     corpus = _docs(spark, [(1, a + "extra tail words "), (2, a + "extra tail words again ")])
     got = dd.near_dup_join(new, corpus, threshold=0.5).collect()
     assert sorted((r["new_id"], r["corpus_id"]) for r in got) == [(100, 1), (100, 2)]
+
+
+# --- corpus curation: repetition / decontamination / resample / packing ---
+
+
+def test_repetition_ratio_counts_duplicate_bigrams(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b a b"),   # bigrams: ab ba ab ba ab → 5 total, 2 distinct
+            (2, "w x y z"),       # 3 distinct bigrams, no repeats
+            (3, "single"),        # <2 tokens → ratio 0
+        ],
+    )
+    out = {
+        r["doc_id"]: r["r"]
+        for r in docs.select(
+            "doc_id", ts.repetition_ratio("text").alias("r")
+        ).collect()
+    }
+    assert out[1] == 0.6  # 1 - 2/5
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    ev = _docs(spark, [(100, "one two three four five six")])
+    corpus = _docs(
+        spark,
+        [
+            # shares the 5-gram "two three four five six"
+            (1, "zero two three four five six"),
+            (2, "totally different text with many words"),
+        ],
+    )
+    rows = dd.decontaminate(corpus, ev, n=5).collect()
+    assert [(r["doc_id"], r["n_shared"]) for r in rows] == [(1, 1)]
+
+
+def test_decontaminate_short_doc_uses_whole_text_shingle(spark):
+    # both sides fall back to the whole-text shingle below n tokens
+    ev = _docs(spark, [(100, "tiny doc")])
+    corpus = _docs(spark, [(1, "tiny doc"), (2, "other doc")])
+    rows = dd.decontaminate(corpus, ev, n=5).collect()
+    assert [(r["doc_id"], r["n_shared"]) for r in rows] == [(1, 1)]
+
+
+def test_temperature_resample_rates_and_bounds(spark):
+    rows = [(i, "x", "big") for i in range(80)] + [
+        (100 + i, "x", "small") for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in ts.temperature_resample(docs).collect()}
+    assert out["small"]["rate"] == 1.0
+    assert abs(out["big"]["rate"] - 0.5) < 1e-9  # sqrt(20/80)
+    assert out["small"]["n_kept"] == 20  # rate 1 keeps everything
+    assert 0 < out["big"]["n_kept"] < 80  # hash-thinned
+
+
+def test_sequence_packing_bins_by_running_budget(spark):
+    # 3-token docs, budget 6 → two docs per bin, in doc_id order
+    rows = [(i, "tok tok tok", "s0") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source"], r["bin"]): (r["n_docs"], r["sum_tokens"])
+        for r in ts.sequence_packing(docs, budget=6).collect()
+    }
+    assert out == {("s0", 0): (2, 6), ("s0", 1): (2, 6), ("s0", 2): (2, 6)}

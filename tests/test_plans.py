@@ -102,3 +102,43 @@ def test_promo_ratio_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "promo_revenue_pct")
     assert plan.count("lineitem.parquet") <= 1
     assert "PushedFilters" in plan
+
+
+def test_outer_join_histogram_keeps_left_outer(spark, sf_dir):
+    """Q13 shape: the orders-side predicate must not degrade the LEFT
+    OUTER join to inner (zero-order customers are the point)."""
+    plan = _plan(spark, sf_dir, "customer_order_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_disjunctive_weakenings_reach_both_scans(spark, sf_dir):
+    """Q19 shape: the hand-derived single-table conjuncts must appear
+    as PushedFilters on BOTH parquet scans."""
+    plan = _plan(spark, sf_dir, "disjunctive_part_revenue")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_brand" in ln for ln in pushed), plan
+    assert any("l_quantity" in ln for ln in pushed), plan
+
+
+def test_top_supplier_threshold_is_broadcast_join(spark, sf_dir):
+    """Q15 shape: the max-revenue threshold joins as a broadcast of a
+    1-row aggregate, not a sort/window or a driver collect."""
+    plan = _plan(spark, sf_dir, "top_revenue_supplier")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_local_supplier_volume_prunes_supplier_via_region(spark, sf_dir):
+    """Q5 shape: the region→nation broadcast must shrink supplier
+    before the fact joins (a broadcast join under the supplier scan)."""
+    plan = _plan(spark, sf_dir, "local_supplier_volume")
+    assert "BroadcastExchange" in plan
+    assert plan.count("Scan parquet") >= 5
+
+
+def test_packing_window_is_partitioned(spark, sf_dir):
+    """Sequence packing must window per shard — a global-order window
+    (Exchange SinglePartition under a Window) is the scale-killer."""
+    plan = _plan(spark, sf_dir, "doc_sequence_packing")
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -2052,3 +2052,74 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "streaming_user_sessions_parity",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, "value",
+             CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, "value",
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, new_session
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*)::BIGINT AS n_events,
+           round(sum("value"), 2) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    HAVING max(ts) + INTERVAL 30 MINUTE
+           <= (SELECT max(ts) FROM events) - INTERVAL 2 HOURS
+    """,
+    tags=("T6", "T7", "streaming", "session-window"),
+)
+def streaming_user_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows under REAL streaming state: gap-based per-user
+    sessions (30 min) through Structured Streaming's merging
+    session_window with a 2 h watermark — file source → session state
+    → AvailableNow → memory sink, append mode. Sessions merge across
+    micro-batches while open; append emits each exactly once when the
+    watermark passes its end (last event + gap). The oracle derives
+    the same sessions with the lag+cumsum islands technique and
+    reproduces the emission rule as
+    ``last_event + gap <= max(ts) − lateness`` — values AND
+    finalization semantics under one gate."""
+    import tempfile
+    import uuid
+
+    from ..sources.files import events_with_ts
+    from ..streaming.pipelines import streaming_user_sessions
+
+    _t(spark, sf_dir, "events")  # sets the nanos read conf
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    ev = events_with_ts(raw).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("event_time"),
+        "value",
+    )
+    name = "sus_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_user_sessions(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sus_ckpt_"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

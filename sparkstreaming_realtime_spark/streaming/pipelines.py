@@ -132,6 +132,37 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_user_sessions(
+    events: DataFrame,
+    ts: str = "event_time",
+    gap: str = "30 minutes",
+    lateness: str = "2 hours",
+) -> DataFrame:
+    """T6's session-window form under real streaming state: gap-based
+    sessions per user (the streaming binding of operators.dau.sessionize).
+    Session windows MERGE across micro-batches while open — the state
+    store holds per-(user, open-session) aggregates, and append mode
+    emits a session exactly once, when the watermark passes its end
+    (last event + gap). The watermark both bounds state and defines
+    the emission rule the batch oracle reproduces."""
+    return (
+        events.withWatermark(ts, lateness)
+        .groupBy(F.session_window(F.col(ts), gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def multiplex_sink(base_path: str):
     """P9's streaming binding: ONE source scan per micro-batch feeding
     all five outputs. foreachBatch persists the parsed batch, writes

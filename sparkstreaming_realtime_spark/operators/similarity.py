@@ -210,3 +210,25 @@ def rh_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard ANN
+    memory/bandwidth move (4 bytes → 1 byte per dim; FAISS's SQ8
+    scheme): scale = max|v|/127, q_i = round(v_i/scale), dequantized
+    value q_i·scale.
+
+    Adds ``q`` (array<int>), ``scale`` (double) and ``roundtrip_cos``
+    (cosine between the original and dequantized vector — the
+    quality-loss measure a pipeline gates on). All codegen array ops,
+    zero shuffle, zero Python."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(maxabs > 0, maxabs / 127.0).otherwise(F.lit(1.0))
+    out = emb.withColumn("__v", v).withColumn("scale", scale)
+    q = F.transform(F.col("__v"), lambda x: F.round(x / F.col("scale")).cast("int"))
+    out = out.withColumn("q", q)
+    deq = F.transform(F.col("q"), lambda x: x.cast("double") * F.col("scale"))
+    return out.withColumn(
+        "roundtrip_cos", F.round(cosine_similarity("__v", deq), 6)
+    ).drop("__v")

@@ -787,3 +787,47 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard is the parallelism unit, exactly how a 100 TB run shards by
     (source, day)."""
     return ts.sequence_packing(_t(spark, sf_dir, "documents"))
+
+
+_QUANT_ORACLE = f"""
+WITH base AS (
+  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings),
+s AS (SELECT label, v,
+             list_max(list_transform(v, x -> abs(x))) AS maxabs
+      FROM base),
+sc AS (SELECT label, v,
+              CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 1.0 END AS scale
+       FROM s),
+qd AS (SELECT label, v, scale,
+              list_transform(v, x -> round(x / scale)::INT) AS q
+       FROM sc),
+dq AS (SELECT label, v, q,
+              list_transform(q, x -> x::DOUBLE * scale) AS deq
+       FROM qd)
+SELECT label, count(*)::BIGINT AS n_vecs,
+       sum(list_sum(q))::BIGINT AS sum_q,
+       min(round({_cos_sql("v", "deq")}, 6)) AS min_roundtrip_cos
+FROM dq GROUP BY label
+"""
+
+
+@register("emb_int8_quantize", oracle=_QUANT_ORACLE, tags=("LLM", "similarity"))
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (FAISS SQ8 scheme; 4→1
+    bytes/dim) with the round-trip-cosine quality gate
+    (operators/similarity.py:quantize_int8). The rollup is engine-
+    deterministic by construction: the quantized-component sum is
+    exact integer math and min∘round is order-independent — no
+    float-summation ambiguity anywhere."""
+    q = sim.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(F.aggregate("q", F.lit(0).cast("bigint"),
+                              lambda acc, x: acc + x))
+            .cast("bigint").alias("sum_q"),
+            F.min("roundtrip_cos").alias("min_roundtrip_cos"),
+        )
+    )

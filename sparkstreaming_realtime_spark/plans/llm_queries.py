@@ -831,3 +831,118 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("roundtrip_cos").alias("min_roundtrip_cos"),
         )
     )
+
+
+def _funnel_oracle() -> str:
+    stop = _marker_sql(ts.STOPWORDS)
+    n = f"len({_toks_sql('text')})"
+    q = (
+        f"round(least(1.0, {n}::DOUBLE / 100.0) * 0.7 + "
+        f"(CASE WHEN {n} > 0 THEN {stop}::DOUBLE / {n} ELSE 0.0 END) * 0.3, 6)"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, lang, text, {_toks_sql("text")} AS t
+              FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {q} AS q,
+         CASE WHEN len({_BIGRAMS_SQL}) > 0
+              THEN round(1 - len(list_distinct({_BIGRAMS_SQL}))::DOUBLE
+                         / len({_BIGRAMS_SQL}), 6)
+              ELSE 0.0 END AS rep,
+         {oracle_hash60_sql("lower(trim(text))")} AS fp,
+         {oracle_hash60_sql("'doc:' || doc_id::VARCHAR")}
+           / 1152921504606846976.0 AS u
+  FROM toks),
+flagged AS (SELECT *, (q >= 0.25 AND rep < 0.05) AS pass_q FROM scored),
+winners AS (
+  SELECT *,
+         pass_q AND doc_id = min(CASE WHEN pass_q THEN doc_id END)
+                             OVER (PARTITION BY fp) AS winner
+  FROM flagged),
+rates AS (SELECT lang, count(*) AS n_u FROM winners WHERE winner
+          GROUP BY lang),
+rr AS (SELECT lang,
+              sqrt((SELECT min(n_u) FROM rates)::DOUBLE / n_u) AS rate
+       FROM rates)
+SELECT w.lang, count(*)::BIGINT AS n_raw,
+       sum(CASE WHEN pass_q THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+       sum(CASE WHEN winner THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+       sum(CASE WHEN winner AND u < coalesce(rate, 0.0)
+                THEN 1 ELSE 0 END)::BIGINT AS n_final,
+       round(coalesce(any_value(rate), 0.0), 6) AS rate
+FROM winners w LEFT JOIN rr USING (lang)
+GROUP BY w.lang
+"""
+
+
+@register(
+    "corpus_curation_funnel", oracle=_funnel_oracle(), tags=("LLM", "pipeline")
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline as ONE plan — the query a
+    training-data run actually executes: quality gate (score ≥ 0.25 ∧
+    repetition < 0.05) → exact dedup among survivors (min-id wins per
+    fingerprint) → temperature resample over the deduped language mix
+    (α=0.5, hash-threshold) — reported as a per-language funnel
+    (raw → quality → unique → final) with the applied rate.
+
+    Scale shape: one doc-level pass computes scores/fingerprint/hash
+    (codegen, zero shuffle), one fp-partitioned window picks dedup
+    winners, the tiny per-language rate table broadcasts back, and
+    one aggregate emits the funnel. The doc-level frame is
+    lazily checkpointed — it feeds both the rate computation and the
+    final count, the same reuse a real pipeline gets by materializing
+    its scored corpus."""
+    from ..functions.hashing import hash60
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    pass_q = (ts.quality_score("text") >= 0.25) & (
+        ts.repetition_ratio("text") < 0.05
+    )
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        pass_q.alias("pass_q"),
+        dd.fingerprint("text").alias("fp"),
+        (
+            hash60(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
+            / F.lit(float(1 << 60))
+        ).alias("u"),
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("fp")
+    winners = scored.withColumn(
+        "winner",
+        F.col("pass_q")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("pass_q"), F.col("doc_id"))).over(w)
+        ),
+    )
+    rates = (
+        winners.filter("winner").groupBy("lang").agg(F.count("*").alias("n_u"))
+    )
+    nmin = rates.agg(F.min("n_u").alias("__nmin"))
+    rr = rates.crossJoin(F.broadcast(nmin)).select(
+        "lang", F.sqrt(F.col("__nmin") / F.col("n_u")).alias("rate")
+    )
+    return (
+        winners.join(F.broadcast(rr), "lang", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.sum(F.when(F.col("pass_q"), 1).otherwise(0))
+            .cast("bigint").alias("n_quality"),
+            F.sum(F.when(F.col("winner"), 1).otherwise(0))
+            .cast("bigint").alias("n_unique"),
+            F.sum(
+                F.when(
+                    F.col("winner")
+                    & (F.col("u") < F.coalesce(F.col("rate"), F.lit(0.0))),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_final"),
+            F.round(F.coalesce(F.first("rate"), F.lit(0.0)), 6).alias("rate"),
+        )
+    )

@@ -47,6 +47,8 @@ HEADLINE = [
     "local_supplier_volume",
     "customer_order_distribution",
     "disjunctive_part_revenue",
+    "corpus_curation_funnel",
+    "emb_int8_quantize",
 ]
 
 

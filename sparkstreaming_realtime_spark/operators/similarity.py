@@ -229,6 +229,9 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     q = F.transform(F.col("__v"), lambda x: F.round(x / F.col("scale")).cast("int"))
     out = out.withColumn("q", q)
     deq = F.transform(F.col("q"), lambda x: x.cast("double") * F.col("scale"))
-    return out.withColumn(
-        "roundtrip_cos", F.round(cosine_similarity("__v", deq), 6)
-    ).drop("__v")
+    # zero vectors quantize losslessly; defining their round-trip as 1.0
+    # also keeps the cosine's norm division away from ANSI ÷0
+    rt = F.when(
+        maxabs > 0, F.round(cosine_similarity("__v", deq), 6)
+    ).otherwise(F.lit(1.0))
+    return out.withColumn("roundtrip_cos", rt).drop("__v")

@@ -323,3 +323,15 @@ def test_sequence_packing_bins_by_running_budget(spark):
         for r in ts.sequence_packing(docs, budget=6).collect()
     }
     assert out == {("s0", 0): (2, 6), ("s0", 1): (2, 6), ("s0", 2): (2, 6)}
+
+
+def test_quantize_int8_roundtrip_and_zero_vector_guard(spark):
+    rows = [(1, [1.0, -0.5, 0.25], 0), (2, [0.0, 0.0, 0.0], 1)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["vec_id"]: r for r in sim.quantize_int8(emb).collect()}
+    assert out[1]["q"] == [127, -64, 32]  # scale = 1/127
+    assert out[1]["roundtrip_cos"] > 0.999
+    assert out[2]["q"] == [0, 0, 0]  # zero vector: scale guard, no NaN
+    assert out[2]["scale"] == 1.0

@@ -2123,3 +2123,83 @@ def streaming_user_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _money_sum(expr: Column) -> Column:
+    """Engine-deterministic money aggregate: sum exact integer
+    ten-thousandths of a ≤4-decimal product, round to cents in
+    sign-aware INTEGER math (half away from zero via abs — floor and
+    truncating division agree on non-negatives, so Spark's ``div``
+    and DuckDB's ``//`` produce identical cents), emit as double.
+    See returned_item_report for the boundary failure this kills."""
+    ths = F.sum(F.round(expr * 10000).cast("bigint"))
+    # integral div by 100 with half-away rounding baked into the ±50
+    mag = F.floor(F.abs(ths + F.when(ths >= 0, 50).otherwise(-50)) / 100)
+    signed = F.when(ths >= 0, mag).otherwise(-mag)
+    return signed.cast("double") / 100.0
+
+
+def _money_sum_sql(expr: str) -> str:
+    """The DuckDB mirror of :func:`_money_sum`."""
+    ths = f"sum(round(({expr}) * 10000)::BIGINT)"
+    return (
+        f"(CASE WHEN {ths} >= 0 THEN (({ths} + 50) // 100) "
+        f"ELSE -((abs({ths}) + 50) // 100) END)::DOUBLE / 100.0"
+    )
+
+
+@register(
+    "product_profit_by_nation_year",
+    oracle=f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
+           {_money_sum_sql(
+               "l.l_extendedprice * (1 - l.l_discount)"
+               " - round(p.p_retailprice * 0.6, 2) * l.l_quantity"
+           )} AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("TPCH-Q9", "multi-fact-join"),
+)
+def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue − supply cost × quantity) by
+    supplier nation and order year over a 5-way join. The test tables
+    carry no partsupp, so supply cost is the deterministic
+    ``round(p_retailprice · 0.6, 2)`` — the join topology and the
+    mixed-sign aggregate under test are Q9's.
+
+    Scale shape: the p_type filter prunes part before its join shrinks
+    lineitem; supplier and orders join on their own keys (three
+    shuffles over the fact — Q9's floor); the 25-row nation dim
+    broadcasts. Money sums are exact-integer (see _money_sum)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.round(F.col("p_retailprice") * 0.6, 2) * F.col("l_quantity")
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_money_sum(profit).alias("sum_profit"))
+        .orderBy("nation", "o_year")
+    )

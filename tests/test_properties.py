@@ -103,3 +103,42 @@ def test_jaccard_bounds_and_symmetry(spark, xs, ys):
     expect = len(set(a) & set(b)) / len(set(a) | set(b))
     assert j_ab == j_ba
     assert abs(j_ab - round(expect, 9)) < 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        # exact 4-decimal amounts incl. negatives, as integer ten-thousandths
+        st.integers(min_value=-10_000_000, max_value=10_000_000),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_money_sum_spark_equals_duckdb(spark, ths_list):
+    """The exact-integer money aggregate (_money_sum/_money_sum_sql)
+    must agree across engines for arbitrary mixed-sign 4-decimal
+    amounts — including totals landing exactly ON the half-cent
+    boundary, the case double summation gets wrong."""
+    from sparkstreaming_realtime_spark.plans.queries import (
+        _money_sum,
+        _money_sum_sql,
+    )
+    import duckdb as ddb
+    from pyspark.sql import functions as F
+
+    amounts = [t / 10000.0 for t in ths_list]
+    sdf = spark.createDataFrame([(a,) for a in amounts], "amount double")
+    got_spark = sdf.agg(_money_sum(F.col("amount")).alias("m")).collect()[0]["m"]
+
+    con = ddb.connect()
+    con.execute("CREATE TABLE t (amount DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(a,) for a in amounts])
+    got_duck = con.execute(
+        f"SELECT {_money_sum_sql('amount')} FROM t"
+    ).fetchone()[0]
+
+    assert got_spark == got_duck
+    # and both equal the definitional integer half-away rounding
+    total = sum(ths_list)
+    cents = (abs(total) + 50) // 100 * (1 if total >= 0 else -1)
+    assert got_spark == cents / 100.0

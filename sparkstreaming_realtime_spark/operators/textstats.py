@@ -36,10 +36,24 @@ def token_count(text_col: Column | str) -> Column:
     return F.size(tokenize(text_col)).cast("bigint")
 
 
+def token_count_t(toks: Column) -> Column:
+    """token_count over an already-tokenized array column. The ``_t``
+    variants exist because Catalyst does NOT dedupe repeated
+    ``tokenize(text)`` subexpressions across a projection — a pipeline
+    combining several text signals should tokenize ONCE (behind an
+    ``explode(array())`` barrier, see corpus_curation_funnel) and feed
+    the token array to these."""
+    return F.size(toks).cast("bigint")
+
+
 def marker_hits(text_col: Column | str, words: tuple[str, ...]) -> Column:
     """How many tokens (with multiplicity) are in ``words`` — the
     scoring primitive for language-ID and stopword ratios."""
-    return F.size(F.filter(tokenize(text_col), lambda t: t.isin(*words)))
+    return marker_hits_t(tokenize(text_col), words)
+
+
+def marker_hits_t(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
 def predict_lang(text_col: Column | str) -> Column:
@@ -61,8 +75,12 @@ def quality_score(text_col: Column | str) -> Column:
     """Heuristic [0,1] quality score: length component (saturating at
     100 tokens) blended with stopword density. Deterministic closed
     form so the DuckDB oracle reproduces it exactly."""
-    n = token_count(text_col).cast("double")
-    stop = marker_hits(text_col, STOPWORDS).cast("double")
+    return quality_score_t(tokenize(text_col))
+
+
+def quality_score_t(toks: Column) -> Column:
+    n = token_count_t(toks).cast("double")
+    stop = marker_hits_t(toks, STOPWORDS).cast("double")
     length_part = F.least(F.lit(1.0), n / F.lit(100.0))
     stop_part = F.when(n > 0, stop / n).otherwise(F.lit(0.0))
     return F.round(length_part * 0.7 + stop_part * 0.3, 6)
@@ -175,7 +193,10 @@ def bigram_list(text_col: Column | str) -> Column:
     """NON-distinct token bigrams — repetition measurement needs the
     multiplicities that ``ngram_shingles``'s dedup (built for MinHash)
     throws away. Empty array below 2 tokens."""
-    toks = tokenize(text_col)
+    return bigram_list_t(tokenize(text_col))
+
+
+def bigram_list_t(toks: Column) -> Column:
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(0), k - F.lit(2)),
@@ -192,7 +213,11 @@ def repetition_ratio(text_col: Column | str) -> Column:
     bigram in the same document — 1 − distinct/total. High values
     flag boilerplate/spam for the quality gate. Pure codegen array
     ops, zero shuffle."""
-    b = bigram_list(text_col)
+    return repetition_ratio_t(tokenize(text_col))
+
+
+def repetition_ratio_t(toks: Column) -> Column:
+    b = bigram_list_t(toks)
     total = F.size(b)
     return F.when(
         total > 0,

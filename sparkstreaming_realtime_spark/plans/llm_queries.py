@@ -897,11 +897,22 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import hash60
     from pyspark.sql.window import Window
 
-    docs = _t(spark, sf_dir, "documents")
-    pass_q = (ts.quality_score("text") >= 0.25) & (
-        ts.repetition_ratio("text") < 0.05
+    from ..functions.text import tokenize
+
+    # scoring is CPU-bound per row; rebalance the single-file scan to
+    # core count before it (same rationale as dedup.spread), and
+    # tokenize ONCE behind an explode(array()) barrier — both score
+    # expressions read the same token array instead of re-running the
+    # regex split per signal (Catalyst won't CSE the tokenize calls).
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id", "lang", "text",
+        F.explode(F.array(tokenize("text"))).alias("__toks"),
     )
-    scored = docs.select(
+    pass_q = (ts.quality_score_t(F.col("__toks")) >= 0.25) & (
+        ts.repetition_ratio_t(F.col("__toks")) < 0.05
+    )
+    scored = base.select(
         "doc_id",
         "lang",
         pass_q.alias("pass_q"),

@@ -60,7 +60,13 @@ def predict_lang(text_col: Column | str) -> Column:
     """Argmax of per-language marker hits, deterministic tie-break in
     alphabetical language order; 'und' (undetermined) when no marker
     of any language appears."""
-    scores = {lang: marker_hits(text_col, ws) for lang, ws in LANG_MARKERS.items()}
+    return predict_lang_t(tokenize(text_col))
+
+
+def predict_lang_t(toks: Column) -> Column:
+    scores = {
+        lang: marker_hits_t(toks, ws) for lang, ws in LANG_MARKERS.items()
+    }
     s_de, s_en, s_es, s_fr = (scores[k] for k in ("de", "en", "es", "fr"))
     return (
         F.when(s_de + s_en + s_es + s_fr == 0, F.lit("und"))
@@ -68,6 +74,18 @@ def predict_lang(text_col: Column | str) -> Column:
         .when((s_en >= s_es) & (s_en >= s_fr), F.lit("en"))
         .when(s_es >= s_fr, F.lit("es"))
         .otherwise(F.lit("fr"))
+    )
+
+
+def _with_tokens(
+    docs: DataFrame, text_col: str, *keep: str
+) -> DataFrame:
+    """Project ``keep`` columns plus a ``__toks`` array, tokenizing
+    ONCE behind an explode(array()) barrier — the rollups below feed
+    several signals from the same token array, and Catalyst would
+    otherwise re-run the regex split per signal."""
+    return docs.select(
+        *keep, F.explode(F.array(tokenize(text_col))).alias("__toks")
     )
 
 
@@ -107,7 +125,8 @@ def lang_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(labeled lang, predicted lang, count) confusion matrix for the
     marker heuristic."""
     return (
-        docs.select("lang", predict_lang(text_col).alias("predicted"))
+        _with_tokens(docs, text_col, "lang")
+        .select("lang", predict_lang_t(F.col("__toks")).alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
@@ -115,12 +134,13 @@ def lang_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Histogram of quality-score bands plus the per-band mean score."""
-    q = quality_score(text_col)
+    q = quality_score_t(F.col("__toks"))
     band = (
         F.when(q < 0.33, "low").when(q < 0.66, "mid").otherwise("high")
     )
     return (
-        docs.select(q.alias("__q"), band.alias("band"))
+        _with_tokens(docs, text_col)
+        .select(q.alias("__q"), band.alias("band"))
         .groupBy("band")
         .agg(
             F.count("*").cast("bigint").alias("n"),
@@ -230,14 +250,15 @@ def repetition_ratio_t(toks: Column) -> Column:
 def repetition_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus rollup of the repetition signal: docs per band + band
     mean, the dashboard a filtering run is tuned against."""
-    rep = repetition_ratio(text_col)
+    rep = repetition_ratio_t(F.col("__toks"))
     band = (
         F.when(rep < 0.1, "low")
         .when(rep < 0.3, "mid")
         .otherwise("high")
     )
     return (
-        docs.select(rep.alias("__r"), band.alias("band"))
+        _with_tokens(docs, text_col)
+        .select(rep.alias("__r"), band.alias("band"))
         .groupBy("band")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),

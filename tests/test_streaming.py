@@ -329,3 +329,56 @@ def test_corpus_dedup_across_micro_batches(spark, tmp_path):
     rej = sorted((r["new_id"], r["corpus_id"])
                  for r in spark.read.parquet(rejected).collect())
     assert rej == [(3, 1), (6, 5)]
+
+
+CDC_SCHEMA = "table string, data string, op string, ts_ms long, event_id long"
+
+
+def test_dim_upsert_sink_maintains_snapshot_across_batches(spark, tmp_path):
+    """K4 streaming binding: the dim snapshot must evolve across
+    micro-batches with last-write-wins per (table, id) and delete
+    tombstones — and the final state must equal the batch
+    dim_snapshot over the concatenation of all batches."""
+    from sparkstreaming_realtime_spark.operators.cdc import dim_snapshot
+    from sparkstreaming_realtime_spark.streaming.sinks import dim_upsert_sink
+
+    src = str(tmp_path / "src")
+    b1 = [
+        {"table": "user_info", "data": '{"id":1,"v":10}', "op": "I",
+         "ts_ms": 1000, "event_id": 1},
+        {"table": "user_info", "data": '{"id":2,"v":20}', "op": "I",
+         "ts_ms": 1001, "event_id": 2},
+    ]
+    b2 = [
+        # overwrite id 1, delete id 2, insert id 3
+        {"table": "user_info", "data": '{"id":1,"v":11}', "op": "U",
+         "ts_ms": 2000, "event_id": 3},
+        {"table": "user_info", "data": '{"id":2,"v":0}', "op": "D",
+         "ts_ms": 2001, "event_id": 4},
+        {"table": "base_province", "data": '{"id":3,"v":30}', "op": "I",
+         "ts_ms": 2002, "event_id": 5},
+    ]
+    _write_jsonl(f"{src}/b1.json", seq=1, rows=b1)
+    _write_jsonl(f"{src}/b2.json", seq=2, rows=b2)
+    snap_path = str(tmp_path / "snap")
+    stream = file_stream(spark, src, CDC_SCHEMA, max_files_per_trigger=1)
+    _drain(stream, dim_upsert_sink(snap_path), str(tmp_path / "ckpt"))
+
+    got = sorted(
+        (r["table"], r["id"], r["data"])
+        for r in spark.read.parquet(snap_path).collect()
+    )
+    assert got == [
+        ("base_province", "3", '{"id":3,"v":30}'),
+        ("user_info", "1", '{"id":1,"v":11}'),
+    ]
+
+    # equivalence with the batch operator over the full record set
+    all_rows = spark.createDataFrame(
+        [tuple(r.values()) for r in b1 + b2], CDC_SCHEMA
+    )
+    batch = sorted(
+        (r["table"], r["id"], r["data"])
+        for r in dim_snapshot(all_rows, ord_cols=("ts_ms", "event_id")).collect()
+    )
+    assert got == batch

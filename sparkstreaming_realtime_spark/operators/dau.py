@@ -17,7 +17,7 @@ round-trips per row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.datetimes import age_as_of, dt_col, hr_col
@@ -41,17 +41,21 @@ def dedup_first_daily(
     column (event id) whenever two records of one key can share a
     timestamp (ADVICE r1).
 
-    Scale: one shuffle on (dt, key); AQE handles skew. State is a
-    plain aggregation in batch; the streaming binding uses
-    ``dropDuplicates`` + watermark (streaming/pipelines.py).
+    Scale: one shuffle on (dt, key) — as a ``min_by`` AGGREGATION, not
+    a rank window: partial aggregation runs map-side, so each map
+    partition ships one candidate row per (dt, key) instead of every
+    duplicate through the exchange (VERDICT r1: a row_number window
+    gets no partial agg). State is a plain aggregation in batch; the
+    streaming binding uses ``dropDuplicates`` + watermark
+    (streaming/pipelines.py).
     """
     d = df.withColumn("dt", dt_col(ts, df))
-    order = [F.col(ts).asc(), F.col(tiebreak or key).asc()]
-    w = Window.partitionBy("dt", key).orderBy(*order)
+    payload = F.struct(*[F.col(c) for c in d.columns])
+    order = F.struct(F.col(ts), F.col(tiebreak or key))
     return (
-        d.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        d.groupBy("dt", key)
+        .agg(F.min_by(payload, order).alias("__first"))
+        .select("__first.*")
     )
 
 

@@ -2203,3 +2203,100 @@ def product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(_money_sum(profit).alias("sum_profit"))
         .orderBy("nation", "o_year")
     )
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             round(0.01::DOUBLE * ((l_partkey * 7 + l_suppkey * 13) % 10000)
+                   + 1.0, 2) AS ps_supplycost
+      FROM lineitem),
+    eligible AS (
+      SELECT ps.*, s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    mins AS (
+      SELECT ps_partkey, min(ps_supplycost) AS min_cost
+      FROM eligible GROUP BY ps_partkey)
+    SELECT e.ps_partkey AS p_partkey, p.p_name, e.s_name,
+           e.n_name AS nation, round(e.s_acctbal, 2) AS acctbal,
+           e.ps_supplycost AS supplycost
+    FROM eligible e
+    JOIN mins m ON e.ps_partkey = m.ps_partkey
+              AND e.ps_supplycost = m.min_cost
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    WHERE p.p_size <= 15 AND p.p_type = 'STANDARD'
+    ORDER BY acctbal DESC, nation, s_name, p_partkey LIMIT 100
+    """,
+    tags=("TPCH-Q2", "groupwise-min"),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the region's minimum-cost supplier per part —
+    the correlated scalar subquery decorrelated into a groupwise-min
+    aggregate joined back on (part, cost), ties surfacing naturally.
+    The supply relation is synthesized from lineitem's distinct
+    (part, supplier) pairs with a deterministic modular cost (the
+    test tables carry no partsupp; the decorrelation under test is
+    Q2's).
+
+    Scale shape: region→nation broadcast prunes supplier BEFORE the
+    supply-relation join; the groupwise min is one partial-agg
+    shuffle on ps_partkey — the join-back reuses that key's
+    partitioning; the final top-100 is TakeOrdered. The part filter
+    lands on its scan."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .withColumn(
+            "ps_supplycost",
+            F.round(
+                0.01 * ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13)
+                        % 10000)
+                + 1.0,
+                2,
+            ),
+        )
+    )
+    eligible = ps.join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
+    mins = eligible.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_name")
+    return (
+        eligible.join(
+            mins.withColumnRenamed("ps_partkey", "__mpk"),
+            (F.col("ps_partkey") == F.col("__mpk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(p, F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("ps_supplycost").alias("supplycost"),
+        )
+        .orderBy(F.desc("acctbal"), "nation", "s_name", "p_partkey")
+        .limit(100)
+    )

@@ -2300,3 +2300,167 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("acctbal"), "nation", "s_name", "p_partkey")
         .limit(100)
     )
+
+
+#: synthesized supply relation shared by the Q2/Q11/Q20 shapes — the
+#: test tables carry no partsupp, so cost/availqty derive
+#: deterministically from the (part, supplier) pair.
+_PS_SQL = """
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         round(0.01::DOUBLE * ((l_partkey * 7 + l_suppkey * 13) % 10000)
+               + 1.0, 2) AS ps_supplycost,
+         ((l_partkey * 3 + l_suppkey * 11) % 1000 + 1)::BIGINT AS ps_availqty
+  FROM lineitem
+"""
+
+
+def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+        .withColumn(
+            "ps_supplycost",
+            F.round(
+                0.01 * ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13)
+                        % 10000)
+                + 1.0,
+                2,
+            ),
+        )
+        .withColumn(
+            "ps_availqty",
+            ((F.col("ps_partkey") * 3 + F.col("ps_suppkey") * 11) % 1000 + 1)
+            .cast("bigint"),
+        )
+    )
+
+
+@register(
+    "important_stock_value",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    nat AS (
+      SELECT ps.*,
+             round(ps_supplycost * 100)::BIGINT * ps_availqty AS value_cents
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_9'),
+    tot AS (SELECT sum(value_cents) AS total_cents FROM nat)
+    SELECT ps_partkey,
+           (sum(value_cents)::DOUBLE) / 100.0 AS part_value
+    FROM nat, tot
+    GROUP BY ps_partkey, tot.total_cents
+    HAVING 1000 * sum(value_cents) > any_value(tot.total_cents)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+    tags=("TPCH-Q11", "global-fraction-threshold"),
+)
+def important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose stock value at one nation exceeds
+    a FRACTION (0.1 %) of that nation's total — the scalar-subquery
+    threshold decorrelated into a 1-row broadcast, with the compare
+    done in exact integer cents (1000·part > total) so neither
+    engine's float summation order can flip a borderline part.
+
+    Scale shape: nation-filtered supplier prunes the supply relation
+    before its one partial-agg shuffle on ps_partkey; the grand total
+    is a second aggregate of the same tiny intermediate, broadcast
+    back as one row."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    nat = (
+        _ps(spark, sf_dir)
+        .join(s, F.col("ps_suppkey") == F.col("s_suppkey"))
+        .withColumn(
+            "value_cents",
+            F.round(F.col("ps_supplycost") * 100).cast("bigint")
+            * F.col("ps_availqty"),
+        )
+    )
+    per_part = nat.groupBy("ps_partkey").agg(
+        F.sum("value_cents").alias("__cents")
+    )
+    tot = per_part.agg(F.sum("__cents").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .filter(1000 * F.col("__cents") > F.col("__total"))
+        .select(
+            "ps_partkey",
+            (F.col("__cents").cast("double") / 100.0).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "ps_partkey")
+    )
+
+
+@register(
+    "excess_stock_suppliers",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1997-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM ps JOIN shipped sh
+        ON sh.l_partkey = ps.ps_partkey AND sh.l_suppkey = ps.ps_suppkey
+      WHERE ps.ps_availqty > 0.5 * sh.qty)
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM excess e WHERE e.ps_suppkey = s.s_suppkey)
+    ORDER BY s.s_name
+    """,
+    tags=("TPCH-Q20", "nested-semi-chain"),
+)
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers of one nation holding more stock of
+    some part than half of what they shipped in a year — a correlated
+    aggregate comparison feeding a nested EXISTS, decorrelated into an
+    aggregate join plus a LeftSemi chain.
+
+    Scale shape: the shipped-quantity aggregate shuffles on the same
+    (part, supplier) key as its join with the supply relation (one
+    exchange reusable by AQE); the half-compare is exact (integral
+    quantities sum exactly in doubles); the final probe is a semi
+    join against the distinct excess-supplier keys."""
+    ps = _ps(spark, sf_dir)
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "leftsemi")
+        .select("s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )

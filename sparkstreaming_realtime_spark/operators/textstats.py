@@ -352,3 +352,64 @@ def sequence_packing(
             F.sum("__tok").cast("bigint").alias("sum_tokens"),
         )
     )
+
+
+def lexical_commonness(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_v: int = 50_000,
+    low_e4: int = 332,
+    mid_e4: int = 334,
+) -> DataFrame:
+    """CCNet-style lexical quality signal (Wenzek et al. 2020 use LM
+    perplexity; this is its log-free integer cousin): score each
+    document by the mean RELATIVE corpus frequency of its tokens —
+    rare/garbled vocabulary scores low, boilerplate scores high — and
+    band the corpus on it. Relative (÷ total corpus tokens) so the
+    score is invariant to corpus size.
+
+    Deliberately ALL-INTEGER: per-token scores are corpus counts and
+    the banding compare is ``sum_cnt · 10⁴ <?> thr · n_tok · T`` in
+    bigint math — no logarithm whose last-ulp could differ between
+    engines, no float summation order. The vocabulary is capped at
+    ``top_v`` (count desc, term asc) with out-of-vocabulary counting
+    0, exactly how a production filter ships a frozen top-V table.
+    ``low_e4``/``mid_e4`` are thresholds in 1e-4 units of mean
+    relative frequency.
+
+    Scale shape: one count shuffle builds the vocab (map-side
+    partials), the capped vocab and the 1-row total broadcast, and
+    the per-doc rollup shuffles on doc_id with partial aggregation."""
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(text_col)).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(top_v)
+    )
+    total = toks.agg(F.count("*").alias("__T"))
+    per_doc = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("sum_cnt"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    scaled = F.col("sum_cnt") * 10_000
+    band = (
+        F.when(scaled < low_e4 * F.col("n_tok") * F.col("__T"), "rare")
+        .when(scaled < mid_e4 * F.col("n_tok") * F.col("__T"), "normal")
+        .otherwise("common")
+    )
+    return (
+        per_doc.select(band.alias("band"), "n_tok")
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        )
+    )

@@ -957,3 +957,36 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.first("rate"), F.lit(0.0)), 6).alias("rate"),
         )
     )
+
+
+_COMMONNESS_ORACLE = f"""
+WITH toks AS (SELECT doc_id, unnest({_toks_sql("text")}) AS term
+              FROM documents),
+vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term
+          ORDER BY cnt DESC, term LIMIT 50000),
+tot AS (SELECT count(*) AS T FROM toks),
+per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tok,
+         sum(coalesce(v.cnt, 0)) AS sum_cnt
+  FROM toks t LEFT JOIN vocab v USING (term)
+  GROUP BY t.doc_id)
+SELECT CASE WHEN sum_cnt * 10000 < 332 * n_tok * (SELECT T FROM tot)
+              THEN 'rare'
+            WHEN sum_cnt * 10000 < 334 * n_tok * (SELECT T FROM tot)
+              THEN 'normal'
+            ELSE 'common' END AS band,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tok)::BIGINT AS sum_tokens
+FROM per_doc GROUP BY band
+"""
+
+
+@register(
+    "doc_lexical_commonness", oracle=_COMMONNESS_ORACLE, tags=("LLM", "quality")
+)
+def doc_lexical_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based quality bands (the log-free integer cousin of
+    CCNet's LM-perplexity filter): mean corpus frequency of each doc's
+    tokens against a frozen top-V vocabulary, with every compare in
+    exact bigint math (operators/textstats.py:lexical_commonness)."""
+    return ts.lexical_commonness(dd.spread(_t(spark, sf_dir, "documents")))

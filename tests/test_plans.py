@@ -142,3 +142,35 @@ def test_packing_window_is_partitioned(spark, sf_dir):
     plan = _plan(spark, sf_dir, "doc_sequence_packing")
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q20_excess_probe_is_semi_join(spark, sf_dir):
+    """Q20 shape: the nested EXISTS must plan as LeftSemi."""
+    assert "LeftSemi" in _plan(spark, sf_dir, "excess_stock_suppliers")
+
+
+def test_q11_threshold_is_broadcast_not_window(spark, sf_dir):
+    """Q11 shape: the grand-total fraction threshold joins as a 1-row
+    broadcast, and the fork at per_part (cross-join branch vs total
+    branch) collapses to ONE lineitem scan via AQE exchange reuse.
+
+    The static plan prints both subtrees, so we execute and assert the
+    *final* AQE plan contains ReusedExchange — the second printed scan
+    sits under the reused node and never runs. sf0.01 (not the smoke
+    dir): at sf0.001 the result is empty and AQE collapses the whole
+    plan to EmptyRelation before any exchange exists.
+    """
+    df = REGISTRY["important_stock_value"].fn(spark, "/root/testdata/sf0.01")
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "ReusedExchange" in plan or plan.count("lineitem.parquet") <= 1
+
+
+def test_q9_selective_part_filter_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "product_profit_by_nation_year")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_type" in ln for ln in pushed), plan

@@ -382,3 +382,25 @@ def test_dim_upsert_sink_maintains_snapshot_across_batches(spark, tmp_path):
         for r in dim_snapshot(all_rows, ord_cols=("ts_ms", "event_id")).collect()
     )
     assert got == batch
+
+
+def test_dim_upsert_sink_replay_is_idempotent(spark, tmp_path):
+    """T5 for the dim store: re-delivering the most recent batch (the
+    at-least-once failure mode) must merge to the identical
+    snapshot."""
+    from sparkstreaming_realtime_spark.streaming.sinks import dim_upsert_sink
+
+    rows = [
+        ("user_info", '{"id":1,"v":10}', "I", 1000, 1),
+        ("user_info", '{"id":1,"v":11}', "U", 2000, 2),
+        ("user_info", '{"id":2,"v":20}', "D", 2001, 3),
+    ]
+    batch = spark.createDataFrame(rows, CDC_SCHEMA)
+    snap = str(tmp_path / "snap")
+    sink = dim_upsert_sink(snap)
+    sink(batch, 0)
+    first = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    sink(batch, 0)  # replay of the same epoch
+    second = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    assert first == second
+    assert [(r[0], r[1]) for r in first] == [("user_info", "1")]

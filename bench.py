@@ -64,31 +64,45 @@ def main() -> None:
     # Janino compilation (cold codegen is 5-10s for the big
     # synthesis/hash expression trees and would dominate one-shot
     # timings).
+    # Per-query failure isolation: one broken query must never kill
+    # the whole artifact (r2 lesson — a single AnalysisException in
+    # warm-up crashed the bench to rc=1 with zero timings recorded).
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
-        if name in qs:
-            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
-
-    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — record and move on
+            errors[name] = f"warmup: {type(e).__name__}: {e}"[:500]
+
+    # two timed passes, report the per-query MIN: steady-state cost,
+    # robust to one-off JVM/GC stalls mid-session
+    timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in HEADLINE:
+            if name not in qs or name in errors:
+                continue
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = round(time.time() - t0, 3)
+                timings[name] = min(timings.get(name, dt), dt)
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"timed: {type(e).__name__}: {e}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out: dict = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

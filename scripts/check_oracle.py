@@ -51,9 +51,25 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(cpus=8)
+    argv = [a for a in sys.argv[1:] if a != "--stock"]
+    stock = "--stock" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if stock:
+        # Environment-coupling guard (VERDICT r1+r2): a *vanilla*
+        # session, exactly what the driver harness builds — no UTC
+        # pin, no nanosAsLong, no Arrow/AQE confs. Every data-shape
+        # normalization must live in read_table, not in get_spark.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("stock-gate")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(cpus=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

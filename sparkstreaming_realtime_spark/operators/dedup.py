@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
 from ..functions.text import ngram_shingles, normalize_text
+from ..materialize import materialize, release
 
 #: MinHash defaults: 12 independent hash families in 4 bands of 3 rows.
 #: P(candidate | jaccard J) = 1 - (1 - J^3)^4 — 0.995 at J=0.9, 0.62 at
@@ -226,8 +227,11 @@ def near_dup_pairs(
     # self-join, both sides of the verify join). Materialize once —
     # the batch analog of persisting the signature table, which is
     # what a 100 TB dedup run does anyway (signatures are reused
-    # across incremental corpus versions).
-    sh = sh.localCheckpoint(eager=False)
+    # across incremental corpus versions). materialize() is
+    # cluster-durable (DISK_ONLY persist / reliable checkpoint),
+    # unlike localCheckpoint whose unreplicated executor-local blocks
+    # die with one lost executor (VERDICT r2 #3).
+    sh = materialize(sh)
     cands = lsh_candidate_pairs(
         lsh_buckets(minhash_signature(sh), id_col), id_col, max_bucket
     )
@@ -359,8 +363,11 @@ def dup_clusters(
     the edge list — but a pathological long-chain graph would want the
     two-phase large-star/small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce"); near-dup graphs are not that
-    shape. Edges are persisted once; label lineage is cut per round via
-    localCheckpoint so the plan doesn't deepen with iterations.
+    shape. Edges are materialized once; labels are re-materialized per
+    round (reliable checkpoint when a checkpoint dir is configured —
+    true lineage cut; else DISK_ONLY persist, recomputable on executor
+    loss) so each round's work is bounded. See ``materialize.py`` for
+    the cluster-durability story.
 
     Returns (doc_id, cluster_id, is_keep) for every doc that appears
     in at least one verified pair; is_keep=1 marks the canonical doc.
@@ -369,8 +376,8 @@ def dup_clusters(
     edges = (
         pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
         .union(pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr")))
-        .localCheckpoint(eager=True)
     )
+    edges = materialize(edges, eager=True)
     labels = edges.select("node").distinct().withColumn("label", F.col("node"))
     for _ in range(max_iters):
         nbr_min = (
@@ -380,15 +387,14 @@ def dup_clusters(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .select(
+        new_labels = materialize(
+            labels.join(nbr_min, "node", "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
         )
         changed = (
             new_labels.alias("n")
@@ -396,6 +402,7 @@ def dup_clusters(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        release(labels)  # new_labels is materialized; prior round's blocks can go
         labels = new_labels
         if changed == 0:
             break
@@ -428,10 +435,8 @@ def near_dup_join(
     REJECT and which kept doc they duplicate. ``max_bucket`` caps
     corpus-side bucket sizes (a boilerplate bucket with millions of
     members would otherwise dominate the join)."""
-    sh_new = shingle_sets(spread(new_docs), text_col, id_col, n=shingle_n)
-    sh_new = sh_new.localCheckpoint(eager=False)
-    sh_old = shingle_sets(spread(corpus), text_col, id_col, n=shingle_n)
-    sh_old = sh_old.localCheckpoint(eager=False)
+    sh_new = materialize(shingle_sets(spread(new_docs), text_col, id_col, n=shingle_n))
+    sh_old = materialize(shingle_sets(spread(corpus), text_col, id_col, n=shingle_n))
     bn = lsh_buckets(minhash_signature(sh_new), id_col).select(
         F.col(id_col).alias("new_id"), "bucket"
     )

@@ -893,7 +893,8 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     one aggregate emits the funnel. The doc-level frame is
     lazily checkpointed — it feeds both the rate computation and the
     final count, the same reuse a real pipeline gets by materializing
-    its scored corpus."""
+    its scored corpus (durable DISK_ONLY persist / checkpoint-dir —
+    see materialize.py)."""
     from ..functions.hashing import hash60
     from pyspark.sql.window import Window
 
@@ -921,7 +922,12 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash60(F.concat(F.lit("doc:"), F.col("doc_id").cast("string")))
             / F.lit(float(1 << 60))
         ).alias("u"),
-    ).localCheckpoint(eager=False)
+    )
+    from ..materialize import materialize
+
+    # feeds both the rate computation and the final count — durable
+    # materialization (DISK_ONLY / checkpoint-dir), not localCheckpoint
+    scored = materialize(scored)
     w = Window.partitionBy("fp")
     winners = scored.withColumn(
         "winner",

@@ -20,11 +20,15 @@ from pyspark.sql import types as T
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS); vanilla Spark
-        # rejects it unless this (runtime-settable) conf is on. Callers
-        # may hand us an arbitrary session (the driver harness does),
-        # so set it defensively here, not only in session.get_spark().
+        # events.parquet has shipped as TIMESTAMP(NANOS) (needs this
+        # runtime-settable conf) and as plain timestamp[us] (reads as
+        # TIMESTAMP_NTZ in Spark 4). Callers may hand us an arbitrary
+        # session (the driver harness does), so set both confs
+        # defensively here, not only in session.get_spark(). The UTC
+        # pin makes the NTZ→TIMESTAMP cast in events_with_ts
+        # value-preserving, matching DuckDB's naive-epoch oracle math.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = events_with_ts(df)
@@ -33,9 +37,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def events_with_ts(events: DataFrame) -> DataFrame:
     """Normalize the events table's ts to TimestampType regardless of
-    how the parquet encoded it (nanos-as-long vs native)."""
-    if isinstance(events.schema["ts"].dataType, T.LongType):
+    how the parquet encoded it (nanos-as-long, native micros, or
+    TIMESTAMP_NTZ). Dispatch on the actual schema — never assume the
+    driver's data shape."""
+    dt = events.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         # integer div — double division would lose precision on
         # 1.7e18-scale nano values (53-bit mantissa)
         events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(dt, T.TimestampNTZType):
+        # Spark 4 reads plain parquet timestamp[us] as TIMESTAMP_NTZ;
+        # unix_millis & co. reject NTZ. With the session tz pinned UTC
+        # (read_table) this cast is value-preserving and the DuckDB
+        # oracle (epoch_ms on the naive value) agrees.
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events

@@ -20,13 +20,20 @@ Mapping (SURVEY §1.5, §2.9):
   tests use ``Trigger.AvailableNow`` for bounded runs.
 """
 
-from .pipelines import streaming_dau_dedup, streaming_order_wide
+from .pipelines import (
+    run_available_now,
+    run_processing_time,
+    streaming_dau_dedup,
+    streaming_order_wide,
+)
 from .sinks import idempotent_parquet_sink, kafka_sink_options
 from .sources import file_stream, kafka_stream_options
 
 __all__ = [
     "streaming_dau_dedup",
     "streaming_order_wide",
+    "run_available_now",
+    "run_processing_time",
     "idempotent_parquet_sink",
     "kafka_sink_options",
     "file_stream",

@@ -110,6 +110,30 @@ def run_available_now(
     )
 
 
+def run_processing_time(
+    df: DataFrame,
+    sink_fn,
+    checkpoint: str,
+    interval: str = "5 seconds",
+    query_name: str = "q",
+):
+    """T1's production binding: continuous micro-batches on a fixed
+    cadence — the reference's ``StreamingContext(conf, Seconds(5))``
+    (OdsBaseLogApp.scala:31-32; 2 s for the CDC/DAU apps). Identical
+    plan and state semantics to :func:`run_available_now` (the tests'
+    bounded trigger); only the trigger differs, so everything the
+    AvailableNow suites pin — cross-batch state, replay idempotency,
+    offset restore — holds verbatim under this binding. Returns the
+    running query; callers own ``awaitTermination``."""
+    return (
+        df.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=interval)
+        .queryName(query_name)
+        .start()
+    )
+
+
 def streaming_hourly_rollup(
     events: DataFrame,
     ts: str = "event_time",

@@ -20,13 +20,32 @@ from pyspark.sql import functions as F
 
 
 def kafka_sink_options(
-    topic: str, bootstrap_servers: str = "localhost:9092"
+    topic: str,
+    bootstrap_servers: str = "localhost:9092",
+    idempotent: bool = True,
 ) -> dict[str, str]:
-    """K1/K2: Kafka sink options. The frame must carry string
-    ``value`` (and optional ``key`` for hash partitioning — the keyed
-    send of MykafkaUtils.scala:112-114); producer idempotence and
-    per-epoch flush (K3) are sink built-ins."""
-    return {"kafka.bootstrap.servers": bootstrap_servers, "topic": topic}
+    """K1/K2/K3: the producer config of ``MykafkaUtils.scala:70-94``
+    mapped onto the Kafka sink.
+
+    - topic + ``bootstrap.servers`` (``:77-79``) map 1:1.
+    - key/value ``StringSerializer`` (``:81-83``): built in — the
+      sink sends the frame's ``value`` (required) and ``key``
+      (optional) columns; a null/absent key is the sticky-partition
+      send of ``:102-104``, a populated key the hash-partitioned
+      keyed send of ``:112-114``.
+    - ``enable.idempotence = true`` + ``acks = all`` (``:86-90``):
+      passed through as ``kafka.``-prefixed producer properties —
+      retries can't duplicate or reorder within a partition.
+    - per-partition ``flush()`` (K3, ``:126-128``): built in — the
+      sink flushes before each epoch commits, so offsets are only
+      committed after the brokers acked the batch (the reference's
+      write-then-commit ordering).
+    """
+    opts = {"kafka.bootstrap.servers": bootstrap_servers, "topic": topic}
+    if idempotent:
+        opts["kafka.enable.idempotence"] = "true"
+        opts["kafka.acks"] = "all"
+    return opts
 
 
 def idempotent_parquet_sink(

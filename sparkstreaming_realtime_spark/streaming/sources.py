@@ -28,19 +28,41 @@ def kafka_stream_options(
     group_id: str,
     bootstrap_servers: str = "localhost:9092",
     starting_offsets: str | None = None,
+    max_offsets_per_trigger: int | None = None,
 ) -> dict[str, str]:
-    """S1/S2: the option set for a Kafka direct stream. With no
-    ``starting_offsets``, 'latest' matches the reference's
-    auto.offset.reset (MykafkaUtils.scala:28); passing explicit
-    offsets JSON covers the cold-start-from-stored-offsets path —
-    warm restarts get offsets from the checkpoint instead (S3)."""
-    return {
+    """S1/S2: the full consumer config of ``MykafkaUtils.scala:19-36``
+    mapped onto the Structured Streaming Kafka source.
+
+    - ``bootstrap.servers`` / topic subscribe / ``group.id`` map 1:1
+      (``:21-24,33``).
+    - key/value ``StringDeserializer`` (``:25-26``): built in — the
+      source exposes ``binary`` key/value; :func:`kafka_stream` casts
+      to string.
+    - ``auto.offset.reset = latest`` (``:28``): ``startingOffsets=
+      'latest'`` when no explicit offsets are passed; an offsets JSON
+      (``{"topic":{"0":1234}}``) covers the reference's
+      cold-start-from-stored-offsets path (``:55-64``) — warm
+      restarts get offsets from the checkpoint instead (S3).
+    - ``enable.auto.commit = false`` + manual commit-after-write
+      (``:30-35``, ``MyOffsetUtils.scala:20-36``): the source NEVER
+      uses Kafka-committed offsets for progress — the checkpoint is
+      the offset store, committed after each sink epoch (K10), which
+      is exactly the reference's write-then-commit ordering.
+    - ``max_offsets_per_trigger``: per-micro-batch rate cap — the
+      production knob the reference lacks (its 5 s batches take
+      whatever arrived); set it so one micro-batch's work fits the
+      trigger interval at peak ingest.
+    """
+    opts = {
         "kafka.bootstrap.servers": bootstrap_servers,
         "subscribe": topic,
         "kafka.group.id": group_id,
         "startingOffsets": starting_offsets or "latest",
         "failOnDataLoss": "false",
     }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
 
 
 def kafka_stream(

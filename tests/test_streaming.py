@@ -166,12 +166,18 @@ def test_kafka_option_builders():
     MykafkaUtils.scala:19-36,84-94)."""
     src = kafka_stream_options("ODS_BASE_LOG", "g1", "broker:9092")
     assert src["subscribe"] == "ODS_BASE_LOG"
-    assert src["startingOffsets"] == "latest"
+    assert src["startingOffsets"] == "latest"  # auto.offset.reset :28
+    assert src["kafka.group.id"] == "g1"
     explicit = kafka_stream_options(
         "t", "g", starting_offsets='{"t":{"0":42}}')
     assert explicit["startingOffsets"] == '{"t":{"0":42}}'
+    capped = kafka_stream_options("t", "g", max_offsets_per_trigger=100_000)
+    assert capped["maxOffsetsPerTrigger"] == "100000"
     snk = kafka_sink_options("DWD_PAGE_LOG_TOPIC", "broker:9092")
     assert snk["topic"] == "DWD_PAGE_LOG_TOPIC"
+    # producer idempotence + acks=all (MykafkaUtils.scala:86-90)
+    assert snk["kafka.enable.idempotence"] == "true"
+    assert snk["kafka.acks"] == "all"
 
 
 EVENTS_SCHEMA = "event_type string, value double, event_time timestamp"

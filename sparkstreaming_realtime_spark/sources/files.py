@@ -2,13 +2,14 @@
 
 The reference's only batch "source" is Redis point reads; its stream
 sources are Kafka (SURVEY §2.1). The engine's warehouse is parquet,
-so this module owns the two data-shape quirks of the driver tables:
-
-- ``events.parquet`` stores ``ts`` as parquet ``TIMESTAMP(NANOS)``,
-  which Spark only reads via ``spark.sql.legacy.parquet.nanosAsLong``
-  (set in session.py). :func:`events_with_ts` converts the bigint
-  nanos back to a proper timestamp (floor to micros — exactly what
-  DuckDB's micro-resolution TIMESTAMP does, so oracles agree).
+so this module owns the data-shape quirks of the driver tables —
+chiefly that every temporal column's parquet encoding is a moving
+target across driver regenerations (r1: ``TIMESTAMP(NANOS)``; r2:
+plain ``timestamp[us]`` → ``TIMESTAMP_NTZ`` under Spark 4). All reads
+go through :func:`read_table`, which dispatches on the ACTUAL schema
+per column (see :func:`_normalize_temporal`) instead of assuming any
+encoding; nanos floor to micros — exactly what DuckDB's
+micro-resolution TIMESTAMP does, so oracles agree either way.
 """
 
 from __future__ import annotations
@@ -18,37 +19,61 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+#: temporal columns per driver table — every one has shipped (or could
+#: ship, per the r1/r2 regenerations) as TIMESTAMP(NANOS),
+#: timestamp[us] (→ TIMESTAMP_NTZ in Spark 4), or native TIMESTAMP.
+TEMPORAL_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet has shipped as TIMESTAMP(NANOS) (needs this
-        # runtime-settable conf) and as plain timestamp[us] (reads as
-        # TIMESTAMP_NTZ in Spark 4). Callers may hand us an arbitrary
-        # session (the driver harness does), so set both confs
-        # defensively here, not only in session.get_spark(). The UTC
-        # pin makes the NTZ→TIMESTAMP cast in events_with_ts
-        # value-preserving, matching DuckDB's naive-epoch oracle math.
+    if name in TEMPORAL_COLS:
+        # The driver regenerates these tables between rounds with
+        # varying parquet timestamp encodings (r1: TIMESTAMP(NANOS),
+        # r2: plain timestamp[us] → TIMESTAMP_NTZ). Callers may hand
+        # us an arbitrary session (the driver harness does), so set
+        # both confs defensively here, not only in session.get_spark():
+        # nanosAsLong makes NANOS readable at all (as bigint, converted
+        # below), and the UTC pin makes the NTZ→TIMESTAMP cast for
+        # events value-preserving, matching DuckDB's naive-epoch math.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = events_with_ts(df)
+    for col in TEMPORAL_COLS.get(name, ()):
+        df = _normalize_temporal(df, col, to_ltz=(name == "events"))
+    return df
+
+
+def _normalize_temporal(df: DataFrame, col: str, to_ltz: bool) -> DataFrame:
+    """Normalize one temporal column regardless of how the parquet
+    encoded it (nanos-as-long, native micros, or TIMESTAMP_NTZ).
+    Dispatch on the actual schema — never assume the driver's data
+    shape (the r1 AND r2 blocker class).
+
+    ``to_ltz``: events.ts additionally needs TIMESTAMP (not NTZ) —
+    ``unix_millis`` & co. reject NTZ. The date-valued columns
+    (o_orderdate, l_shipdate) stay NTZ when read that way: every use
+    is date_format/year/comparison, all NTZ-safe, and the green gate
+    pins those values."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        # nanos read as bigint (nanosAsLong). Integer div — double
+        # division would lose precision on 1.7e18-scale nano values
+        # (53-bit mantissa).
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        if not to_ltz:
+            df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    elif to_ltz and isinstance(dt, T.TimestampNTZType):
+        # UTC session (read_table) ⇒ value-preserving; the DuckDB
+        # oracle (epoch_ms on the naive value) agrees.
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
 def events_with_ts(events: DataFrame) -> DataFrame:
-    """Normalize the events table's ts to TimestampType regardless of
-    how the parquet encoded it (nanos-as-long, native micros, or
-    TIMESTAMP_NTZ). Dispatch on the actual schema — never assume the
-    driver's data shape."""
-    dt = events.schema["ts"].dataType
-    if isinstance(dt, T.LongType):
-        # integer div — double division would lose precision on
-        # 1.7e18-scale nano values (53-bit mantissa)
-        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif isinstance(dt, T.TimestampNTZType):
-        # Spark 4 reads plain parquet timestamp[us] as TIMESTAMP_NTZ;
-        # unix_millis & co. reject NTZ. With the session tz pinned UTC
-        # (read_table) this cast is value-preserving and the DuckDB
-        # oracle (epoch_ms on the naive value) agrees.
-        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-    return events
+    """Normalize the events table's ts to TimestampType (streaming
+    readers hit this directly; batch goes through read_table)."""
+    return _normalize_temporal(events, "ts", to_ltz=True)

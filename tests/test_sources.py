@@ -1,0 +1,57 @@
+"""Data-shape robustness for the driver tables (the r1+r2 blocker
+class): every temporal column must read correctly whatever parquet
+timestamp encoding the driver's regeneration picked — TIMESTAMP(NANOS)
+(r1), plain timestamp[us] → TIMESTAMP_NTZ under Spark 4 (r2), or
+native TIMESTAMP — via ``sources.files.read_table``'s schema dispatch.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import types as T
+
+from sparkstreaming_realtime_spark.sources.files import TEMPORAL_COLS, read_table
+
+TS = datetime.datetime(2024, 3, 5, 14, 30, 15, 123456)
+
+
+def _write(tmp_path, table, col, unit):
+    arr = pa.array([TS], type=pa.timestamp(unit))
+    pq.write_table(
+        pa.table({col: arr, "other": pa.array([1], type=pa.int64())}),
+        str(tmp_path / f"{table}.parquet"),
+    )
+
+
+PAIRS = [(t, c) for t, cols in sorted(TEMPORAL_COLS.items()) for c in cols]
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+@pytest.mark.parametrize("table,col", PAIRS)
+def test_temporal_encodings_normalize(spark, tmp_path, table, col, unit):
+    _write(tmp_path, table, col, unit)
+    df = read_table(spark, str(tmp_path), table)
+    dt = df.schema[col].dataType
+    if table == "events":
+        # unix_millis & co. need TIMESTAMP, never NTZ/bigint
+        assert isinstance(dt, T.TimestampType), dt
+    else:
+        # date-valued cols: any proper timestamp type, never bigint
+        assert isinstance(dt, (T.TimestampType, T.TimestampNTZType)), dt
+    (row,) = df.collect()
+    # value preserved to micros under every encoding (UTC session)
+    assert row[col] == TS
+
+
+def test_real_tables_read_with_temporal_types(spark, sf_dir):
+    for table, cols in TEMPORAL_COLS.items():
+        df = read_table(spark, sf_dir, table)
+        for col in cols:
+            dt = df.schema[col].dataType
+            assert isinstance(
+                dt, (T.TimestampType, T.TimestampNTZType)
+            ), f"{table}.{col} read as {dt}"

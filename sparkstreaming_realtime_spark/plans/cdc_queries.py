@@ -170,6 +170,75 @@ def cdc_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc.dim_snapshot(dims, ord_cols=("ts_ms", "event_id"))
 
 
+@register(
+    "streaming_cdc_dim_parity",
+    oracle=f"""
+    SELECT "table", id, data FROM (
+      SELECT tbl AS "table",
+             (user_id % 100)::VARCHAR AS id,
+             {_DATA_SQL} AS data,
+             op,
+             row_number() OVER (
+               PARTITION BY tbl, user_id % 100
+               ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      FROM (SELECT *, {_TABLE_SQL} AS tbl, {_OP_SQL} AS op FROM events)
+      WHERE op IS NOT NULL AND tbl IN ('user_info', 'base_province')
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+    tags=("K4", "T5", "streaming"),
+)
+def streaming_cdc_dim_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4's STREAMING side end-to-end under the hard oracle: the
+    Maxwell dim branch run through real Structured Streaming (file
+    source → synthesize → parse → normalize → route_dims →
+    ``dim_upsert_sink`` foreachBatch, AvailableNow) maintaining the
+    last-write-wins snapshot across micro-batches — the engine's
+    ``jedis.set("DIM:<TABLE>:<id>")`` loop (OdsBaseDbApp.scala:128-140)
+    with merge + atomic snapshot swap instead of point writes. The
+    final snapshot parquet must match the batch oracle exactly;
+    cross-batch merge and replay idempotency are additionally pinned
+    by tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from ..schemas import ODS_BASE_DB_SCHEMA
+    from ..sources.files import events_with_ts
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import dim_upsert_sink
+
+    _t(spark, sf_dir, "events")  # sets the temporal read confs
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    env = _synthesize_cdc(events_with_ts(raw))
+    parsed = env.select(
+        F.from_json("value", ODS_BASE_DB_SCHEMA).alias("j"),
+        "ts_ms",
+        "event_id",
+    ).select(
+        F.col("j.type").alias("type"),
+        F.col("j.table").alias("table"),
+        F.col("j.data").alias("data"),
+        "ts_ms",
+        "event_id",
+    )
+    dims = cdc.route_dims(cdc.normalize_op(parsed))
+    snap = tempfile.mkdtemp(prefix="dim_parity_") + "/snapshot"
+    q = run_available_now(
+        dims,
+        dim_upsert_sink(snap),
+        checkpoint=tempfile.mkdtemp(prefix="dim_parity_ckpt_"),
+        query_name="dimp_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return spark.read.parquet(snap).select("table", "id", "data")
+
+
 _TD = "2024-01-15"
 _YD = "2024-01-14"
 

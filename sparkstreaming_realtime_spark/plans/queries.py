@@ -209,6 +209,58 @@ def dau_warehouse_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_orderstatus,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*)::BIGINT AS n
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("extension", "warehouse", "bucketing"),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB repeated-join strategy END-TO-END: both sides
+    written hash-bucketed on the join key (``write_bucketed``), then
+    joined — bucketing metadata lets the planner skip BOTH shuffles
+    (zero Exchange, pinned by tests/test_warehouse.py::
+    test_bucketed_join_has_no_exchange), so the shuffle is paid once
+    at write time and amortized over every subsequent join. The oracle
+    runs the plain join, proving the bucketed layout changes the plan,
+    not the answer."""
+    import tempfile
+    import uuid
+
+    from ..sources.warehouse import write_bucketed
+
+    sfx = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    write_bucketed(
+        o, f"orders_b_{sfx}", f"{base}/o", bucket_by=("o_orderkey",), n_buckets=8
+    )
+    write_bucketed(
+        li, f"lineitem_b_{sfx}", f"{base}/l",
+        bucket_by=("l_orderkey",), n_buckets=8,
+    )
+    ob = spark.table(f"orders_b_{sfx}")
+    lb = spark.table(f"lineitem_b_{sfx}")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Routing / split surface (P3, P9, P10, P11, F8)
 # ---------------------------------------------------------------------------

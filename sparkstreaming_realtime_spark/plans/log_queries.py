@@ -143,3 +143,67 @@ def log_split_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def log_split_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8: StartLog projection (OdsBaseLogApp.scala:170-184)."""
     return ls.split_start(ls.parse_ods_log(_raw(spark, sf_dir), branch="start"))
+
+
+@register(
+    "streaming_multiplex_parity",
+    oracle="""
+    SELECT branch, n FROM (
+      SELECT 'error' AS branch, count(*)::BIGINT AS n
+      FROM events WHERE event_type = 'error'
+      UNION ALL SELECT 'page', count(*)::BIGINT
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      UNION ALL SELECT 'display', coalesce(sum(event_id % 3 + 1), 0)::BIGINT
+      FROM events WHERE event_type = 'click'
+      UNION ALL SELECT 'action', coalesce(sum(event_id % 2 + 1), 0)::BIGINT
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL SELECT 'start', count(*)::BIGINT
+      FROM events WHERE event_type = 'signup'
+    )
+    """,
+    tags=("P9", "T5", "streaming"),
+)
+def streaming_multiplex_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9's STREAMING side end-to-end: the 1→5 multiplex run through
+    real Structured Streaming — file source → synthesized envelope →
+    ``multiplex_sink`` foreachBatch (ONE persisted scan feeding all
+    five branch sinks, the declarative OdsBaseLogApp.scala:88-198) →
+    per-branch row counts off the committed parquet. Counts cover
+    every branch including the explode fan-outs, so a lost batch,
+    double-write, or explode off-by-one all surface. Row-level typed
+    outputs are pinned batch-side by the log_split_* oracles and
+    streaming-side by tests/test_streaming.py's multiplex test."""
+    import glob
+    import tempfile
+    import uuid
+
+    from ..sources.files import events_with_ts
+    from ..streaming.pipelines import multiplex_sink, run_available_now
+
+    _t(spark, sf_dir, "events")  # sets the temporal read confs
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    env = ls.synthesize_ods_log(events_with_ts(raw))
+    base = tempfile.mkdtemp(prefix="mux_parity_")
+    q = run_available_now(
+        env,
+        multiplex_sink(base),
+        checkpoint=tempfile.mkdtemp(prefix="mux_parity_ckpt_"),
+        query_name="muxp_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    counts = []
+    for name in ("error", "page", "display", "action", "start"):
+        dirs = [
+            d for d in glob.glob(f"{base}/{name}/batch=*")
+            if glob.glob(f"{d}/*.parquet")
+        ]
+        n = spark.read.parquet(*dirs).count() if dirs else 0
+        counts.append((name, n))
+    return spark.createDataFrame(counts, "branch string, n bigint")

@@ -2247,6 +2247,81 @@ def streaming_user_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(name)
 
 
+@register(
+    "streaming_state_profile_parity",
+    oracle="""
+    SELECT 'u' || (user_id % 50)::VARCHAR AS key,
+           count(*)::BIGINT AS n_events,
+           round(sum("value"), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    tags=("T2", "T5", "streaming", "stateful"),
+)
+def streaming_state_profile_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom keyed-state operator (``applyInPandasWithState``,
+    streaming/stateful.py) under the hard oracle: per-key running
+    (count, sum) profiles maintained in the executor state store
+    across micro-batches, emitted per batch in update mode; the
+    LAST emission per key (max_by batch id) must equal the batch
+    aggregate over all events. This is the typed, watermark-evictable
+    generalization of the reference's Redis accumulator pattern
+    (DAU:*/ORDERJOIN:* keyed state, DwdDauApp.scala:83-100).
+    Cross-batch accumulation order is pinned by
+    tests/test_streaming.py::test_apply_in_pandas_with_state_accumulates."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming.stateful import running_profiles
+
+    _t(spark, sf_dir, "events")  # sets the temporal read confs
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    keyed = raw.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias("key"),
+        F.col("value"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="profile_parity_")
+
+    def sink(bdf: DataFrame, bid: int) -> None:
+        bdf.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={bid}"))
+
+    q = (
+        running_profiles(keyed)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="profile_ckpt_")
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .queryName("prof_" + uuid.uuid4().hex[:8])
+        .start()
+    )
+    q.awaitTermination()
+    prof = spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "batch=*")
+    )
+    return (
+        prof.groupBy("key")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "sum_value"), F.col("batch")
+            ).alias("p")
+        )
+        .select(
+            "key",
+            F.col("p.n_events").alias("n_events"),
+            F.round("p.sum_value", 2).alias("sum_value"),
+        )
+    )
+
+
 def _money_sum(expr: Column) -> Column:
     """Engine-deterministic money aggregate: sum exact integer
     ten-thousandths of a ≤4-decimal product, round to cents in

@@ -49,6 +49,8 @@ HEADLINE = [
     "disjunctive_part_revenue",
     "corpus_curation_funnel",
     "emb_int8_quantize",
+    "dau_warehouse_day_slice",
+    "bucketed_colocated_join",
 ]
 
 

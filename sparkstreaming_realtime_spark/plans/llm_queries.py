@@ -996,3 +996,128 @@ def doc_lexical_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens against a frozen top-V vocabulary, with every compare in
     exact bigint math (operators/textstats.py:lexical_commonness)."""
     return ts.lexical_commonness(dd.spread(_t(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + corpus source mix
+# ---------------------------------------------------------------------------
+
+#: deterministic PII synthesis (the driver corpus is synthetic and
+#: PII-free, so the scrub would otherwise run on nothing): every doc
+#: gains one email, even ids a phone, ids%3==0 an IPv4 — derived from
+#: doc_id so both engines build the identical pre-scrub text.
+_PII_TEXT_SPARK = None  # built inline below
+
+
+def _pii_text_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"), did.cast("string"), F.lit("@example.com"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" or 555-"),
+                     F.lpad((did % 1000).cast("string"), 3, "0"),
+                     F.lit("-1234")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" from 192.168."), (did % 256).cast("string"),
+                     F.lit("."), ((did * 7) % 256).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_TEXT_SQL = """text || ' contact u' || doc_id || '@example.com'
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' or 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-1234'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' from 192.168.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+            ELSE '' END"""
+
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_PAT = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+_IP_PAT = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+_PII_ORACLE = f"""
+WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS ptext FROM documents),
+scrubbed AS (
+  SELECT doc_id,
+         len(regexp_extract_all(ptext, '{_EMAIL_PAT}'))::BIGINT AS n_email,
+         len(regexp_extract_all(ptext, '{_PHONE_PAT}'))::BIGINT AS n_phone,
+         len(regexp_extract_all(ptext, '{_IP_PAT}'))::BIGINT AS n_ipv4,
+         regexp_replace(regexp_replace(regexp_replace(ptext,
+             '{_EMAIL_PAT}', '[EMAIL]', 'g'),
+             '{_PHONE_PAT}', '[PHONE]', 'g'),
+             '{_IP_PAT}', '[IP]', 'g') AS stext
+  FROM pii)
+SELECT doc_id, n_email, n_phone, n_ipv4,
+       {oracle_hash60_sql("stext")} AS scrubbed_fp
+FROM scrubbed
+"""
+
+
+@register("doc_pii_scrub", oracle=_PII_ORACLE, tags=("LLM", "pii", "quality"))
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/pii.py): detect + redact emails /
+    phone numbers / IPv4 addresses per document. The per-pattern
+    counts pin detection; the 60-bit hash of the scrubbed text pins
+    the EXACT redacted output (replacement order included) without
+    shipping long strings through the gate. PII is synthesized
+    deterministically from doc_id (the driver corpus is PII-free), so
+    both engines scrub identical inputs. Pure codegen regex — zero
+    shuffle, scan-speed at 100 TB."""
+    from ..functions.hashing import hash60
+    from ..operators import pii
+
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
+    with_pii = docs.select("doc_id", _pii_text_col().alias("ptext"))
+    return with_pii.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("ptext", F.lit(_EMAIL_PAT), F.lit(0)))
+        .cast("bigint").alias("n_email"),
+        F.size(F.regexp_extract_all("ptext", F.lit(_PHONE_PAT), F.lit(0)))
+        .cast("bigint").alias("n_phone"),
+        F.size(F.regexp_extract_all("ptext", F.lit(_IP_PAT), F.lit(0)))
+        .cast("bigint").alias("n_ipv4"),
+        hash60(pii.scrub("ptext")).alias("scrubbed_fp"),
+    )
+
+
+_SOURCE_MIX_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source, len({_toks_sql("text")})::BIGINT AS n_tok FROM documents),
+agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+  FROM per_doc GROUP BY source)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / (SELECT sum(n_tokens)::DOUBLE FROM agg), 6)
+         AS token_share
+FROM agg
+"""
+
+
+@register("doc_source_mix", oracle=_SOURCE_MIX_ORACLE, tags=("LLM", "mixing"))
+def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing view: docs + token mass + token share per source
+    — the bookkeeping behind data-mixture weights (what fraction of
+    training tokens each source contributes). Tokenize once per doc,
+    one partial-agg shuffle on source, total via a broadcast single-row
+    cross join — no second scan, no window over the whole corpus."""
+    from ..functions.text import tokenize
+
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
+    per_src = (
+        docs.select("source", F.size(tokenize("text")).cast("bigint").alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    total = per_src.agg(F.sum("n_tokens").cast("double").alias("__total"))
+    return per_src.crossJoin(F.broadcast(total)).select(
+        "source", "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__total"), 6).alias("token_share"),
+    )

@@ -335,3 +335,23 @@ def test_quantize_int8_roundtrip_and_zero_vector_guard(spark):
     assert out[1]["roundtrip_cos"] > 0.999
     assert out[2]["q"] == [0, 0, 0]  # zero vector: scale guard, no NaN
     assert out[2]["scale"] == 1.0
+
+
+def test_pii_scrub_redacts_all_patterns(spark):
+    """Redaction order and replacement tokens are part of the operator
+    contract (the registry query hashes the scrubbed text)."""
+    from sparkstreaming_realtime_spark.operators.pii import pii_counts, scrub
+
+    df = spark.createDataFrame(
+        [("reach bob@x.co or 555-123-4567 from 10.0.0.1",),
+         ("no pii here",)],
+        "text string",
+    )
+    rows = {r["text"]: r for r in df.select(
+        "text", scrub("text").alias("s"), *pii_counts("text")).collect()}
+    hit = rows["reach bob@x.co or 555-123-4567 from 10.0.0.1"]
+    assert hit["s"] == "reach [EMAIL] or [PHONE] from [IP]"
+    assert (hit["n_email"], hit["n_phone"], hit["n_ipv4"]) == (1, 1, 1)
+    clean = rows["no pii here"]
+    assert clean["s"] == "no pii here"
+    assert (clean["n_email"], clean["n_phone"], clean["n_ipv4"]) == (0, 0, 0)

@@ -174,3 +174,22 @@ def test_q9_selective_part_filter_reaches_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "product_profit_by_nation_year")
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("p_type" in ln for ln in pushed), plan
+
+
+def test_bucketed_join_registry_query_has_no_join_key_shuffle(spark, sf_dir):
+    """bucketed_colocated_join: the join must never shuffle on the
+    join key — small SF planes as broadcast, at scale the bucketed
+    layout feeds SortMergeJoin directly; either way the paid-once
+    write-time shuffle is the only hash partitioning of the data."""
+    plan = _plan(spark, sf_dir, "bucketed_colocated_join")
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_warehouse_day_slice_prunes_partitions(spark, sf_dir):
+    """dau_warehouse_day_slice: the serving read reaches the scan as a
+    static partition filter (the per-day-index selection) — one day,
+    one directory."""
+    plan = _plan(spark, sf_dir, "dau_warehouse_day_slice")
+    assert "PartitionFilters: [isnotnull(dt" in plan
+    assert "dt#" in plan and "= 2024-" in plan

@@ -51,6 +51,9 @@ HEADLINE = [
     "emb_int8_quantize",
     "dau_warehouse_day_slice",
     "bucketed_colocated_join",
+    "doc_winnow_fingerprints",
+    "doc_pii_scrub",
+    "doc_source_mix",
 ]
 
 

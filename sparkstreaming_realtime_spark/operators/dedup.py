@@ -323,18 +323,29 @@ def winnow_fingerprints(
     All per-doc work is in-row array expressions (sequence/slice/
     array_min) — the rolling window never leaves the row, so
     fingerprinting is embarrassingly parallel; only the final explode
-    materializes the (small) fingerprint set."""
-    sh = ngram_shingles(text_col, n=k)
-    hashes = F.transform(sh, lambda s: hash60(s))
-    n = F.size(hashes)
+    materializes the (small) fingerprint set.
+
+    The hash array is computed behind its OWN projection so the
+    window transform reads a bound attribute: inlining it would make
+    codegen re-evaluate the full md5 array once per window position
+    (no CSE across a higher-order function's lambda) — O(n²) hashes
+    instead of O(n). Measured ~10× on the driver corpus."""
+    hashed = spread(docs).select(
+        F.col(id_col),
+        F.transform(
+            ngram_shingles(text_col, n=k), lambda s: hash60(s)
+        ).alias("__h"),
+    )
+    h = F.col("__h")
+    n = F.size(h)
     minima = F.when(
         n >= w,
         F.transform(
             F.sequence(F.lit(0), n - F.lit(w)),
-            lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+            lambda i: F.array_min(F.slice(h, i + 1, w)),
         ),
-    ).otherwise(F.array(F.array_min(hashes)))
-    return spread(docs).select(
+    ).otherwise(F.array(F.array_min(h)))
+    return hashed.select(
         F.col(id_col),
         F.explode(F.array_distinct(minima)).alias("fingerprint"),
     )

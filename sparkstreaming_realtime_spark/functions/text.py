@@ -81,8 +81,18 @@ def ngram_shingles(col: Column | str, n: int = 3) -> Column:
     shingle so no document silently disappears."""
     toks = tokenize(col)
     k = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(0), k - F.lit(n)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.when(k >= n, shingles).otherwise(F.array(F.concat_ws(" ", toks)))
+    # zip_with over n shifted slices, NOT transform-with-slice-inside-
+    # the-lambda: a higher-order function evaluates its ARGUMENTS once
+    # per row but gets no common-subexpression elimination inside the
+    # lambda body, so an inlined `toks` there re-runs the tokenize
+    # regex once per shingle position (O(k·n) tokenizes). Here `toks`
+    # appears only as argument slices — n evaluations total.
+    m = k - F.lit(n - 1)
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(k >= n, acc).otherwise(F.array(F.concat_ws(" ", toks)))

@@ -217,10 +217,16 @@ def bigram_list(text_col: Column | str) -> Column:
 
 
 def bigram_list_t(toks: Column) -> Column:
+    # zip_with of two shifted slices — `toks` is evaluated once per
+    # row as a HOF argument; putting it inside a transform's lambda
+    # would re-evaluate it per bigram position (no CSE inside lambda
+    # bodies; see functions/text.py:ngram_shingles)
     k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - F.lit(2)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    m = k - F.lit(1)
+    grams = F.zip_with(
+        F.slice(toks, 1, m),
+        F.slice(toks, 2, m),
+        lambda a, b: F.concat(a, F.lit(" "), b),
     )
     return F.when(k >= 2, grams).otherwise(
         F.array().cast("array<string>")

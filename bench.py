@@ -96,6 +96,9 @@ def main() -> None:
                 timings[name] = min(timings.get(name, dt), dt)
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"timed: {type(e).__name__}: {e}"[:500]
+                # never report a half-failed query in both timings and
+                # errors — the headline total covers clean queries only
+                timings.pop(name, None)
 
     total = round(sum(timings.values()), 3)
     out: dict = {

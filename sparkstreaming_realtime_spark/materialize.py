@@ -22,6 +22,15 @@ curation hot paths:
 
 Callers that finish with an intermediate should ``unpersist()`` it
 explicitly (see :func:`release`).
+
+Lifecycle asymmetry to know about: :func:`release` /
+:func:`release_all` can only drop PERSISTED blocks — a reliable
+checkpoint's files belong to the checkpoint dir and outlive the
+DataFrame. A cluster deployment that sets a checkpoint dir should
+also set ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
+(a SparkConf, fixed at context creation) or manage the directory's
+retention externally; otherwise iterative callers (dup_clusters
+checkpoints per round) accumulate files until the context stops.
 """
 
 from __future__ import annotations

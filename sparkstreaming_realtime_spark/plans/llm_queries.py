@@ -1006,7 +1006,6 @@ def doc_lexical_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: PII-free, so the scrub would otherwise run on nothing): every doc
 #: gains one email, even ids a phone, ids%3==0 an IPv4 — derived from
 #: doc_id so both engines build the identical pre-scrub text.
-_PII_TEXT_SPARK = None  # built inline below
 
 
 def _pii_text_col():
@@ -1036,23 +1035,29 @@ _PII_TEXT_SQL = """text || ' contact u' || doc_id || '@example.com'
             THEN ' from 192.168.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
             ELSE '' END"""
 
-_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PHONE_PAT = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-_IP_PAT = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+# oracle fragments generated FROM operators.pii.PII_PATTERNS — one
+# source of truth; editing the operator's patterns moves counts,
+# scrub, and oracle in lockstep.
+from ..operators.pii import PII_PATTERNS as _PII
+
+_PII_COUNTS_SQL = ",\n         ".join(
+    f"len(regexp_extract_all(ptext, '{pat}'))::BIGINT AS n_{name}"
+    for name, pat, _ in _PII
+)
+_PII_SCRUB_SQL = "ptext"
+for _name, _pat, _rep in _PII:
+    _PII_SCRUB_SQL = (
+        f"regexp_replace({_PII_SCRUB_SQL}, '{_pat}', '{_rep}', 'g')"
+    )
 
 _PII_ORACLE = f"""
 WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS ptext FROM documents),
 scrubbed AS (
   SELECT doc_id,
-         len(regexp_extract_all(ptext, '{_EMAIL_PAT}'))::BIGINT AS n_email,
-         len(regexp_extract_all(ptext, '{_PHONE_PAT}'))::BIGINT AS n_phone,
-         len(regexp_extract_all(ptext, '{_IP_PAT}'))::BIGINT AS n_ipv4,
-         regexp_replace(regexp_replace(regexp_replace(ptext,
-             '{_EMAIL_PAT}', '[EMAIL]', 'g'),
-             '{_PHONE_PAT}', '[PHONE]', 'g'),
-             '{_IP_PAT}', '[IP]', 'g') AS stext
+         {_PII_COUNTS_SQL},
+         {_PII_SCRUB_SQL} AS stext
   FROM pii)
-SELECT doc_id, n_email, n_phone, n_ipv4,
+SELECT doc_id, {", ".join(f"n_{name}" for name, _, _ in _PII)},
        {oracle_hash60_sql("stext")} AS scrubbed_fp
 FROM scrubbed
 """
@@ -1075,12 +1080,7 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_pii = docs.select("doc_id", _pii_text_col().alias("ptext"))
     return with_pii.select(
         "doc_id",
-        F.size(F.regexp_extract_all("ptext", F.lit(_EMAIL_PAT), F.lit(0)))
-        .cast("bigint").alias("n_email"),
-        F.size(F.regexp_extract_all("ptext", F.lit(_PHONE_PAT), F.lit(0)))
-        .cast("bigint").alias("n_phone"),
-        F.size(F.regexp_extract_all("ptext", F.lit(_IP_PAT), F.lit(0)))
-        .cast("bigint").alias("n_ipv4"),
+        *pii.pii_counts("ptext"),
         hash60(pii.scrub("ptext")).alias("scrubbed_fp"),
     )
 

@@ -229,26 +229,32 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     at write time and amortized over every subsequent join. The oracle
     runs the plain join, proving the bucketed layout changes the plan,
     not the answer."""
+    import os
     import tempfile
-    import uuid
 
     from ..sources.warehouse import write_bucketed
 
-    sfx = uuid.uuid4().hex[:8]
-    base = tempfile.mkdtemp(prefix="bucketed_")
+    # fixed per-session table names + paths, overwritten on every
+    # call: repeated invocations (warm-up + timed bench passes) stay
+    # bounded at one table pair instead of leaking uuid-named catalog
+    # entries and tmpdirs; the applicationId suffix keeps concurrent
+    # sessions (parallel gate + bench JVMs) from clobbering each other.
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{app}")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     write_bucketed(
-        o, f"orders_b_{sfx}", f"{base}/o", bucket_by=("o_orderkey",), n_buckets=8
+        o, f"orders_bkt_{app}", f"{base}/o",
+        bucket_by=("o_orderkey",), n_buckets=8,
     )
     write_bucketed(
-        li, f"lineitem_b_{sfx}", f"{base}/l",
+        li, f"lineitem_bkt_{app}", f"{base}/l",
         bucket_by=("l_orderkey",), n_buckets=8,
     )
-    ob = spark.table(f"orders_b_{sfx}")
-    lb = spark.table(f"lineitem_b_{sfx}")
+    ob = spark.table(f"orders_bkt_{app}")
+    lb = spark.table(f"lineitem_bkt_{app}")
     return (
         ob.join(lb, ob.o_orderkey == lb.l_orderkey)
         .groupBy("o_orderstatus")

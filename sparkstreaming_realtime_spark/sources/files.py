@@ -67,8 +67,15 @@ def _normalize_temporal(df: DataFrame, col: str, to_ltz: bool) -> DataFrame:
         if not to_ltz:
             df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
     elif to_ltz and isinstance(dt, T.TimestampNTZType):
-        # UTC session (read_table) ⇒ value-preserving; the DuckDB
-        # oracle (epoch_ms on the naive value) agrees.
+        # The NTZ→TIMESTAMP cast is value-preserving ONLY under a UTC
+        # session tz, so pin it HERE, not just in read_table — the
+        # streaming entry points call events_with_ts directly, and
+        # without the pin a non-UTC harness session would silently
+        # shift every epoch instead of erroring (the r2 failure class
+        # downgraded from loud to silent). Mutating the session conf
+        # is the engine's documented contract: all oracle parity
+        # assumes UTC rendering.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

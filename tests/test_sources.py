@@ -42,9 +42,17 @@ def test_temporal_encodings_normalize(spark, tmp_path, table, col, unit):
     else:
         # date-valued cols: any proper timestamp type, never bigint
         assert isinstance(dt, (T.TimestampType, T.TimestampNTZType)), dt
-    (row,) = df.collect()
-    # value preserved to micros under every encoding (UTC session)
-    assert row[col] == TS
+    # value preserved to micros under every encoding. Format
+    # Spark-side (session tz is UTC) instead of comparing collected
+    # datetimes: TimestampType.fromInternal renders in the host OS
+    # timezone, which would couple this assertion to the machine's TZ
+    # — the exact environment class this file guards against.
+    from pyspark.sql import functions as F
+
+    (row,) = df.select(
+        F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s")
+    ).collect()
+    assert row["s"] == TS.strftime("%Y-%m-%d %H:%M:%S.%f")
 
 
 def test_real_tables_read_with_temporal_types(spark, sf_dir):

@@ -142,3 +142,40 @@ def test_money_sum_spark_equals_duckdb(spark, ths_list):
     total = sum(ths_list)
     cents = (abs(total) + 50) // 100 * (1 if total >= 0 else -1)
     assert got_spark == cents / 100.0
+
+
+PII_FRAGMENTS = st.one_of(
+    TEXT,
+    st.just("bob.smith+x@mail-host.co"),
+    st.just("555-123-4567"),
+    st.just("10.22.0.255"),
+    st.just("almost 999.1 not-an-ip"),
+    st.builds(
+        lambda a, b: f"{a}@{b}.org",
+        st.text(alphabet="abcZ09._%+-", min_size=1, max_size=8),
+        st.text(alphabet="abcz09.-", min_size=1, max_size=8),
+    ),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(PII_FRAGMENTS, min_size=1, max_size=6).map(" ".join))
+def test_pii_scrub_cross_engine_and_idempotent(spark, s):
+    """The PII scrub must (a) agree between Spark's Java regex and the
+    DuckDB oracle's RE2 on arbitrary text with embedded PII-like
+    fragments, and (b) be idempotent — replacement tokens can never
+    re-match a later pattern."""
+    from sparkstreaming_realtime_spark.operators.pii import PII_PATTERNS, scrub
+
+    df = spark.createDataFrame([(s,)], "t string")
+    row = df.select(
+        scrub("t").alias("s1"), scrub(scrub("t")).alias("s2")
+    ).collect()[0]
+    assert row["s1"] == row["s2"]
+    expr = "t"
+    for _, pat, rep in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    con = duckdb.connect()
+    duck = con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [s]).fetchone()[0]
+    con.close()
+    assert row["s1"] == duck

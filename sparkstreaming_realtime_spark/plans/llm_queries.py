@@ -1121,3 +1121,68 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_docs", "n_tokens",
         F.round(F.col("n_tokens") / F.col("__total"), 6).alias("token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (chunk-level) dedup
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 15
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(t[i*{_CHUNK_W}+1 : i*{_CHUNK_W}+{_CHUNK_W}], ' ') AS chunk
+  FROM toks, unnest(range(0, len(t) // {_CHUNK_W})) AS u(i))
+SELECT fp, n_copies, n_docs, keep_doc FROM (
+  SELECT {oracle_hash60_sql("lower(trim(chunk))")} AS fp,
+         count(*)::BIGINT AS n_copies,
+         count(DISTINCT doc_id)::BIGINT AS n_docs,
+         min(doc_id) AS keep_doc
+  FROM chunks GROUP BY 1)
+WHERE n_copies > 1
+"""
+
+
+@register("doc_chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE, tags=("LLM", "dedup"))
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: tokenize each doc once, cut it into
+    fixed 15-token chunks (the sub-document unit — the corpus has no
+    sentence punctuation, and fixed-token windows are what production
+    pipelines chunk on anyway), fingerprint each chunk, and report
+    every chunk occurring more than once across the corpus — the
+    pass that catches shared boilerplate runs which doc-level hashing
+    misses because the surrounding text differs.
+
+    Scale shape: the token array is bound to its own projection (no
+    re-tokenize per chunk — the HOF-lambda CSE rule, see
+    functions/text.py:ngram_shingles), the 8-byte fingerprint is
+    hashed BEFORE the shuffle so the groupBy moves (fp, doc_id)
+    pairs, and count/min/count-distinct all get map-side partials."""
+    from ..functions.text import tokenize
+
+    w = _CHUNK_W
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
+    toked = docs.select("doc_id", tokenize("text").alias("__t"))
+    t = F.col("__t")
+    n_chunks = F.floor(F.size(t) / w).cast("int")
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i * w + 1, w)))
+        ).alias("chunk"),
+    )
+    return (
+        chunks.select(dd.fingerprint("chunk").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -54,6 +54,7 @@ HEADLINE = [
     "doc_winnow_fingerprints",
     "doc_pii_scrub",
     "doc_source_mix",
+    "doc_chunk_dedup",
 ]
 
 

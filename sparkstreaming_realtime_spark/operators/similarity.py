@@ -82,27 +82,32 @@ def ivf_topk(
     id_col: str = "vec_id",
     cell_col: str = "label",
     exclude_id: int | None = None,
+    probes: int = 1,
 ) -> DataFrame:
-    """IVF search: route the query to its nearest cell centroid, then
-    brute-force only that cell.
+    """IVF search: route the query to its nearest cell centroid(s),
+    then brute-force only those cells.
 
-    The centroid table is tiny (n_cells rows) → broadcast both ways;
-    the cell filter prunes the big scan (with the corpus written
-    ``partitionBy(cell)``, it is partition pruning, not even a scan).
-    Returns (vec_id, label, cos) like :func:`cosine_topk` so the two
-    strategies are drop-in comparable."""
+    ``probes`` is the recall knob (FAISS's nprobe): scanning the p
+    nearest cells instead of 1 recovers neighbors that fell just
+    across a cell boundary, at p× the (already-pruned) scan cost —
+    the standard recall/latency trade. The centroid table is tiny
+    (n_cells rows) → broadcast both ways; the cell filter prunes the
+    big scan (with the corpus written ``partitionBy(cell)``, it is
+    partition pruning, not even a scan). Returns (vec_id, label, cos)
+    like :func:`cosine_topk` so the strategies are drop-in
+    comparable."""
     cents = centroids_by_cell(emb, dim, cell_col)
-    best_cell = (
+    best_cells = (
         cents.crossJoin(F.broadcast(query))
         .select(
             F.col(cell_col),
             F.round(cosine_similarity("centroid", "__qv"), 6).alias("__ccos"),
         )
         .orderBy(F.desc("__ccos"), F.asc(cell_col))
-        .limit(1)
+        .limit(probes)
         .select(cell_col)
     )
-    cell_members = emb.join(F.broadcast(best_cell), cell_col)
+    cell_members = emb.join(F.broadcast(best_cells), cell_col)
     return cosine_topk(cell_members, query, k, id_col, exclude_id)
 
 

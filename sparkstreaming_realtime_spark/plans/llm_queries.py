@@ -285,6 +285,30 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, q, dim=_EMB_DIM, k=10, exclude_id=_QUERY_VEC_ID)
 
 
+_IVF_MULTIPROBE_ORACLE = _IVF_ORACLE.replace(
+    "LIMIT 1)", "LIMIT 3)", 1
+)
+
+
+@register(
+    "emb_ivf_multiprobe_topk",
+    oracle=_IVF_MULTIPROBE_ORACLE,
+    tags=("LLM", "similarity"),
+)
+def emb_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-10 (nprobe=3): scan the three nearest
+    cells instead of one — the recall knob of the IVF scale path
+    (neighbors just across a cell boundary come back at 3× the
+    pruned-scan cost). The oracle widens its best-cell LIMIT the same
+    way, so cell routing AND the recall-expanding union are both
+    under the gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim.query_vector(emb, _QUERY_VEC_ID)
+    return sim.ivf_topk(
+        emb, q, dim=_EMB_DIM, k=10, exclude_id=_QUERY_VEC_ID, probes=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -355,3 +355,36 @@ def test_pii_scrub_redacts_all_patterns(spark):
     clean = rows["no pii here"]
     assert clean["s"] == "no pii here"
     assert (clean["n_email"], clean["n_phone"], clean["n_ipv4"]) == (0, 0, 0)
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee (Schleimer et al. 2003): any shared
+    token run of length >= w + k - 1 between two documents must yield
+    at least one shared fingerprint. Two otherwise-different docs
+    embed the same (w+k-1)-token run; their fingerprint sets must
+    intersect. A doc with no overlap must not collide."""
+    from sparkstreaming_realtime_spark.operators.dedup import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + run + " delta epsilon"),
+            (2, "zeta eta theta iota " + run + " kappa"),
+            (3, "totally disjoint words appear here only once ever"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs)
+    sets = {
+        r["doc_id"]: set()
+        for r in docs.select("doc_id").collect()
+    }
+    for r in fps.collect():
+        sets[r["doc_id"]].add(r["fingerprint"])
+    assert sets[1] & sets[2], "shared run must produce a shared fingerprint"
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])

@@ -43,6 +43,11 @@ SMOKE = [
     "doc_token_stats",
     "emb_int8_quantize",
     "doc_binary_meta",  # mapInPandas — exercises Arrow on a stock session
+    "doc_pii_scrub",
+    "doc_chunk_dedup",
+    "emb_ivf_multiprobe_topk",
+    # warehouse round-trip on a stock session
+    "dau_warehouse_day_slice",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_STOCK_SF", "/root/testdata/sf0.001")

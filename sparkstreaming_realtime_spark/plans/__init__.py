@@ -15,47 +15,69 @@ from . import cdc_queries  # noqa: F401 — populates REGISTRY on import
 #: TPC-H, log split, CDC, LLM dedup/similarity/text, multimodal,
 #: warehouse, and the end-to-end streaming parities — lands inside the
 #: first 50; the remainder (verified equally, just later) follows.
+#: r4 rotation: CORRECTNESS_r03 verified exactly the first 50 names of
+#: the r3 ordering, so those 50 now carry driver-issued green rows.
+#: This round rotates 17 never-driver-checked queries into the top-50
+#: (TPC-H Q2/Q9/Q11/Q20 shapes, the IVF/LSH embedding ops, winnowing,
+#: packing, decontamination, percentiles, as-of + range joins, PII
+#: scrub, chunk dedup) while every operator family keeps at least one
+#: already-green sentinel inside the cap — if a rotation broke
+#: something family-wide, the sentinel still flags it.
 _PRIORITY = [
-    # serving / DAU core
-    "dau_total_by_day", "dau_by_hour", "session_entry_first_daily",
-    "dau_realtime_endpoint", "dau_enriched", "get_by_id",
-    # log-split family (P3-P9)
-    "error_routing", "log_split_error", "log_split_page",
-    "log_split_displays", "log_split_actions", "log_split_start",
-    "multiplex_route_counts",
-    # CDC family (P10/P11/K1-K4)
-    "cdc_op_normalize", "cdc_route_counts", "cdc_fact_rows",
-    "cdc_dim_snapshot",
-    # ES query surface (A3-A6, O1-O3, F11-F15, K6-K9)
-    "stats_by_item_segment", "acctbal_bands", "relabel_segment",
-    "top_k_grouped_avg", "filtered_sorted_paginated",
-    "term_exact_update_view", "delete_by_id_view", "upsert_single_view",
-    "to_json_serialize", "highlight_match", "json_props_extract",
-    # joins / rollups / TPC-H representatives
+    # serving / DAU sentinels (A1, endpoint, dim joins J4/J5)
+    "dau_total_by_day", "dau_realtime_endpoint", "dau_enriched",
+    # log-split sentinels (P4/P5 projection, P7 fan-out, P9 multiplex)
+    "log_split_page", "log_split_actions", "multiplex_route_counts",
+    # CDC sentinels (P10/P11 routing, K4 upsert)
+    "cdc_route_counts", "cdc_dim_snapshot",
+    # ES query-surface sentinels (A3, O1/O2, K8/K9, F11/F15, F8)
+    "stats_by_item_segment", "filtered_sorted_paginated",
+    "term_exact_update_view", "highlight_match", "json_props_extract",
+    # joins / rollups / TPC-H sentinels
     "order_wide_join", "hourly_window_rollup", "user_sessions",
     "pricing_summary", "revenue_by_nation", "shipping_priority",
-    # LLM pipeline: dedup / similarity / text / multimodal / sampling
+    # never-driver-checked TPC-H shapes (Q2, Q9, Q11, Q20)
+    "min_cost_supplier", "product_profit_by_nation_year",
+    "important_stock_value", "excess_stock_suppliers",
+    # never-driver-checked extension operators
+    "value_percentiles", "events_asof_last_order",
+    "orders_events_range_join",
+    # LLM dedup/similarity/text/multimodal sentinels
     "doc_exact_dedup", "doc_minhash_near_dup", "doc_simhash",
     "doc_incremental_near_dup", "emb_cosine_topk", "emb_int8_quantize",
     "doc_token_stats", "doc_lang_id", "doc_binary_meta",
     "corpus_curation_funnel",
-    # warehouse layout
+    # never-driver-checked LLM ops
+    "emb_ivf_topk", "emb_ivf_multiprobe_topk", "emb_near_dup_lsh",
+    "doc_winnow_fingerprints", "doc_sequence_packing",
+    "doc_decontaminate", "doc_pii_scrub", "doc_chunk_dedup",
+    "doc_source_mix",
+    # warehouse sentinels
     "dau_warehouse_day_slice", "bucketed_colocated_join",
-    # end-to-end streaming parities (real state machinery) — last in
-    # the top-50 block: if the cap is a count they're inside it, if a
-    # time budget the cheap queries above have already banked rows
+    # streaming-parity sentinels (real state machinery) — last in the
+    # top-50 block: if the cap is a count they're inside it, if a time
+    # budget the cheap queries above have already banked rows
     "streaming_dau_dedup_parity", "streaming_order_wide_parity",
+    "streaming_hourly_rollup_parity",
+    # tail of the curated block (51+): r3-green rows rotated out this
+    # round (still verified by scripts/check_oracle.py and pytest)
+    "dau_by_hour", "session_entry_first_daily", "get_by_id",
+    "error_routing", "log_split_error", "log_split_displays",
+    "log_split_start", "cdc_op_normalize", "cdc_fact_rows",
+    "acctbal_bands", "relabel_segment", "top_k_grouped_avg",
+    "delete_by_id_view", "upsert_single_view", "to_json_serialize",
     "streaming_cdc_dim_parity", "streaming_multiplex_parity",
-    # tail of the curated block (51+): remaining parities + extensions
-    "streaming_hourly_rollup_parity", "streaming_state_profile_parity",
-    "streaming_user_sessions_parity", "events_asof_last_order",
-    "orders_events_range_join", "doc_hash_split",
-    "value_percentiles", "nation_acctbal_salted",
+    "streaming_state_profile_parity", "streaming_user_sessions_parity",
+    "doc_hash_split", "nation_acctbal_salted",
 ]
 
 
 def _reorder() -> None:
-    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    # a renamed/misspelled _PRIORITY entry must fail loudly — a silent
+    # skip would starve a family from the capped gate with no signal
+    unknown = set(_PRIORITY) - set(REGISTRY)
+    assert not unknown, f"_PRIORITY names missing from REGISTRY: {sorted(unknown)}"
+    ordered = {n: REGISTRY[n] for n in _PRIORITY}
     for n, spec in REGISTRY.items():
         if n not in ordered:
             ordered[n] = spec

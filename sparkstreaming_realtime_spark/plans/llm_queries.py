@@ -288,6 +288,10 @@ def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_MULTIPROBE_ORACLE = _IVF_ORACLE.replace(
     "LIMIT 1)", "LIMIT 3)", 1
 )
+# a reformat of _IVF_ORACLE would make the replace a silent no-op and
+# check multiprobe against the single-probe oracle — fail loudly instead
+assert "LIMIT 3)" in _IVF_MULTIPROBE_ORACLE
+assert _IVF_MULTIPROBE_ORACLE != _IVF_ORACLE
 
 
 @register(

@@ -82,6 +82,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _money_sum(expr: Column) -> Column:
+    """Engine-deterministic money aggregate: sum exact integer
+    ten-thousandths of a ≤4-decimal product, round to cents in
+    sign-aware INTEGER math (half away from zero via abs — floor and
+    truncating division agree on non-negatives, so Spark's ``div``
+    and DuckDB's ``//`` produce identical cents), emit as double.
+    See returned_item_report for the boundary failure this kills."""
+    ths = F.sum(F.round(expr * 10000).cast("bigint"))
+    # integral div by 100 with half-away rounding baked into the ±50
+    mag = F.floor(F.abs(ths + F.when(ths >= 0, 50).otherwise(-50)) / 100)
+    signed = F.when(ths >= 0, mag).otherwise(-mag)
+    return signed.cast("double") / 100.0
+
+
+def _money_sum_sql(expr: str) -> str:
+    """The DuckDB mirror of :func:`_money_sum`."""
+    ths = f"sum(round(({expr}) * 10000)::BIGINT)"
+    return (
+        f"(CASE WHEN {ths} >= 0 THEN (({ths} + 50) // 100) "
+        f"ELSE -((abs({ths}) + 50) // 100) END)::DOUBLE / 100.0"
+    )
+
+
 # ---------------------------------------------------------------------------
 # DAU / dedup surface (SURVEY A1, A2, T2, P12) — `events` plays the page-log
 # stream: user_id≈mid, ts≈epoch ts, event_type≈page_id.
@@ -184,7 +207,11 @@ def dau_warehouse_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_warehouse.py::test_partition_pruning_skips_other_days."""
     import tempfile
 
-    from ..sources.warehouse import read_warehouse, write_warehouse
+    from ..sources.warehouse import (
+        partition_values,
+        read_warehouse,
+        write_warehouse,
+    )
 
     ev = _t(spark, sf_dir, "events")
     rows = ev.select(
@@ -197,10 +224,13 @@ def dau_warehouse_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = read_warehouse(spark, path)
     # the "serving" read: one day (the endpoint's `td` request param,
     # here data-derived for determinism), pruned at the source. The
-    # partition column reads back type-inferred (DATE for yyyy-MM-dd
-    # values); filter BEFORE the to-string cast so pruning stays
-    # static, then normalize to the oracle's string dt.
-    target = ev.agg(F.max(F.date_format("ts", "yyyy-MM-dd"))).collect()[0][0]
+    # served day comes from the warehouse's partition DIRECTORY
+    # listing — FileStatus metadata, not a second full scan of events
+    # (the r3-flagged double-scan). The partition column reads back
+    # type-inferred (DATE for yyyy-MM-dd values); filter BEFORE the
+    # to-string cast so pruning stays static, then normalize to the
+    # oracle's string dt.
+    target = max(partition_values(spark, path, "dt"))
     return (
         wh.filter(F.col("dt") == target)
         .withColumn("dt", F.date_format("dt", "yyyy-MM-dd"))
@@ -211,9 +241,9 @@ def dau_warehouse_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bucketed_colocated_join",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           {_money_sum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
            count(*)::BIGINT AS n
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
@@ -259,8 +289,11 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ob.join(lb, ob.o_orderkey == lb.l_orderkey)
         .groupBy("o_orderstatus")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact-integer cents: ~200k doubles per group sum to ~7e9
+            # where partition-order float error (~1e-4) could flip the
+            # 2-decimal rounding vs DuckDB's sequential sum under AQE
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
             F.count("*").cast("bigint").alias("n"),
         )
@@ -2325,29 +2358,6 @@ def streaming_state_profile_parity(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("p.n_events").alias("n_events"),
             F.round("p.sum_value", 2).alias("sum_value"),
         )
-    )
-
-
-def _money_sum(expr: Column) -> Column:
-    """Engine-deterministic money aggregate: sum exact integer
-    ten-thousandths of a ≤4-decimal product, round to cents in
-    sign-aware INTEGER math (half away from zero via abs — floor and
-    truncating division agree on non-negatives, so Spark's ``div``
-    and DuckDB's ``//`` produce identical cents), emit as double.
-    See returned_item_report for the boundary failure this kills."""
-    ths = F.sum(F.round(expr * 10000).cast("bigint"))
-    # integral div by 100 with half-away rounding baked into the ±50
-    mag = F.floor(F.abs(ths + F.when(ths >= 0, 50).otherwise(-50)) / 100)
-    signed = F.when(ths >= 0, mag).otherwise(-mag)
-    return signed.cast("double") / 100.0
-
-
-def _money_sum_sql(expr: str) -> str:
-    """The DuckDB mirror of :func:`_money_sum`."""
-    ths = f"sum(round(({expr}) * 10000)::BIGINT)"
-    return (
-        f"(CASE WHEN {ths} >= 0 THEN (({ths} + 50) // 100) "
-        f"ELSE -((abs({ths}) + 50) // 100) END)::DOUBLE / 100.0"
     )
 
 

@@ -59,6 +59,15 @@ def _normalize_temporal(df: DataFrame, col: str, to_ltz: bool) -> DataFrame:
     is date_format/year/comparison, all NTZ-safe, and the green gate
     pins those values."""
     dt = df.schema[col].dataType
+    if to_ltz:
+        # Pin UTC for EVERY to_ltz shape, not only NTZ: the nanos-as-
+        # long branch lands on TimestampType too, and its downstream
+        # date_format/strftime renderings shift identically on a
+        # non-UTC harness session (streaming callers reach here via
+        # events_with_ts without passing through read_table's pin).
+        # Mutating the session conf is the engine's documented
+        # contract: all oracle parity assumes UTC rendering.
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     if isinstance(dt, T.LongType):
         # nanos read as bigint (nanosAsLong). Integer div — double
         # division would lose precision on 1.7e18-scale nano values
@@ -67,15 +76,9 @@ def _normalize_temporal(df: DataFrame, col: str, to_ltz: bool) -> DataFrame:
         if not to_ltz:
             df = df.withColumn(col, F.col(col).cast("timestamp_ntz"))
     elif to_ltz and isinstance(dt, T.TimestampNTZType):
-        # The NTZ→TIMESTAMP cast is value-preserving ONLY under a UTC
-        # session tz, so pin it HERE, not just in read_table — the
-        # streaming entry points call events_with_ts directly, and
-        # without the pin a non-UTC harness session would silently
-        # shift every epoch instead of erroring (the r2 failure class
-        # downgraded from loud to silent). Mutating the session conf
-        # is the engine's documented contract: all oracle parity
-        # assumes UTC rendering.
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        # The NTZ→TIMESTAMP cast is value-preserving ONLY under the
+        # UTC session tz pinned above (the r2 failure class downgraded
+        # from loud to silent without it).
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 

@@ -56,6 +56,25 @@ def read_warehouse(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def partition_values(spark: SparkSession, path: str, col: str) -> list[str]:
+    """Distinct values of a top-level partition column, read from the
+    partition DIRECTORY NAMES (``col=value``) via the Hadoop
+    FileSystem API — pure FileStatus metadata, zero data scan. This is
+    how "which days exist?" must be answered at 100 TB: listing a few
+    hundred directory entries instead of scanning the table (or worse,
+    re-scanning the source that produced it). Works on any Hadoop FS
+    (local, HDFS, S3A) since it goes through Path.getFileSystem."""
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{col}="
+    return [
+        name[len(prefix):]
+        for st in fs.listStatus(hadoop_path)
+        if (name := st.getPath().getName()).startswith(prefix)
+    ]
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -61,54 +61,179 @@ def cosine_topk(
     )
 
 
-def centroids_by_cell(
-    emb: DataFrame, dim: int, cell_col: str = "label"
-) -> DataFrame:
-    """Per-cell mean vector as an array column. One shuffle on the
-    cell id with map-side partial avg (64 scalar avgs, not an array
-    UDAF — each is codegen'd)."""
-    return emb.groupBy(cell_col).agg(
-        F.array(
-            *[F.avg(F.col("embedding")[i].cast("double")) for i in range(dim)]
-        ).alias("centroid")
+# --- IVF: learned cells, persisted index, pruned serving scan ------------
+
+#: index-build defaults: 8 spherical-k-means cells, 2 Lloyd rounds.
+#: Small because the test corpus is small; at 100 TB n_cells is
+#: O(sqrt(N)) (FAISS guidance) and iters stays single-digit — each
+#: Lloyd round is one corpus scan + an n_cells-group aggregate.
+IVF_CELLS = 8
+IVF_ITERS = 2
+#: Knuth multiplicative hash — deterministic seed ranking, no RNG.
+_SEED_MULT = 2654435761
+
+
+def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
+    """Centroids as a literal array<struct<cell,v>> — n_cells·dim
+    doubles baked into the plan, the DataFrame analog of a broadcast
+    (centroid tables are tiny by construction)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
+            )
+            for cell, vec in cents
+        ]
     )
 
 
-def ivf_topk(
+def assign_cell(
+    vec_col: Column | str, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """In-row nearest-centroid id: score the vector against every
+    literal centroid (codegen'd transform, zero shuffle, zero UDF) and
+    argmax by (cos rounded to 6dp, then smallest cell — encoded as the
+    max of struct(cos, -cell), since struct max compares fieldwise).
+    The 6dp round makes assignment reproducible across engines."""
+    from ..functions.vectors import dot, l2_norm
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def safe_cos(ct_v: Column) -> Column:
+        # a zero vector (or zero centroid) must assign deterministically
+        # instead of raising ANSI ÷0 mid-job: define its cos as 0
+        denom = l2_norm(c) * l2_norm(ct_v)
+        return F.when(denom > 0, dot(c, ct_v) / denom).otherwise(F.lit(0.0))
+
+    scored = F.transform(
+        _centroid_literal(cents),
+        lambda ct: F.struct(
+            F.round(safe_cos(ct["v"]), 6).alias("cos"),
+            (-ct["cell"]).alias("negcell"),
+        ),
+    )
+    return (-F.array_max(scored)["negcell"]).cast("int")
+
+
+def train_kmeans_cells(
     emb: DataFrame,
-    query: DataFrame,
     dim: int,
+    n_cells: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Learn IVF cells: deterministic-seeded spherical k-means, Lloyd
+    iterations as DataFrame ops. This is the OFFLINE index-build job —
+    it scans the corpus iters+1 times and is run once (see
+    :func:`build_ivf_index`), never on the query path (the r3 review's
+    per-query-centroid-scan fix).
+
+    - seeds: the ``n_cells`` vectors ranked first by the Knuth
+      multiplicative hash of their id — deterministic (no RNG, no seed
+      drift; oracles replay it exactly), well-spread for integer ids;
+    - assign: in-row argmax cosine against literal centroids (zero
+      corpus shuffle — see :func:`assign_cell`);
+    - update: per-dim mean via ``n_cells``-group aggregate with
+      map-side partials, rounded to 6dp so both engines agree on the
+      next round's inputs; an emptied cell keeps its previous centroid.
+
+    Only ``n_cells × dim`` doubles ever reach the driver per round —
+    the corpus itself stays distributed."""
+    seed_rank = (F.col(id_col) * F.lit(_SEED_MULT)) % F.lit(2**32)
+    seeds = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(seed_rank.asc(), F.col(id_col).asc())
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [
+        (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(seeds)
+    ]
+    for _ in range(iters):
+        assigned = emb.select(
+            assign_cell(vec_col, cents).alias("cell"), F.col(vec_col)
+        )
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.round(
+                        F.avg(F.col(vec_col)[i].cast("double")), 6
+                    ).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = {r["cell"]: [float(r[f"c{i}"]) for i in range(dim)] for r in rows}
+        cents = [(cell, new.get(cell, vec)) for cell, vec in cents]
+    return cents
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    dim: int,
+    path: str,
+    n_cells: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: ``<path>/centroids`` (tiny parquet
+    table) and ``<path>/corpus`` — the full corpus written
+    ``partitionBy(cell)``, the inverted lists as partition
+    directories. Paid once at build time; every subsequent
+    :func:`ivf_search` is a centroid lookup plus a partition-pruned
+    scan of probes/n_cells of the data."""
+    spark = emb.sparkSession
+    cents = train_kmeans_cells(emb, dim, n_cells, iters, id_col, vec_col)
+    spark.createDataFrame(
+        [(c, v) for c, v in cents], schema="cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        emb.withColumn("cell", assign_cell(vec_col, cents))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/corpus")
+    )
+
+
+def ivf_search(
+    spark,
+    index_path: str,
+    query: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
-    cell_col: str = "label",
     exclude_id: int | None = None,
     probes: int = 1,
 ) -> DataFrame:
-    """IVF search: route the query to its nearest cell centroid(s),
-    then brute-force only those cells.
+    """Serve top-k from a persisted IVF index: route the query to its
+    ``probes`` nearest stored centroids (FAISS's nprobe — the recall
+    knob: neighbors just across a cell boundary come back at probes×
+    the pruned cost), then brute-force ONLY those cells' partitions.
 
-    ``probes`` is the recall knob (FAISS's nprobe): scanning the p
-    nearest cells instead of 1 recovers neighbors that fell just
-    across a cell boundary, at p× the (already-pruned) scan cost —
-    the standard recall/latency trade. The centroid table is tiny
-    (n_cells rows) → broadcast both ways; the cell filter prunes the
-    big scan (with the corpus written ``partitionBy(cell)``, it is
-    partition pruning, not even a scan). Returns (vec_id, label, cos)
-    like :func:`cosine_topk` so the strategies are drop-in
+    The query path touches no full-corpus aggregate: the centroid
+    read is n_cells rows, and the corpus join broadcasts the routed
+    cells so the partition-column join prunes the scan to the probed
+    directories (dynamic partition pruning). Returns (vec_id, label,
+    cos) like :func:`cosine_topk` so the strategies are drop-in
     comparable."""
-    cents = centroids_by_cell(emb, dim, cell_col)
+    cents = spark.read.parquet(f"{index_path}/centroids")
     best_cells = (
         cents.crossJoin(F.broadcast(query))
         .select(
-            F.col(cell_col),
+            F.col("cell"),
             F.round(cosine_similarity("centroid", "__qv"), 6).alias("__ccos"),
         )
-        .orderBy(F.desc("__ccos"), F.asc(cell_col))
+        .orderBy(F.desc("__ccos"), F.asc("cell"))
         .limit(probes)
-        .select(cell_col)
+        .select("cell")
     )
-    cell_members = emb.join(F.broadcast(best_cells), cell_col)
-    return cosine_topk(cell_members, query, k, id_col, exclude_id)
+    corpus = spark.read.parquet(f"{index_path}/corpus")
+    members = corpus.join(F.broadcast(best_cells), "cell")
+    return cosine_topk(members, query, k, id_col, exclude_id)
 
 
 # --- random-hyperplane (sign) LSH: the bucketed scale path ---------------

@@ -254,63 +254,190 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, q, k=10, exclude_id=_QUERY_VEC_ID)
 
 
-_IVF_ORACLE = f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
-flat AS (SELECT label, generate_subscripts(embedding, 1) AS i,
-                unnest(embedding)::DOUBLE AS v
-         FROM embeddings),
-cent AS (SELECT label, list(av ORDER BY i) AS centroid
-         FROM (SELECT label, i, avg(v) AS av FROM flat GROUP BY 1, 2)
-         GROUP BY label),
-best AS (SELECT c.label
-         FROM cent c, q
-         ORDER BY round({_cos_sql("c.centroid", "q.qv")}, 6) DESC, c.label
-         LIMIT 1)
+def _kmeans_ctes() -> str:
+    """DuckDB replica of the engine's IVF index build
+    (operators/similarity.py:train_kmeans_cells + build_ivf_index):
+    the same Knuth-hash seed ranking, the same Lloyd rounds with
+    6dp-rounded per-dim means and keep-previous-on-empty-cell, the
+    same final assignment. Generated from the SAME constants
+    (IVF_CELLS, IVF_ITERS, the seed multiplier), so Spark and DuckDB
+    run the identical algorithm — the gate checks the engine, not a
+    lookalike. Produces CTEs ``c{{it}}`` (final centroids) and
+    ``afin`` (final cell assignment of the whole corpus)."""
+    n_cells, iters = sim.IVF_CELLS, sim.IVF_ITERS
+    parts = [
+        f"""seedrank AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY (vec_id * {sim._SEED_MULT}) % 4294967296, vec_id
+         ) - 1 AS cell
+  FROM embeddings),
+c0 AS (SELECT cell, list_transform(embedding, x -> x::DOUBLE) AS centroid
+       FROM seedrank WHERE cell < {n_cells})"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""a{k} AS (SELECT vec_id, embedding, cell FROM (
+  SELECT e.vec_id, e.embedding, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_cos_sql("e.embedding", "c.centroid")}, 6)
+                      DESC, c.cell) AS rn
+  FROM embeddings e CROSS JOIN c{k} c) WHERE rn = 1),
+m{k} AS (SELECT cell, i, round(avg(v), 6) AS av FROM (
+           SELECT cell, generate_subscripts(embedding, 1) AS i,
+                  unnest(embedding)::DOUBLE AS v FROM a{k})
+         GROUP BY 1, 2),
+l{k} AS (SELECT cell, list(av ORDER BY i) AS centroid FROM m{k} GROUP BY cell),
+c{k + 1} AS (SELECT p.cell, coalesce(l.centroid, p.centroid) AS centroid
+       FROM c{k} p LEFT JOIN l{k} l USING (cell))"""
+        )
+    parts.append(
+        f"""afin AS (SELECT vec_id, label, embedding, cell FROM (
+  SELECT e.vec_id, e.label, e.embedding, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_cos_sql("e.embedding", "c.centroid")}, 6)
+                      DESC, c.cell) AS rn
+  FROM embeddings e CROSS JOIN c{iters} c) WHERE rn = 1)"""
+    )
+    return ",\n".join(parts)
+
+
+def _ivf_oracle(probes: int) -> str:
+    it = sim.IVF_ITERS
+    return f"""
+WITH {_kmeans_ctes()},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+best AS (SELECT c.cell FROM c{it} c, q
+         ORDER BY round({_cos_sql("c.centroid", "q.qv")}, 6) DESC, c.cell
+         LIMIT {probes})
 SELECT e.vec_id, e.label,
        round({_cos_sql("e.embedding", "q.qv")}, 6) AS cos
-FROM embeddings e JOIN best USING (label), q
+FROM afin e JOIN best USING (cell), q
 WHERE e.vec_id <> {_QUERY_VEC_ID}
 ORDER BY cos DESC, e.vec_id
 LIMIT 10
 """
 
 
-@register("emb_ivf_topk", oracle=_IVF_ORACLE, tags=("LLM", "similarity"))
+# the two probe settings must genuinely produce different oracles — a
+# generator regression that collapsed them would test nothing
+assert _ivf_oracle(1) != _ivf_oracle(3)
+
+
+#: one persisted IVF index per (session, sf_dir): built on first use
+#: (the offline indexing job), reused by every subsequent IVF query in
+#: the session — the query path never re-aggregates the corpus.
+_IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_INDEX_CACHE:
+        import os
+        import re
+        import tempfile
+
+        tag = re.sub(r"[^A-Za-z0-9_]", "_", "_".join(key))
+        path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+        sim.build_ivf_index(_t(spark, sf_dir, "embeddings"), _EMB_DIM, path)
+        _IVF_INDEX_CACHE[key] = path
+    return _IVF_INDEX_CACHE[key]
+
+
+@register("emb_ivf_topk", oracle=_ivf_oracle(1), tags=("LLM", "similarity"))
 def emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10: query → nearest label-cell centroid → scan only
-    that cell (operators/similarity.py:ivf_topk). At 100 TB the cell
-    filter is partition pruning; the centroid table broadcasts."""
+    """IVF top-10 from the PERSISTED learned index
+    (operators/similarity.py:build_ivf_index + ivf_search): k-means
+    cells trained once offline, corpus stored partitionBy(cell); the
+    query path reads the tiny centroid table, routes, and scans only
+    the probed cell's partition — no full-corpus aggregate per query
+    (the r3 review's fix). Plan-pinned by
+    tests/test_llm_operators.py::test_ivf_search_plan_has_no_corpus_aggregate."""
     emb = _t(spark, sf_dir, "embeddings")
     q = sim.query_vector(emb, _QUERY_VEC_ID)
-    return sim.ivf_topk(emb, q, dim=_EMB_DIM, k=10, exclude_id=_QUERY_VEC_ID)
-
-
-_IVF_MULTIPROBE_ORACLE = _IVF_ORACLE.replace(
-    "LIMIT 1)", "LIMIT 3)", 1
-)
-# a reformat of _IVF_ORACLE would make the replace a silent no-op and
-# check multiprobe against the single-probe oracle — fail loudly instead
-assert "LIMIT 3)" in _IVF_MULTIPROBE_ORACLE
-assert _IVF_MULTIPROBE_ORACLE != _IVF_ORACLE
+    idx = _ivf_index_path(spark, sf_dir)
+    return sim.ivf_search(spark, idx, q, k=10, exclude_id=_QUERY_VEC_ID)
 
 
 @register(
     "emb_ivf_multiprobe_topk",
-    oracle=_IVF_MULTIPROBE_ORACLE,
+    oracle=_ivf_oracle(3),
     tags=("LLM", "similarity"),
 )
 def emb_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe IVF top-10 (nprobe=3): scan the three nearest
-    cells instead of one — the recall knob of the IVF scale path
-    (neighbors just across a cell boundary come back at 3× the
-    pruned-scan cost). The oracle widens its best-cell LIMIT the same
-    way, so cell routing AND the recall-expanding union are both
-    under the gate."""
+    """Multi-probe IVF top-10 (nprobe=3) against the same persisted
+    index: scan the three nearest cells instead of one — the recall
+    knob of the IVF scale path (neighbors just across a cell boundary
+    come back at 3× the pruned-scan cost). The oracle widens its
+    best-cell LIMIT the same way, so cell routing AND the
+    recall-expanding union are both under the gate."""
     emb = _t(spark, sf_dir, "embeddings")
     q = sim.query_vector(emb, _QUERY_VEC_ID)
-    return sim.ivf_topk(
-        emb, q, dim=_EMB_DIM, k=10, exclude_id=_QUERY_VEC_ID, probes=3
+    idx = _ivf_index_path(spark, sf_dir)
+    return sim.ivf_search(
+        spark, idx, q, k=10, exclude_id=_QUERY_VEC_ID, probes=3
     )
+
+
+def _ivf_recall_oracle() -> str:
+    it = sim.IVF_ITERS
+    probe_ctes = ",\n".join(
+        f"""best{p} AS (SELECT c.cell FROM c{it} c, q
+         ORDER BY round({_cos_sql("c.centroid", "q.qv")}, 6) DESC, c.cell
+         LIMIT {p}),
+ivf{p} AS (SELECT e.vec_id FROM afin e JOIN best{p} USING (cell), q
+           WHERE e.vec_id <> {_QUERY_VEC_ID}
+           ORDER BY round({_cos_sql("e.embedding", "q.qv")}, 6) DESC, e.vec_id
+           LIMIT 10)"""
+        for p in (1, 2, 4)
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {p} AS probes, round((SELECT count(*) FROM ivf{p} "
+        f"JOIN bf USING (vec_id)) / 10.0, 6) AS recall"
+        for p in (1, 2, 4)
+    )
+    return f"""
+WITH {_kmeans_ctes()},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+bf AS (SELECT e.vec_id FROM embeddings e, q
+       WHERE e.vec_id <> {_QUERY_VEC_ID}
+       ORDER BY round({_cos_sql("e.embedding", "q.qv")}, 6) DESC, e.vec_id
+       LIMIT 10),
+{probe_ctes}
+SELECT probes, recall FROM ({unions}) ORDER BY probes
+"""
+
+
+@register(
+    "emb_ivf_recall_curve",
+    oracle=_ivf_recall_oracle(),
+    tags=("LLM", "similarity"),
+)
+def emb_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the persisted IVF index vs the brute-force oracle
+    at probes ∈ {1, 2, 4} — the curve an ANN deployment tunes nprobe
+    with. Each point is |IVF∩BF|/10; all three probes reuse the same
+    persisted index and the brute-force baseline is the same
+    TakeOrdered scan as emb_cosine_topk — one plan, no collect."""
+    from functools import reduce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim.query_vector(emb, _QUERY_VEC_ID)
+    idx = _ivf_index_path(spark, sf_dir)
+    bf = sim.cosine_topk(emb, q, k=10, exclude_id=_QUERY_VEC_ID).select(
+        "vec_id"
+    )
+    parts = []
+    for p in (1, 2, 4):
+        ids = sim.ivf_search(
+            spark, idx, q, k=10, exclude_id=_QUERY_VEC_ID, probes=p
+        ).select("vec_id")
+        parts.append(
+            ids.join(bf, "vec_id")
+            .agg(F.round(F.count("*") / 10.0, 6).alias("recall"))
+            .select(F.lit(p).alias("probes"), "recall")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("probes")
 
 
 # ---------------------------------------------------------------------------

@@ -90,22 +90,62 @@ def test_cosine_topk_orders_by_similarity(spark):
     assert got[0]["cos"] > 0.99
 
 
-def test_ivf_topk_searches_only_best_cell(spark):
+def test_ivf_index_build_and_pruned_search(spark, tmp_path):
+    # two clean clusters around x-axis and y-axis
     emb = spark.createDataFrame(
         [
             (0, [1.0, 0.0], 0),
             (1, [0.95, 0.05], 0),
             (2, [0.9, 0.2], 0),
-            (3, [0.99, 0.01], 1),  # close to query but in the other cell
-            (4, [0.0, 1.0], 1),
+            (3, [0.0, 1.0], 1),
+            (4, [0.05, 0.99], 1),
+            (5, [0.1, 0.9], 1),
         ],
         "vec_id long, embedding array<float>, label int",
     )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, dim=2, path=path, n_cells=2, iters=2)
     q = sim.query_vector(emb, 0)
-    got = sim.ivf_topk(emb, q, dim=2, k=10, exclude_id=0).collect()
-    # cell 0's centroid is nearest → only members 1,2 returned (3 is
-    # in cell 1: the recall trade-off IVF makes by design)
+    got = sim.ivf_search(spark, path, q, k=10, exclude_id=0).collect()
+    # only the query's own (x-axis) cell is scanned: 1 and 2 come
+    # back, the y-axis cluster doesn't — the recall trade IVF makes
     assert sorted(r["vec_id"] for r in got) == [1, 2]
+    # probes=2 widens to the second cell
+    got2 = sim.ivf_search(spark, path, q, k=10, exclude_id=0, probes=2)
+    assert sorted(r["vec_id"] for r in got2.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_kmeans_training_is_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)], 0) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    c1 = sim.train_kmeans_cells(emb, dim=2, n_cells=3, iters=2)
+    c2 = sim.train_kmeans_cells(emb, dim=2, n_cells=3, iters=2)
+    assert c1 == c2  # no RNG, no partition-order dependence
+
+
+def test_ivf_search_plan_has_no_corpus_aggregate(spark, tmp_path):
+    """The r3 review flagged per-query centroid recomputation (a
+    full-corpus aggregate on the query path). Pin the fix: the serving
+    plan reads the persisted centroid table — it contains NO aggregate
+    node at all, and the corpus join is broadcast on the routed cells."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], 0) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, dim=2, path=path, n_cells=2, iters=1)
+    q = sim.query_vector(emb, 0)
+    plan = (
+        sim.ivf_search(spark, path, q, k=5, exclude_id=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the corpus scan must be pruned to the routed cells' partition
+    # directories — the whole point of the persisted inverted lists
+    assert "dynamicpruning" in plan
 
 
 def test_predict_lang_markers(spark):

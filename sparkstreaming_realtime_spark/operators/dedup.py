@@ -351,6 +351,102 @@ def winnow_fingerprints(
     )
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 15,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sub-document exact dedup: emit ``w``-token windows starting at
+    multiples of ``stride`` (default: aligned, stride = w), fingerprint
+    each, and report every window occurring more than once across the
+    corpus — catches shared boilerplate runs that doc-level hashing
+    misses because the surrounding text differs.
+
+    ``stride < w`` (overlapping windows) widens recall: the aligned
+    chunker only matches duplicated runs whose start offsets agree
+    mod w; stride s catches offsets equal mod s at w/s× the chunk
+    rows. Alignment-INDEPENDENT span detection is
+    :func:`overlap_spans` (winnowing — content-defined positions).
+
+    Scale shape: the token array is bound to its own projection (no
+    re-tokenize per chunk — the HOF-lambda CSE rule), the 8-byte
+    fingerprint is hashed BEFORE the shuffle so the groupBy moves
+    (fp, id) pairs, and count/min/count-distinct all get map-side
+    partials."""
+    from ..functions.text import tokenize
+
+    s = w if stride is None else stride
+    toked = docs.select(F.col(id_col), tokenize(text_col).alias("__t"))
+    t = F.col("__t")
+    n_starts = (F.floor((F.size(t) - w) / s) + 1).cast("int")
+    idx = F.when(F.size(t) >= w, F.sequence(F.lit(0), n_starts - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i * s + 1, w)))
+        ).alias("chunk"),
+    )
+    return (
+        chunks.select(fingerprint("chunk").alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.min(id_col).alias("keep_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def overlap_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the plagiarism/contamination-span detector the fingerprint op
+    exists for. By the winnowing guarantee (every shared token run of
+    ≥ w+k−1 tokens yields a shared fingerprint), a pair with several
+    shared fingerprints shares that many distinct overlap spans (or
+    one long one) even when whole-document similarity is tiny — the
+    case MinHash's global Jaccard misses by design.
+
+    Same scale shape as LSH candidate generation: the ONLY pairwise
+    step is a fingerprint-local self-equi-join (shuffle on the 60-bit
+    fingerprint), the shared count is a map-side-combinable aggregate,
+    and ``max_bucket`` drops degenerate fingerprints (a boilerplate
+    phrase's window minimum shared by millions of docs) before the
+    join — at 100 TB you always set it. Never all-pairs.
+
+    Returns (doc_a, doc_b, shared_fps) with doc_a < doc_b."""
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w)
+    if max_bucket is not None:
+        small = (
+            fps.groupBy("fingerprint")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("fingerprint")
+        )
+        fps = fps.join(small, "fingerprint")
+    a = fps.select(F.col("fingerprint"), F.col(id_col).alias("doc_a"))
+    b = fps.select(F.col("fingerprint"), F.col(id_col).alias("doc_b"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 def dup_clusters(
     docs: DataFrame,
     text_col: str = "text",

@@ -663,8 +663,10 @@ def doc_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("doc_id", "frame_idx", "frame_bytes")
 
 
-def _winnow_oracle() -> str:
-    toks = _toks_sql("text")
+def _winnow_ctes() -> str:
+    """CTE chain ending in ``fp`` (doc_id, fingerprint) — the DuckDB
+    replica of operators/dedup.py:winnow_fingerprints, shared by the
+    fingerprint query and the overlap-span pairing query."""
     k, w = dd.WINNOW_K, dd.WINNOW_W
     shingles = (
         f"CASE WHEN len(t) >= {k} "
@@ -673,7 +675,7 @@ def _winnow_oracle() -> str:
         f"ELSE [array_to_string(t, ' ')] END"
     )
     return f"""
-WITH toks AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
+toks AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
 sh AS (SELECT doc_id, {shingles} AS s FROM toks),
 h AS (SELECT doc_id, list_transform(s, v -> {oracle_hash60_sql("v")}) AS hs
       FROM sh),
@@ -682,8 +684,15 @@ m AS (SELECT doc_id,
                   THEN list_transform(range(1, len(hs) - {w - 2}),
                                       i -> list_min(hs[i:i+{w - 1}]))
                   ELSE [list_min(hs)] END AS minima
-      FROM h)
-SELECT doc_id, unnest(list_distinct(minima)) AS fingerprint FROM m
+      FROM h),
+fp AS (SELECT doc_id, unnest(list_distinct(minima)) AS fingerprint FROM m)
+"""
+
+
+def _winnow_oracle() -> str:
+    return f"""
+WITH {_winnow_ctes()}
+SELECT doc_id, fingerprint FROM fp
 """
 
 
@@ -694,6 +703,33 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= w+k-1 tokens between documents, the partial-overlap complement
     to whole-set MinHash."""
     return dd.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+_OVERLAP_MIN_SHARED = 3
+
+_OVERLAP_SPANS_ORACLE = f"""
+WITH {_winnow_ctes()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*)::BIGINT AS shared_fps
+FROM fp a JOIN fp b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_OVERLAP_MIN_SHARED}
+"""
+
+
+@register(
+    "doc_overlap_spans", oracle=_OVERLAP_SPANS_ORACLE, tags=("LLM", "dedup")
+)
+def doc_overlap_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-span pairs on winnowing fingerprints
+    (operators/dedup.py:overlap_spans): pairs of documents sharing ≥ 3
+    window-minimum fingerprints — partial-overlap detection (plagiarism
+    / contamination spans) that whole-document MinHash misses. The only
+    pairwise step is the fingerprint-local self-join; never all-pairs."""
+    return dd.overlap_spans(
+        _t(spark, sf_dir, "documents"), min_shared=_OVERLAP_MIN_SHARED
+    )
 
 
 _EMB_FEATURES_ORACLE = """
@@ -1283,13 +1319,24 @@ def doc_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CHUNK_W = 15
+#: stride for the overlapping-window variant: w/2 (rounded up). The
+#: aligned chunker only matches duplicated runs whose start offsets
+#: agree modulo w; halving the stride doubles the caught alignment
+#: classes (offsets equal mod 8) for 2× the chunk rows. Full
+#: alignment-independent span detection is doc_overlap_spans
+#: (winnowing — content-defined positions); this is the cheap middle.
+_CHUNK_S = 8
 
-_CHUNK_DEDUP_ORACLE = f"""
+
+def _chunk_dedup_oracle(stride: int) -> str:
+    w = _CHUNK_W
+    return f"""
 WITH toks AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
 chunks AS (
   SELECT doc_id,
-         array_to_string(t[i*{_CHUNK_W}+1 : i*{_CHUNK_W}+{_CHUNK_W}], ' ') AS chunk
-  FROM toks, unnest(range(0, len(t) // {_CHUNK_W})) AS u(i))
+         array_to_string(t[i*{stride}+1 : i*{stride}+{w}], ' ') AS chunk
+  FROM toks, unnest(range(0, (len(t) - {w}) // {stride} + 1)) AS u(i)
+  WHERE len(t) >= {w})
 SELECT fp, n_copies, n_docs, keep_doc FROM (
   SELECT {oracle_hash60_sql("lower(trim(chunk))")} AS fp,
          count(*)::BIGINT AS n_copies,
@@ -1300,7 +1347,9 @@ WHERE n_copies > 1
 """
 
 
-@register("doc_chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE, tags=("LLM", "dedup"))
+@register(
+    "doc_chunk_dedup", oracle=_chunk_dedup_oracle(_CHUNK_W), tags=("LLM", "dedup")
+)
 def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document exact dedup: tokenize each doc once, cut it into
     fixed 15-token chunks (the sub-document unit — the corpus has no
@@ -1308,36 +1357,27 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines chunk on anyway), fingerprint each chunk, and report
     every chunk occurring more than once across the corpus — the
     pass that catches shared boilerplate runs which doc-level hashing
-    misses because the surrounding text differs.
-
-    Scale shape: the token array is bound to its own projection (no
-    re-tokenize per chunk — the HOF-lambda CSE rule, see
-    functions/text.py:ngram_shingles), the 8-byte fingerprint is
-    hashed BEFORE the shuffle so the groupBy moves (fp, doc_id)
-    pairs, and count/min/count-distinct all get map-side partials."""
-    from ..functions.text import tokenize
-
-    w = _CHUNK_W
-    docs = dd.spread(_t(spark, sf_dir, "documents"))
-    toked = docs.select("doc_id", tokenize("text").alias("__t"))
-    t = F.col("__t")
-    n_chunks = F.floor(F.size(t) / w).cast("int")
-    idx = F.when(n_chunks >= 1, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
-        F.array().cast("array<int>")
+    misses because the surrounding text differs."""
+    return dd.chunk_dedup(
+        dd.spread(_t(spark, sf_dir, "documents")), w=_CHUNK_W, stride=_CHUNK_W
     )
-    chunks = toked.select(
-        "doc_id",
-        F.explode(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i * w + 1, w)))
-        ).alias("chunk"),
-    )
-    return (
-        chunks.select(dd.fingerprint("chunk").alias("fp"), "doc_id")
-        .groupBy("fp")
-        .agg(
-            F.count("*").cast("bigint").alias("n_copies"),
-            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-            F.min("doc_id").alias("keep_doc"),
-        )
-        .filter(F.col("n_copies") > 1)
+
+
+@register(
+    "doc_chunk_dedup_stride",
+    oracle=_chunk_dedup_oracle(_CHUNK_S),
+    tags=("LLM", "dedup"),
+)
+def doc_chunk_dedup_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunk dedup (stride w/2 = 8): the aligned
+    chunker only matches duplicated runs whose start offsets agree
+    mod 15 — a copy shifted by, say, 8 tokens of boilerplate prefix
+    is invisible to it. Emitting windows every 8 tokens doubles the
+    caught alignment classes (offsets equal mod 8) for ~2× the chunk
+    rows — the documented recall/cost middle between aligned chunks
+    and full winnowing (doc_overlap_spans). The straddling-duplicate
+    catch is pinned by
+    tests/test_llm_operators.py::test_stride_chunks_catch_straddling_duplicate."""
+    return dd.chunk_dedup(
+        dd.spread(_t(spark, sf_dir, "documents")), w=_CHUNK_W, stride=_CHUNK_S
     )

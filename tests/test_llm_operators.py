@@ -428,3 +428,59 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     assert sets[1] & sets[2], "shared run must produce a shared fingerprint"
     assert not (sets[1] & sets[3])
     assert not (sets[2] & sets[3])
+
+
+def test_overlap_spans_pairs_docs_with_shared_runs(spark):
+    """overlap_spans pairs exactly the docs whose winnowing
+    fingerprint sets intersect in >= min_shared places: a long planted
+    overlap clears the bar, a short one doesn't, disjoint docs never
+    pair, and max_bucket drops a degenerate boilerplate fingerprint."""
+    from sparkstreaming_realtime_spark.operators.dedup import overlap_spans
+
+    long_run = " ".join(f"common{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + long_run + " delta"),
+            (2, "zeta eta theta " + long_run + " kappa"),
+            (3, "totally disjoint words appear here only once ever"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in overlap_spans(docs, min_shared=3).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] >= 3
+    # raising the bar above the overlap's fingerprint yield empties it
+    high = overlap_spans(docs, min_shared=1000).collect()
+    assert high == []
+    # max_bucket=1 drops every shared fingerprint (each lives in 2
+    # docs) — the boilerplate-cap escape hatch
+    capped = overlap_spans(docs, min_shared=1, max_bucket=1).collect()
+    assert capped == []
+
+
+def test_stride_chunks_catch_straddling_duplicate(spark):
+    """A duplicated 15-token run shifted by 8 tokens of junk prefix
+    straddles the aligned chunk boundary: stride-15 chunking misses
+    it, stride-8 overlapping windows catch it (the offsets agree
+    mod 8) — the recall the w/2 stride buys."""
+    from sparkstreaming_realtime_spark.operators.dedup import chunk_dedup
+
+    run = " ".join(f"dup{i}" for i in range(15))
+    junk = " ".join(f"junk{i}" for i in range(8))
+    tail_a = " ".join(f"taila{i}" for i in range(10))
+    tail_b = " ".join(f"tailb{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, run + " " + tail_a), (2, junk + " " + run + " " + tail_b)],
+        "doc_id long, text string",
+    )
+    aligned = chunk_dedup(docs, w=15, stride=15).collect()
+    assert aligned == []  # boundary-straddling: invisible when aligned
+    strided = [
+        r for r in chunk_dedup(docs, w=15, stride=8).collect()
+        if r["n_docs"] == 2
+    ]
+    assert len(strided) == 1  # the shifted run fingerprint-matches
+    assert strided[0]["keep_doc"] == 1

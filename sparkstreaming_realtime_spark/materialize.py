@@ -24,13 +24,18 @@ Callers that finish with an intermediate should ``unpersist()`` it
 explicitly (see :func:`release`).
 
 Lifecycle asymmetry to know about: :func:`release` /
-:func:`release_all` can only drop PERSISTED blocks — a reliable
-checkpoint's files belong to the checkpoint dir and outlive the
-DataFrame. A cluster deployment that sets a checkpoint dir should
-also set ``spark.cleaner.referenceTracking.cleanCheckpoints=true``
-(a SparkConf, fixed at context creation) or manage the directory's
-retention externally; otherwise iterative callers (dup_clusters
-checkpoints per round) accumulate files until the context stops.
+:func:`release_all` drop PERSISTED blocks unconditionally, but a
+reliable checkpoint's files belong to the checkpoint dir and outlive
+the DataFrame. Checkpointed frames are therefore tracked too, and
+``release_all(clean_checkpoints=True)`` (opt-in) deletes their
+``rdd-N`` directories through the Hadoop FileSystem API — only the
+directories of frames the engine itself materialized and has been
+told are finished, never the whole checkpoint dir. Deployments that
+prefer engine-external retention can ignore the flag and set
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+SparkConf, fixed at context creation) or manage the directory
+externally; with neither, iterative callers (dup_clusters checkpoints
+per round) accumulate files until the context stops.
 """
 
 from __future__ import annotations
@@ -45,6 +50,11 @@ from pyspark.sql import DataFrame
 #: (measured ~4× on the bench tail), so cleanup is not optional.
 _LIVE: list[DataFrame] = []
 
+#: checkpointed frames not yet released — their rdd-N directories can
+#: be deleted on request (release_all(clean_checkpoints=True)) once
+#: the caller knows no later plan will re-read them.
+_LIVE_CKPT: list[DataFrame] = []
+
 
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     """Durably materialize ``df`` for reuse across plan subtrees.
@@ -56,7 +66,9 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         # reliable checkpoint: replicated storage + true lineage cut
-        return df.checkpoint(eager=eager)
+        out = df.checkpoint(eager=eager)
+        _LIVE_CKPT.append(out)
+        return out
     out = df.persist(StorageLevel.DISK_ONLY)
     _LIVE.append(out)
     if eager:
@@ -64,25 +76,68 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     return out
 
 
-def release(df: DataFrame) -> None:
-    """Drop a materialized intermediate's blocks (no-op for reliable
-    checkpoints, which are owned by the checkpoint dir)."""
+def _checkpoint_file(df: DataFrame) -> str | None:
+    """The rdd-N directory backing a checkpointed DataFrame (None if
+    the lazy checkpoint never executed). The analyzed plan of a
+    checkpoint() result is a LogicalRDD over the checkpointed RDD."""
+    try:
+        opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+        return opt.get() if opt.isDefined() else None
+    except Exception:  # pragma: no cover — internals moved; skip clean
+        return None
+
+
+def _delete_fs_path(df: DataFrame, path: str) -> None:
+    """Recursive delete via the Hadoop FileSystem API — works for any
+    checkpoint-dir scheme (local, HDFS, S3A), same as Spark's own
+    cleanCheckpoints cleaner."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+
+
+def release(df: DataFrame, clean_checkpoint: bool = False) -> None:
+    """Drop a materialized intermediate's blocks. For a checkpointed
+    frame, ``clean_checkpoint=True`` additionally deletes its rdd-N
+    files — only safe once no un-executed plan still references it."""
     try:
         df.unpersist()
     except Exception:  # pragma: no cover — best-effort cleanup
         pass
     _LIVE[:] = [d for d in _LIVE if d is not df]
+    if any(d is df for d in _LIVE_CKPT):
+        if clean_checkpoint:
+            path = _checkpoint_file(df)
+            if path is not None:
+                _delete_fs_path(df, path)
+        _LIVE_CKPT[:] = [d for d in _LIVE_CKPT if d is not df]
 
 
-def release_all() -> None:
+def release_all(clean_checkpoints: bool = False) -> None:
     """Unpersist every still-live materialized frame. Called by the
     query registry on entry to each query, so blocks from FINISHED
     queries never pile up across a long gate/bench session — only
     the engine's own frames are touched (never a caller's caches,
-    unlike ``spark.catalog.clearCache()``)."""
+    unlike ``spark.catalog.clearCache()``).
+
+    ``clean_checkpoints=True`` (opt-in) also deletes the tracked
+    reliable-checkpoint directories — for batch sessions that know the
+    previous query's checkpoints are dead; the default leaves them to
+    the deployment's retention policy."""
     for df in _LIVE:
         try:
             df.unpersist()
         except Exception:  # pragma: no cover
             pass
     _LIVE.clear()
+    # checkpointed frames stay tracked until a clean_checkpoints=True
+    # sweep actually deletes them — a per-query release_all() must not
+    # forget files a session-end cleanup still wants to remove (the
+    # handles are tiny logical plans, not blocks)
+    if clean_checkpoints:
+        for df in _LIVE_CKPT:
+            path = _checkpoint_file(df)
+            if path is not None:
+                _delete_fs_path(df, path)
+        _LIVE_CKPT.clear()

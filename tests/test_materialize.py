@@ -1,0 +1,69 @@
+"""materialize.py lifecycle: DISK_ONLY persist tracking, and the
+opt-in reliable-checkpoint retention sweep (VERDICT r3 #7)."""
+
+import os
+
+from sparkstreaming_realtime_spark.materialize import (
+    _checkpoint_file,
+    _LIVE,
+    _LIVE_CKPT,
+    materialize,
+    release,
+    release_all,
+)
+
+
+def _local(path: str) -> str:
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def test_persist_branch_tracks_and_releases(spark):
+    release_all(clean_checkpoints=True)  # isolate from other tests
+    df = materialize(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    assert any(d is df for d in _LIVE)
+    df.count()
+    assert df.storageLevel.useDisk and not df.storageLevel.useMemory
+    release(df)
+    assert not any(d is df for d in _LIVE)
+    assert not df.storageLevel.useDisk
+
+
+def test_checkpoint_cleanup_is_opt_in(spark, tmp_path):
+    release_all(clean_checkpoints=True)
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # engine sessions don't set one
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+    try:
+        a = materialize(spark.range(50).selectExpr("id"), eager=True)
+        b = materialize(spark.range(60).selectExpr("id"), eager=True)
+        pa, pb = _local(_checkpoint_file(a)), _local(_checkpoint_file(b))
+        assert os.path.isdir(pa) and os.path.isdir(pb)
+        # default release_all: files SURVIVE (deployment owns retention)
+        release_all()
+        assert os.path.isdir(pa) and os.path.isdir(pb)
+        # frames stay tracked, so a later opt-in sweep still deletes
+        assert len(_LIVE_CKPT) == 2
+        release_all(clean_checkpoints=True)
+        assert not os.path.exists(pa) and not os.path.exists(pb)
+        assert _LIVE_CKPT == []
+    finally:
+        # unset so later tests see the engine's no-checkpoint default
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(spark._jvm.scala.Option.empty())
+
+
+def test_release_single_checkpointed_frame(spark, tmp_path):
+    release_all(clean_checkpoints=True)
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ck2"))
+    try:
+        a = materialize(spark.range(10).selectExpr("id"), eager=True)
+        b = materialize(spark.range(20).selectExpr("id"), eager=True)
+        pa, pb = _local(_checkpoint_file(a)), _local(_checkpoint_file(b))
+        release(a, clean_checkpoint=True)
+        assert not os.path.exists(pa)  # a's files gone ...
+        assert os.path.isdir(pb)  # ... b's untouched
+        assert [d is b for d in _LIVE_CKPT] == [True]
+        release_all(clean_checkpoints=True)
+        assert not os.path.exists(pb)
+    finally:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(spark._jvm.scala.Option.empty())

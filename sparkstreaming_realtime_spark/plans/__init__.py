@@ -47,28 +47,32 @@ _PRIORITY = [
     "doc_incremental_near_dup", "emb_cosine_topk", "emb_int8_quantize",
     "doc_token_stats", "doc_lang_id", "doc_binary_meta",
     "corpus_curation_funnel",
-    # never-driver-checked LLM ops
+    # never-driver-checked LLM ops (doc_overlap_spans and the r4
+    # streaming curation parity are new this round)
     "emb_ivf_topk", "emb_ivf_multiprobe_topk", "emb_near_dup_lsh",
-    "doc_winnow_fingerprints", "doc_sequence_packing",
-    "doc_decontaminate", "doc_pii_scrub", "doc_chunk_dedup",
-    "doc_source_mix",
+    "doc_winnow_fingerprints", "doc_overlap_spans",
+    "doc_sequence_packing", "doc_decontaminate", "doc_pii_scrub",
+    "doc_chunk_dedup",
     # warehouse sentinels
     "dau_warehouse_day_slice", "bucketed_colocated_join",
     # streaming-parity sentinels (real state machinery) — last in the
     # top-50 block: if the cap is a count they're inside it, if a time
     # budget the cheap queries above have already banked rows
     "streaming_dau_dedup_parity", "streaming_order_wide_parity",
-    "streaming_hourly_rollup_parity",
+    "streaming_curation_parity",
     # tail of the curated block (51+): r3-green rows rotated out this
-    # round (still verified by scripts/check_oracle.py and pytest)
+    # round (still verified by scripts/check_oracle.py and pytest),
+    # plus the remaining never-checked extensions
     "dau_by_hour", "session_entry_first_daily", "get_by_id",
     "error_routing", "log_split_error", "log_split_displays",
     "log_split_start", "cdc_op_normalize", "cdc_fact_rows",
     "acctbal_bands", "relabel_segment", "top_k_grouped_avg",
     "delete_by_id_view", "upsert_single_view", "to_json_serialize",
     "streaming_cdc_dim_parity", "streaming_multiplex_parity",
-    "streaming_state_profile_parity", "streaming_user_sessions_parity",
-    "doc_hash_split", "nation_acctbal_salted",
+    "streaming_hourly_rollup_parity", "streaming_state_profile_parity",
+    "streaming_user_sessions_parity", "doc_hash_split",
+    "nation_acctbal_salted", "doc_source_mix", "doc_chunk_dedup_stride",
+    "emb_ivf_recall_curve",
 ]
 
 

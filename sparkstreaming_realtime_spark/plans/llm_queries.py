@@ -1156,6 +1156,82 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_curation_parity",
+    oracle=_funnel_oracle(),
+    tags=("LLM", "pipeline", "streaming"),
+)
+def streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel through REAL streaming machinery, checked
+    against the batch funnel's oracle: documents stream through
+    ``streaming/pipelines.py:curation_sink`` (per-batch quality gate →
+    within-batch dedup → first-wins vs the grown corpus store), then
+    the temperature-resample snapshot — whose per-language rates
+    depend on the whole corpus mix, so a real pipeline computes them
+    from the accumulated store, not per batch — runs over what the
+    stream kept. Same protocol as the other streaming parities
+    (file source → foreachBatch → AvailableNow → read the store);
+    cross-batch first-wins and replay idempotency are pinned by
+    tests/test_streaming.py::test_curation_sink_across_micro_batches."""
+    import tempfile
+
+    from ..functions.hashing import hash60
+    from ..streaming.pipelines import curation_sink, run_available_now
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    base = tempfile.mkdtemp(prefix="curation_")
+    corpus_path, stats_path = f"{base}/corpus", f"{base}/stats"
+    q = run_available_now(
+        raw, curation_sink(corpus_path, stats_path), f"{base}/ckpt",
+        query_name="curation",
+    )
+    q.awaitTermination()
+    kept = spark.read.parquet(corpus_path)
+    stats = (
+        spark.read.parquet(stats_path)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_raw").cast("bigint").alias("n_raw"),
+            F.sum("n_quality").cast("bigint").alias("n_quality"),
+        )
+    )
+    # resample snapshot over the accumulated store: rate = sqrt(min/n)
+    # per language (α=0.5), u = the funnel's deterministic doc hash
+    uniq = kept.groupBy("lang").agg(F.count("*").alias("n_u"))
+    nmin = uniq.agg(F.min("n_u").alias("__nmin"))
+    rr = uniq.crossJoin(F.broadcast(nmin)).select(
+        "lang", F.sqrt(F.col("__nmin") / F.col("n_u")).alias("rate")
+    )
+    u = hash60(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))
+    ) / F.lit(float(1 << 60))
+    finals = (
+        kept.join(F.broadcast(rr), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_unique"),
+            F.sum(F.when(u < F.col("rate"), 1).otherwise(0))
+            .cast("bigint").alias("n_final"),
+            F.round(F.first("rate"), 6).alias("rate"),
+        )
+    )
+    return (
+        stats.join(finals, "lang", "left")
+        .select(
+            "lang", "n_raw", "n_quality",
+            F.coalesce("n_unique", F.lit(0)).cast("bigint").alias("n_unique"),
+            F.coalesce("n_final", F.lit(0)).cast("bigint").alias("n_final"),
+            F.coalesce("rate", F.lit(0.0)).alias("rate"),
+        )
+    )
+
+
 _COMMONNESS_ORACLE = f"""
 WITH toks AS (SELECT doc_id, unnest({_toks_sql("text")}) AS term
               FROM documents),

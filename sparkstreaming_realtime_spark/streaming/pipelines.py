@@ -210,6 +210,92 @@ def multiplex_sink(base_path: str):
     return write
 
 
+def curation_sink(
+    corpus_path: str,
+    stats_path: str,
+    min_quality: float = 0.25,
+    max_repetition: float = 0.05,
+):
+    """The composed curation funnel per micro-batch — the streaming
+    binding of ``plans.llm_queries.corpus_curation_funnel``'s first
+    two stages: quality gate (score ≥ min_quality ∧ repetition <
+    max_repetition) → exact-fingerprint dedup, first within the batch
+    (min doc_id per fp) then against the GROWN corpus (first batch to
+    claim a fingerprint wins — the reference's Redis first-`sadd`
+    shape at corpus scale). Kept docs (doc_id, lang, fp) land in
+    ``corpus_path/batch=<id>``; per-batch per-language funnel counts
+    (n_raw, n_quality) in ``stats_path/batch=<id>`` — both
+    per-batch-id overwrites, so replay is idempotent (T5).
+
+    The temperature-resample stage is deliberately NOT per-batch: its
+    per-language rates depend on the whole corpus mix, so a real
+    pipeline snapshots them from the accumulated store — exactly what
+    the parity query does after draining.
+
+    Cross-batch semantics note: with in-order batches the kept
+    FINGERPRINT set equals the batch funnel's; the surviving
+    representative per fp is the earliest batch's min-id (the batch
+    funnel picks the global min-id). Identical when dups share a
+    batch or arrive id-ordered; pinned by
+    tests/test_streaming.py::test_curation_sink_across_micro_batches."""
+    import os
+
+    from ..functions.text import tokenize
+    from ..operators import textstats as ts
+    from ..operators.dedup import fingerprint, spread
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            # tokenize ONCE behind an explode barrier — both quality
+            # signals read the bound token array (no HOF-lambda CSE)
+            base = spread(batch_df).select(
+                "doc_id", "lang",
+                F.explode(F.array(tokenize("text"))).alias("__toks"),
+                fingerprint("text").alias("fp"),
+            )
+            pass_q = (
+                ts.quality_score_t(F.col("__toks")) >= min_quality
+            ) & (ts.repetition_ratio_t(F.col("__toks")) < max_repetition)
+            scored = base.select(
+                "doc_id", "lang", "fp", pass_q.alias("pass_q")
+            ).persist()
+            try:
+                scored.groupBy("lang").agg(
+                    F.count("*").cast("bigint").alias("n_raw"),
+                    F.sum(F.when(F.col("pass_q"), 1).otherwise(0))
+                    .cast("bigint").alias("n_quality"),
+                ).write.mode("overwrite").parquet(
+                    os.path.join(stats_path, f"batch={batch_id}")
+                )
+                q = scored.filter("pass_q")
+                # within-batch first-wins: min doc_id per fingerprint
+                win = q.join(
+                    q.groupBy("fp").agg(F.min("doc_id").alias("doc_id")),
+                    ["fp", "doc_id"],
+                )
+                try:
+                    corpus = spark.read.parquet(corpus_path)
+                except Exception:
+                    corpus = None
+                if corpus is not None and not corpus.isEmpty():
+                    # grown-corpus first-wins: an fp claimed by an
+                    # earlier batch rejects this batch's doc
+                    win = win.join(
+                        corpus.select("fp").distinct(), "fp", "left_anti"
+                    )
+                win.select("doc_id", "lang", "fp").write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(corpus_path, f"batch={batch_id}"))
+            finally:
+                scored.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    return write
+
+
 def corpus_dedup_sink(corpus_path: str, rejected_path: str, threshold: float = 0.6):
     """Streaming corpus dedup: per micro-batch, reject near-dups and
     grow the kept corpus — the streaming binding of

@@ -337,6 +337,49 @@ def test_corpus_dedup_across_micro_batches(spark, tmp_path):
     assert rej == [(3, 1), (6, 5)]
 
 
+def test_curation_sink_across_micro_batches(spark, tmp_path):
+    """Streaming curation funnel: the quality gate drops a repetitive
+    doc; an exact duplicate arriving in a LATER batch is rejected
+    against the corpus grown by earlier batches (first batch claims
+    the fingerprint); within-batch dups keep the min doc_id; per-batch
+    stats accumulate to the batch totals."""
+    from sparkstreaming_realtime_spark.streaming.pipelines import curation_sink
+
+    good_a = " ".join(f"alpha{i}" for i in range(40))
+    good_b = " ".join(f"beta{i}" for i in range(40))
+    src = str(tmp_path / "docs")
+    _write_jsonl(f"{src}/b1.json", seq=1, rows=[
+        {"doc_id": 1, "lang": "en", "text": good_a},
+        {"doc_id": 2, "lang": "en", "text": "spam " * 30},  # fails gate
+        # within-batch dup of 1 → min-id (1) wins
+        {"doc_id": 3, "lang": "en", "text": good_a},
+    ])
+    _write_jsonl(f"{src}/b2.json", seq=2, rows=[
+        # exact dup of batch-1's kept doc → rejected vs grown corpus
+        {"doc_id": 4, "lang": "en", "text": good_a},
+        {"doc_id": 5, "lang": "de", "text": good_b},  # novel → kept
+    ])
+    stream = file_stream(
+        spark, src, "doc_id long, lang string, text string",
+        max_files_per_trigger=1,
+    )
+    corpus = str(tmp_path / "corpus")
+    stats = str(tmp_path / "stats")
+    _drain(stream, curation_sink(corpus, stats), str(tmp_path / "ckpt"))
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 5]
+    from pyspark.sql import functions as F
+
+    totals = {
+        r["lang"]: (r["nr"], r["nq"])
+        for r in spark.read.parquet(stats)
+        .groupBy("lang")
+        .agg(F.sum("n_raw").alias("nr"), F.sum("n_quality").alias("nq"))
+        .collect()
+    }
+    assert totals == {"en": (4, 3), "de": (1, 1)}
+
+
 CDC_SCHEMA = "table string, data string, op string, ts_ms long, event_id long"
 
 

@@ -55,6 +55,12 @@ HEADLINE = [
     "doc_pii_scrub",
     "doc_source_mix",
     "doc_chunk_dedup",
+    # r4: persisted-index IVF serving (index built once per session —
+    # min-of-2 reports steady-state serving, pass 1 includes the
+    # build), winnowing pair detection, stride chunk dedup
+    "emb_ivf_topk",
+    "doc_overlap_spans",
+    "doc_chunk_dedup_stride",
 ]
 
 

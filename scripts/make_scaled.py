@@ -1,0 +1,81 @@
+"""Generate a scaled-up copy of a driver SF directory for the
+PERF.md scaling probe: union N offset copies of each fact table
+(dims nation/region stay single-copy, like real growth), so row
+counts and key cardinalities scale ×N while per-key distributions
+match the source.
+
+Documents get a per-copy deterministic letter substitution
+(``translate``) so the duplicate RATE stays constant instead of every
+doc gaining N exact/near copies — a 10× corpus has more docs, not 10
+copies of each; without this the pairwise dedup stages would scale
+×N² by construction and measure the wrong thing. Embeddings keep
+their vectors (scan-shaped ANN costs scale with rows).
+
+Usage: python scripts/make_scaled.py [src_sf_dir] [out_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from sparkstreaming_realtime_spark.session import get_spark
+
+#: id columns to offset per copy, by table (fact keys only — nation /
+#: region keys and the n_nationkey FKs stay fixed, dims don't scale)
+OFFSET_COLS = {
+    "events": ("event_id", "user_id"),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+DIMS = ("nation", "region")
+BASE = 1_000_000_000  # > any sf0.1 id
+
+
+def _copy(df: DataFrame, table: str, i: int) -> DataFrame:
+    out = df
+    for c in OFFSET_COLS.get(table, ()):
+        out = out.withColumn(c, F.col(c) + F.lit(i * BASE))
+    if table == "documents" and i > 0:
+        # deterministic per-copy letter rotation: decorrelates copies
+        # (different shingles/fingerprints) while within-copy dup
+        # structure — the thing the dedup ops measure — is preserved
+        src = "abcdefghijklmnopqrstuvwxyz"
+        dst = src[i:] + src[:i]
+        out = out.withColumn("text", F.translate("text", src, dst))
+    return out
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scaled"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark(app_name="make_scaled")
+    spark.sparkContext.setLogLevel("ERROR")
+    for table in list(OFFSET_COLS) + list(DIMS):
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        if table in DIMS:
+            scaled = df
+        else:
+            copies = [_copy(df, table, i) for i in range(factor)]
+            scaled = copies[0]
+            for c in copies[1:]:
+                scaled = scaled.unionByName(c)
+        # one flat parquet file-set per table, same layout the driver
+        # uses (<dir>/<table>.parquet)
+        scaled.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+        n = spark.read.parquet(f"{out_dir}/{table}.parquet").count()
+        print(f"{table}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()

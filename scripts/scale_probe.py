@@ -1,0 +1,75 @@
+"""Scaling probe for PERF.md: time the shared-8 + LLM-heavy queries
+at a base SF dir and a scaled dir (see make_scaled.py), report the
+observed ratio per query. bench.py's protocol (noop sink, warm-up at
+sf0.001, min of 2 timed passes).
+
+Usage: python scripts/scale_probe.py [base_dir] [scaled_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkstreaming_realtime_spark.plans import queries
+from sparkstreaming_realtime_spark.session import get_spark
+
+PROBE = [
+    # shared-8
+    "dau_by_hour",
+    "session_entry_first_daily",
+    "hourly_window_rollup",
+    "order_wide_join",
+    "revenue_by_nation",
+    "pricing_summary",
+    "stats_by_item_segment",
+    "top_k_grouped_avg",
+    # LLM-heavy
+    "doc_minhash_near_dup",
+    "doc_simhash",
+    "doc_incremental_near_dup",
+    "corpus_curation_funnel",
+    "emb_ivf_topk",
+]
+
+
+def _time(qs, name: str, sf_dir: str, spark) -> float:
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scaled = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scaled"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    for name in PROBE:  # warm-up: codegen at the smallest SF
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    rows = {}
+    for name in PROBE:
+        tb = _time(qs, name, base, spark)
+        ts_ = _time(qs, name, scaled, spark)
+        rows[name] = {
+            "base_s": tb,
+            "scaled_s": ts_,
+            "ratio": round(ts_ / tb, 2) if tb > 0 else None,
+        }
+        print(f"{name:32s} {tb:8.3f}s {ts_:8.3f}s  x{rows[name]['ratio']}")
+    print(json.dumps({"factor": factor, "queries": rows}))
+
+
+if __name__ == "__main__":
+    main()

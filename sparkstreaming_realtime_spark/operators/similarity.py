@@ -69,8 +69,12 @@ def cosine_topk(
 #: Lloyd round is one corpus scan + an n_cells-group aggregate.
 IVF_CELLS = 8
 IVF_ITERS = 2
-#: Knuth multiplicative hash — deterministic seed ranking, no RNG.
-_SEED_MULT = 2654435761
+#: seed-ranking salt: seeds are the n_cells ids ranked first by
+#: hash60('ivfseed:' || id) — deterministic (no RNG), well-spread,
+#: overflow-free for ANY id (a multiplicative int hash overflows
+#: int64 under ANSI once ids pass ~3.5e9 — caught by the 10× scaling
+#: probe), and bit-for-bit reproducible by the DuckDB oracle.
+_SEED_PREFIX = "ivfseed:"
 
 
 def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
@@ -130,9 +134,9 @@ def train_kmeans_cells(
     :func:`build_ivf_index`), never on the query path (the r3 review's
     per-query-centroid-scan fix).
 
-    - seeds: the ``n_cells`` vectors ranked first by the Knuth
-      multiplicative hash of their id — deterministic (no RNG, no seed
-      drift; oracles replay it exactly), well-spread for integer ids;
+    - seeds: the ``n_cells`` vectors ranked first by
+      hash60('ivfseed:' || id) — deterministic (no RNG, no seed
+      drift; oracles replay it exactly), well-spread for any ids;
     - assign: in-row argmax cosine against literal centroids (zero
       corpus shuffle — see :func:`assign_cell`);
     - update: per-dim mean via ``n_cells``-group aggregate with
@@ -141,7 +145,11 @@ def train_kmeans_cells(
 
     Only ``n_cells × dim`` doubles ever reach the driver per round —
     the corpus itself stays distributed."""
-    seed_rank = (F.col(id_col) * F.lit(_SEED_MULT)) % F.lit(2**32)
+    from ..functions.hashing import hash60
+
+    seed_rank = hash60(
+        F.concat(F.lit(_SEED_PREFIX), F.col(id_col).cast("string"))
+    )
     seeds = (
         emb.select(F.col(id_col), F.col(vec_col))
         .orderBy(seed_rank.asc(), F.col(id_col).asc())

@@ -265,11 +265,12 @@ def _kmeans_ctes() -> str:
     lookalike. Produces CTEs ``c{{it}}`` (final centroids) and
     ``afin`` (final cell assignment of the whole corpus)."""
     n_cells, iters = sim.IVF_CELLS, sim.IVF_ITERS
+    seed_h = oracle_hash60_sql(f"'{sim._SEED_PREFIX}' || vec_id::VARCHAR")
     parts = [
         f"""seedrank AS (
   SELECT vec_id, embedding,
          row_number() OVER (
-           ORDER BY (vec_id * {sim._SEED_MULT}) % 4294967296, vec_id
+           ORDER BY {seed_h}, vec_id
          ) - 1 AS cell
   FROM embeddings),
 c0 AS (SELECT cell, list_transform(embedding, x -> x::DOUBLE) AS centroid

@@ -67,3 +67,54 @@ def oracle_stratified_sample_sql(
     whens = " ".join(f"WHEN '{k}' THEN {v}" for k, v in th.items())
     case = f"CASE {strata_col} {whens} ELSE {int(default_rate * SCALE)} END"
     return f"({oracle_hash60_sql(f'{key_col}::VARCHAR')} % {SCALE}) < {case}"
+
+
+#: salt for the training-export shuffle hash — distinct from every
+#: other hash family in the engine so export order is independent of
+#: split/sample membership decisions.
+SHUFFLE_PREFIX = "shuf:"
+
+
+def shuffle_sharded(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic global pseudo-shuffle + sharding — the last step
+    of a training-data pipeline: the corpus must reach the trainer in
+    a reproducible random-looking order, cut into equal-ish shards.
+
+    ``h = hash60('shuf:' || key)`` drives both decisions: shard =
+    h mod n_shards, order within shard = ascending h. No ``rand()``
+    (a retry reproduces the same layout bit-for-bit), no global sort
+    (ordering is only ever needed *within* a shard), and shard sizes
+    concentrate tightly around N/n_shards. Adds ``shard`` and ``h``
+    columns; see :func:`write_training_shards` for the physical
+    layout."""
+    h = hash60(F.concat(F.lit(SHUFFLE_PREFIX), F.col(key_col).cast("string")))
+    return df.withColumn("h", h).withColumn(
+        "shard", (F.col("h") % n_shards).cast("int")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+) -> None:
+    """Materialize the shuffled corpus as one directory per shard,
+    rows h-ordered within each: ONE hash-partitioned shuffle into
+    exactly ``n_shards`` tasks, an in-partition sort (no global
+    ordering barrier), then a partitionBy(shard) write — each shard's
+    files read back in trainer order. At 100 TB each shard is a few
+    hundred GB of sequentially-readable parquet; readers stream
+    shards independently."""
+    out = shuffle_sharded(df, n_shards, key_col)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

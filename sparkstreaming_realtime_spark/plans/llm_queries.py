@@ -1233,6 +1233,49 @@ def streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_TRAIN_SHARDS = 8
+
+_TRAINING_SHARDS_ORACLE = f"""
+WITH s AS (SELECT doc_id, {_toks_sql("text")} AS t,
+                  {oracle_hash60_sql("'shuf:' || doc_id::VARCHAR")} AS h
+           FROM documents)
+SELECT (h % {_N_TRAIN_SHARDS})::INT AS shard,
+       count(*)::BIGINT AS n_docs,
+       sum(len(t))::BIGINT AS n_tokens,
+       arg_min(doc_id, h) AS first_doc
+FROM s GROUP BY 1 ORDER BY shard
+"""
+
+
+@register(
+    "doc_training_shards",
+    oracle=_TRAINING_SHARDS_ORACLE,
+    tags=("LLM", "pipeline"),
+)
+def doc_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export layout (operators/sampling.py:shuffle_sharded):
+    deterministic global pseudo-shuffle (h = hash60('shuf:'||id) — a
+    rerun reproduces the same order bit-for-bit, unlike rand()) cut
+    into 8 shards by h mod 8. Reported as per-shard (n_docs, n_tokens,
+    first_doc-by-h) — the manifest a trainer consumes; the physical
+    one-shuffle h-ordered write is write_training_shards, layout
+    pinned by tests/test_llm_operators.py::test_training_shards_layout."""
+    from ..functions.text import tokenize
+    from ..operators import sampling as sp
+
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
+    sh = sp.shuffle_sharded(docs, n_shards=_N_TRAIN_SHARDS, key_col="doc_id")
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.size(tokenize("text"))).cast("bigint").alias("n_tokens"),
+            F.min_by("doc_id", "h").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
 _COMMONNESS_ORACLE = f"""
 WITH toks AS (SELECT doc_id, unnest({_toks_sql("text")}) AS term
               FROM documents),

@@ -397,6 +397,45 @@ def test_pii_scrub_redacts_all_patterns(spark):
     assert (clean["n_email"], clean["n_phone"], clean["n_ipv4"]) == (0, 0, 0)
 
 
+def test_training_shards_layout(spark, tmp_path):
+    """write_training_shards: one directory per shard, every row in
+    its h mod n shard, rows h-ascending within each shard's file (the
+    trainer-order contract), and the whole layout reproducible."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_realtime_spark.operators.sampling import (
+        shuffle_sharded,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4, key_col="doc_id")
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    expected = {
+        r["doc_id"]: (r["shard"], r["h"])
+        for r in shuffle_sharded(docs, 4, "doc_id").collect()
+    }
+    seen = 0
+    for d in dirs:
+        shard = int(d.split("=")[1])
+        files = [f for f in os.listdir(f"{path}/{d}") if f.endswith(".parquet")]
+        assert len(files) == 1  # one task per shard → one file
+        t = pq.read_table(f"{path}/{d}/{files[0]}")
+        hs = t.column("h").to_pylist()
+        assert hs == sorted(hs)  # trainer reads in h order
+        for doc_id in t.column("doc_id").to_pylist():
+            assert expected[doc_id][0] == shard
+        seen += len(hs)
+    assert seen == 200
+
+
 def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     """The winnowing guarantee (Schleimer et al. 2003): any shared
     token run of length >= w + k - 1 between two documents must yield

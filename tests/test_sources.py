@@ -55,6 +55,33 @@ def test_temporal_encodings_normalize(spark, tmp_path, table, col, unit):
     assert row["s"] == TS.strftime("%Y-%m-%d %H:%M:%S.%f")
 
 
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_normalize_pins_utc_under_non_utc_session(spark, tmp_path, unit):
+    """ADVICE r3: the UTC session-tz pin must fire for EVERY to_ltz
+    shape — the nanos-as-long branch included (streaming callers reach
+    _normalize_temporal via events_with_ts without read_table's pin).
+    Under a non-UTC session tz, date_format over the normalized column
+    must still render the UTC wall time, not a shifted one."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.sources.files import events_with_ts
+
+    _write(tmp_path, "events", "ts", unit)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        raw = spark.read.parquet(str(tmp_path / "events.parquet"))
+        df = events_with_ts(raw)
+        # the normalization itself must have re-pinned UTC
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        (row,) = df.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s")
+        ).collect()
+        assert row["s"] == TS.strftime("%Y-%m-%d %H:%M:%S.%f")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def test_real_tables_read_with_temporal_types(spark, sf_dir):
     for table, cols in TEMPORAL_COLS.items():
         df = read_table(spark, sf_dir, table)

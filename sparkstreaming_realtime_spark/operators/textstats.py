@@ -273,6 +273,72 @@ def repetition_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Gopher document-filter thresholds (Rae et al. 2021, App. A1.1),
+#: adapted to this corpus's token alphabet: the line-shape rules
+#: (bullet-start / ellipsis-end fractions) are omitted because the
+#: synthetic corpus has no line structure, and the symbol-to-word
+#: rule (#, …) reduces to a no-op under the alnum tokenizer — both
+#: would re-enter unchanged on corpora that carry them.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_flags_t(toks: Column) -> dict[str, Column]:
+    """The four applicable Gopher rules over a token-array column,
+    each a codegen'd boolean (zero shuffle, zero UDF):
+
+    - ``words_ok``: 50 ≤ n ≤ 100 000
+    - ``mean_len_ok``: mean token length in [3, 10]
+    - ``alpha_ok``: ≥ 80 % of tokens contain a letter
+    - ``stop_ok``: ≥ 2 stopword occurrences
+
+    Exposed as a dict so rollups can report per-rule attrition, the
+    number a filter-tuning run actually inspects."""
+    n = F.size(toks)
+    nd = n.cast("double")
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = F.when(n > 0, total_len.cast("double") / nd).otherwise(
+        F.lit(0.0)
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
+    alpha_frac = F.when(n > 0, alpha.cast("double") / nd).otherwise(
+        F.lit(0.0)
+    )
+    return {
+        "words_ok": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "mean_len_ok": (mean_len >= GOPHER_MIN_MEAN_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_LEN),
+        "alpha_ok": alpha_frac >= GOPHER_MIN_ALPHA_FRAC,
+        "stop_ok": marker_hits_t(toks, STOPWORDS) >= GOPHER_MIN_STOPWORDS,
+    }
+
+
+def gopher_filter_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language Gopher-rule attrition: docs passing each rule and
+    all four — the table a filtering run is tuned against. One
+    tokenize-once scan, one small per-language aggregate."""
+    flags = gopher_flags_t(F.col("__toks"))
+    base = _with_tokens(docs, text_col, "lang").select(
+        "lang", *[c.alias(k) for k, c in flags.items()]
+    )
+    passed = F.col("words_ok") & F.col("mean_len_ok") & F.col("alpha_ok") & F.col("stop_ok")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return base.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        cnt(F.col("words_ok")).alias("n_words_ok"),
+        cnt(F.col("mean_len_ok")).alias("n_mean_len_ok"),
+        cnt(F.col("alpha_ok")).alias("n_alpha_ok"),
+        cnt(F.col("stop_ok")).alias("n_stop_ok"),
+        cnt(passed).alias("n_pass"),
+    )
+
+
 def top_bigrams(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Corpus-wide top-k bigrams by occurrence (vocabulary/merges-table
     prep). Explode → count → TakeOrdered: the count shuffle gets

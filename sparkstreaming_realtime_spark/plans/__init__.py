@@ -72,7 +72,7 @@ _PRIORITY = [
     "streaming_hourly_rollup_parity", "streaming_state_profile_parity",
     "streaming_user_sessions_parity", "doc_hash_split",
     "nation_acctbal_salted", "doc_source_mix", "doc_chunk_dedup_stride",
-    "emb_ivf_recall_curve", "doc_training_shards",
+    "emb_ivf_recall_curve", "doc_training_shards", "doc_gopher_filters",
 ]
 
 

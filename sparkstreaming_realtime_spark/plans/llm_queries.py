@@ -1233,6 +1233,50 @@ def streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gopher_oracle() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in ts.STOPWORDS)
+    lo, hi = ts.GOPHER_MIN_WORDS, ts.GOPHER_MAX_WORDS
+    mlo, mhi = ts.GOPHER_MIN_MEAN_LEN, ts.GOPHER_MAX_MEAN_LEN
+    af, ns = ts.GOPHER_MIN_ALPHA_FRAC, ts.GOPHER_MIN_STOPWORDS
+    return f"""
+WITH toks AS (SELECT lang, {_toks_sql("text")} AS t FROM documents),
+f AS (
+  SELECT lang, len(t) AS n,
+         coalesce(list_sum(list_transform(t, x -> len(x))), 0) AS tot,
+         len(list_filter(t, x -> regexp_matches(x, '\\p{{L}}'))) AS alpha,
+         len(list_filter(t, x -> x IN ({stoplist}))) AS stop
+  FROM toks),
+g AS (
+  SELECT lang,
+         (n >= {lo} AND n <= {hi}) AS words_ok,
+         (CASE WHEN n > 0 THEN tot::DOUBLE / n ELSE 0.0 END) AS ml,
+         (CASE WHEN n > 0 THEN alpha::DOUBLE / n ELSE 0.0 END) AS afr,
+         stop
+  FROM f)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN words_ok THEN 1 ELSE 0 END)::BIGINT AS n_words_ok,
+       sum(CASE WHEN ml >= {mlo} AND ml <= {mhi} THEN 1 ELSE 0 END)::BIGINT
+         AS n_mean_len_ok,
+       sum(CASE WHEN afr >= {af} THEN 1 ELSE 0 END)::BIGINT AS n_alpha_ok,
+       sum(CASE WHEN stop >= {ns} THEN 1 ELSE 0 END)::BIGINT AS n_stop_ok,
+       sum(CASE WHEN words_ok AND ml >= {mlo} AND ml <= {mhi}
+                 AND afr >= {af} AND stop >= {ns}
+           THEN 1 ELSE 0 END)::BIGINT AS n_pass
+FROM g GROUP BY lang
+"""
+
+
+@register("doc_gopher_filters", oracle=_gopher_oracle(), tags=("LLM", "text"))
+def doc_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-filter attrition (Rae et al. 2021 App. A1.1,
+    operators/textstats.py:gopher_filter_report): per-language counts
+    of docs passing each applicable rule (word-count bounds, mean
+    word length, alphabetic-token fraction, stopword floor) and all
+    four — the attrition table a filtering run tunes against. One
+    tokenize-once scan; every rule is codegen'd array math."""
+    return ts.gopher_filter_report(dd.spread(_t(spark, sf_dir, "documents")))
+
+
 _N_TRAIN_SHARDS = 8
 
 _TRAINING_SHARDS_ORACLE = f"""

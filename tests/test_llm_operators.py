@@ -397,6 +397,45 @@ def test_pii_scrub_redacts_all_patterns(spark):
     assert (clean["n_email"], clean["n_phone"], clean["n_ipv4"]) == (0, 0, 0)
 
 
+def test_gopher_flags_rules(spark):
+    """Each Gopher rule trips on the document built to violate it and
+    only that one (plus knock-ons its construction forces)."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.operators.textstats import (
+        gopher_flags_t,
+    )
+    from sparkstreaming_realtime_spark.functions.text import tokenize
+
+    good = "the cat and the dog " + " ".join(f"word{i}" for i in range(60))
+    short = "the cat and the dog sat"  # < 50 words
+    longtoks = "the and " + " ".join(
+        f"pneumonoultramicroscopic{i}" for i in range(60)
+    )  # mean len > 10
+    numeric = "the and " + " ".join(str(i) * 3 for i in range(60))  # digits
+    nostop = " ".join(f"word{i}" for i in range(60))  # no stopwords
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, longtoks), (4, numeric), (5, nostop)],
+        "doc_id long, text string",
+    )
+    flags = gopher_flags_t(F.col("__t"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            F.explode(F.array(tokenize("text"))).alias("__t"),
+        )
+        .select("doc_id", *[c.alias(k) for k, c in flags.items()])
+        .collect()
+    }
+    assert all(rows[1][k] for k in
+               ("words_ok", "mean_len_ok", "alpha_ok", "stop_ok"))
+    assert not rows[2]["words_ok"] and rows[2]["stop_ok"]
+    assert not rows[3]["mean_len_ok"] and rows[3]["words_ok"]
+    assert not rows[4]["alpha_ok"] and rows[4]["words_ok"]
+    assert not rows[5]["stop_ok"] and rows[5]["alpha_ok"]
+
+
 def test_training_shards_layout(spark, tmp_path):
     """write_training_shards: one directory per shard, every row in
     its h mod n shard, rows h-ascending within each shard's file (the

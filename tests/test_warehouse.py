@@ -39,6 +39,27 @@ def test_partition_pruning_skips_other_days(spark, tmp_path):
     assert [r["mid"] for r in df.collect()] == ["m2"]
 
 
+def test_partition_values_lists_days_without_scanning(spark, tmp_path):
+    """partition_values answers "which days exist?" from the partition
+    DIRECTORY names — the metadata-only day lookup that replaced the
+    r3-flagged second scan of events in dau_warehouse_day_slice."""
+    from sparkstreaming_realtime_spark.sources.warehouse import (
+        partition_values,
+    )
+
+    path = str(tmp_path / "dau")
+    write_warehouse(
+        _dau(spark, [("2024-01-01", "m1", 1), ("2024-01-02", "m2", 2),
+                     ("2024-01-03", "m3", 3)]),
+        path,
+    )
+    vals = partition_values(spark, path, "dt")
+    assert sorted(vals) == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert max(vals) == "2024-01-03"  # the day-slice's served day
+    # a non-partition column name finds no matching directories
+    assert partition_values(spark, path, "mid") == []
+
+
 def test_dynamic_overwrite_replaces_only_present_days(spark, tmp_path):
     path = str(tmp_path / "dau")
     write_warehouse(

@@ -61,6 +61,15 @@ HEADLINE = [
     "emb_ivf_topk",
     "doc_overlap_spans",
     "doc_chunk_dedup_stride",
+    # r4 session 2: the new operator families — batched kNN retrieval,
+    # SemDeDup components, SCD2 history build, DSIR scoring, adaptive
+    # quality thresholds
+    "emb_knn_join",
+    "emb_semantic_dedup",
+    "cdc_scd2_history",
+    "doc_importance_resample",
+    "doc_quality_adaptive",
+    "doc_lm_perplexity",
 ]
 
 

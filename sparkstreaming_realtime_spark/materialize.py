@@ -56,6 +56,30 @@ _LIVE: list[DataFrame] = []
 _LIVE_CKPT: list[DataFrame] = []
 
 
+def ensure_checkpoint_dir(spark) -> None:
+    """Guarantee the session has a reliable checkpoint dir, so
+    :func:`materialize` cuts lineage for real.
+
+    ITERATIVE callers (label propagation, Lloyd loops) must call this
+    first: the DISK_ONLY fallback persists *blocks* but leaves the
+    logical plan intact, so a loop that rebuilds ``labels`` from
+    ``labels`` doubles the plan per round — re-analysis goes
+    exponential past ~5 rounds (measured: rounds 0–6 of the sf0.1
+    embedding component loop took 1.8 → 391 s with persist, flat
+    ~1.5 s with checkpoint). A graph with diameter d needs d+1
+    rounds, and d is data-dependent — no fixed round budget is safe.
+
+    If the deployment already configured a durable dir (HDFS/S3 on a
+    cluster), it is respected. Otherwise a process-local temp dir is
+    installed — correct on local[*] (one JVM); a multi-node cluster
+    should always configure a shared dir instead."""
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-graft-ckpt-"))
+
+
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     """Durably materialize ``df`` for reuse across plan subtrees.
 

@@ -154,3 +154,57 @@ def route_with_config(cdc_df: DataFrame, config: DataFrame) -> DataFrame:
         .otherwise(F.lit("drop"))
     )
     return joined.withColumn("route", route).drop("kind")
+
+
+def scd2_history(
+    dims: DataFrame,
+    ord_cols: tuple[str, ...] = ("ts_ms", "event_id"),
+    table_col: str = "table",
+    data_col: str = "data",
+) -> DataFrame:
+    """K4 extension: slowly-changing-dimension type-2 history — the
+    warehouse-grade alternative to :func:`dim_snapshot`'s
+    last-write-wins overwrite. Where the reference's Redis dim store
+    keeps only the newest payload (OdsBaseDbApp.scala:128-140), a
+    training/analytics warehouse needs every version with its
+    validity interval, so facts can join the dim *as of* their own
+    event time (the as-of join in ``operators/asof.py`` consumes
+    exactly this shape).
+
+    Contract: one output row per non-delete write; ``valid_from``
+    = the write's ``ord_cols[0]``, ``valid_to`` = the NEXT write's
+    (any op — a delete closes the version it follows), NULL while
+    open; ``is_current`` = open interval. ``version`` numbers all
+    writes per key in ``ord_cols`` order (deletes consume a number,
+    so surviving versions keep stable ids under replay).
+
+    Scale shape: ONE shuffle, partitioned by the entity key
+    (table, id) — the window sort is per-key, never global, and the
+    key space is the dimension's cardinality (uniform; no skew
+    unless one entity absorbs the whole changelog). No driver state,
+    no collect."""
+    from pyspark.sql import Window
+
+    key = F.get_json_object(F.col(data_col), "$.id").alias("id")
+    first_ord = ord_cols[0]
+    w = Window.partitionBy(table_col, "id").orderBy(
+        *[F.col(c) for c in ord_cols]
+    )
+    versioned = (
+        dims.select(F.col(table_col), key, F.col(data_col), "op",
+                    *[F.col(c) for c in ord_cols])
+        .withColumn("version", F.row_number().over(w).cast("int"))
+        .withColumn("valid_to", F.lead(F.col(first_ord)).over(w))
+    )
+    return (
+        versioned.filter(F.col("op") != "D")
+        .select(
+            table_col,
+            "id",
+            data_col,
+            "version",
+            F.col(first_ord).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().cast("int").alias("is_current"),
+        )
+    )

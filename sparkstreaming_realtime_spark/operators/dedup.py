@@ -480,11 +480,65 @@ def dup_clusters(
     in at least one verified pair; is_keep=1 marks the canonical doc.
     """
     pairs = near_dup_pairs(docs, text_col, id_col, threshold)
+    return connected_components(pairs, "doc_a", "doc_b", id_col, max_iters)
+
+
+#: edge-count cutover below which components compute driver-side.
+#: The distributed loop pays ~2 s/round of fixed job+checkpoint cost;
+#: a dedup pair graph is usually MUCH smaller than its corpus (pairs
+#: are the *output* of LSH verification), so — exactly like Spark's
+#: own broadcast-join size cutover — small graphs should skip the
+#: loop. 500k edges is a few MB of longs on the driver and union-find
+#: is O(E·α); beyond it, the loop's per-round cost amortizes.
+CC_LOCAL_EDGE_THRESHOLD = 500_000
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_out: str = "doc_id",
+    max_iters: int = 20,
+    local_threshold: int = CC_LOCAL_EDGE_THRESHOLD,
+) -> DataFrame:
+    """Connected components over an undirected pair graph — the
+    engine primitive behind :func:`dup_clusters` (and the embedding
+    analog ``similarity.semantic_dedup``).
+
+    Two physical strategies behind one contract (same result either
+    way: min-id label per component):
+
+    - ``|E| <= local_threshold``: collect the (narrow, already
+      LSH-filtered) edge list and run union-find on the driver —
+      the analog of a broadcast join's small-side cutover.
+    - otherwise: distributed min-label propagation with pointer
+      jumping (O(log d) rounds, each one shuffle join on the edge
+      list, reliably checkpointed so round N never replays round
+      N-1's lineage — see :func:`materialize.ensure_checkpoint_dir`
+      for why persist alone goes exponential).
+
+    Returns (``id_out``, cluster_id, is_keep) for every node with at
+    least one edge; is_keep=1 marks the min-id canonical node."""
+    from ..materialize import ensure_checkpoint_dir
+
+    # iterative: each round rebuilds `labels` from `labels`, so the
+    # materialization MUST cut lineage (persist-only goes exponential
+    # in plan re-analysis past ~5 rounds; see ensure_checkpoint_dir)
+    ensure_checkpoint_dir(pairs.sparkSession)
+    # materialize the PAIRS before the symmetric union — the two
+    # union branches reference the same frame, and an unmaterialized
+    # pair plan (LSH join + verify) would run once per branch
+    pairs = materialize(pairs, eager=True)
     edges = (
-        pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
-        .union(pairs.select(F.col("doc_b").alias("node"), F.col("doc_a").alias("nbr")))
+        pairs.select(F.col(a_col).alias("node"), F.col(b_col).alias("nbr"))
+        .union(pairs.select(F.col(b_col).alias("node"), F.col(a_col).alias("nbr")))
     )
     edges = materialize(edges, eager=True)
+    release(pairs)
+    if edges.count() <= local_threshold:
+        out = _local_components(pairs.sparkSession, edges, id_out)
+        release(edges)
+        return out
     labels = edges.select("node").distinct().withColumn("label", F.col("node"))
     for _ in range(max_iters):
         nbr_min = (
@@ -494,13 +548,24 @@ def dup_clusters(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
+        prop = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label := min(label, prev_label[label]).
+        # Labels are always node ids (init + min-closure) so the join
+        # always hits; shortcutting through the PREVIOUS round's
+        # (already-materialized) labels avoids recomputing `prop` in
+        # two branches while still compounding reach per round —
+        # O(log d) rounds on a diameter-d component instead of O(d).
+        hop = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
         new_labels = materialize(
-            labels.join(nbr_min, "node", "left").select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            ),
+            prop.join(hop, "label")
+            .select("node", F.least("label", "label2").alias("label")),
             eager=True,
         )
         changed = (
@@ -514,9 +579,45 @@ def dup_clusters(
         if changed == 0:
             break
     return labels.select(
-        F.col("node").alias(id_col),
+        F.col("node").alias(id_out),
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).cast("int").alias("is_keep"),
+    )
+
+
+def _local_components(spark, edges: DataFrame, id_out: str) -> DataFrame:
+    """Driver-side union-find for the small-graph cutover of
+    :func:`connected_components`. Path-halving + union-by-min keeps
+    the min id as each root, matching the distributed loop's labels
+    exactly."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for row in edges.select("node", "nbr").collect():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: the smaller id becomes the root, so roots
+            # ARE the component minima
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    rows = [
+        (node, find(node), int(node == find(node))) for node in parent
+    ]
+    return spark.createDataFrame(
+        rows, schema=f"{id_out} long, cluster_id long, is_keep int"
     )
 
 

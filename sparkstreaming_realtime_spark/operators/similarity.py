@@ -276,17 +276,33 @@ def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 
 def rh_signature_bits(
     emb_col: Column | str, planes: list[list[float]]
-) -> list[Column]:
-    """One sign bit per hyperplane: dot(v, plane) >= 0. The dot is a
-    zip_with/aggregate fold over a literal array — JVM codegen, no
-    UDF, no shuffle."""
-    from ..functions.vectors import dot
+) -> Column:
+    """array<int> of sign bits, one per hyperplane: dot(v, p) >= 0.
 
+    All planes ride in as ONE array<array<double>> literal and the
+    bits come out of ONE ``transform`` whose lambda loops at runtime
+    — semantically identical to per-plane unrolled folds (same
+    sequential zip_with/aggregate dot as functions.vectors.dot, same
+    doubles), but the codegen tree is n_planes× smaller: unrolling
+    16 separate 64-element literal dots made Janino compilation
+    (~10 s) dominate the whole LSH pass regardless of data size."""
     c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
-    return [
-        (dot(c, F.array(*[F.lit(x) for x in plane])) >= 0).cast("int")
-        for plane in planes
-    ]
+    planes_lit = F.array(
+        *[F.array(*[F.lit(x) for x in plane]) for plane in planes]
+    )
+    return F.transform(
+        planes_lit,
+        lambda plane: (
+            F.aggregate(
+                F.zip_with(
+                    c, plane, lambda x, y: x.cast("double") * y.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0
+        ).cast("int"),
+    )
 
 
 def rh_band_buckets(
@@ -299,20 +315,33 @@ def rh_band_buckets(
     """Explode each vector into ``bands`` bucket keys
     '<band>:<bit..bit>' — identical LSH-amplification shape to
     dedup.lsh_buckets, so candidate generation is the same
-    bucket-local self-join, never all-pairs."""
-    bits = rh_signature_bits("embedding", planes)
+    bucket-local self-join, never all-pairs.
+
+    The signature array materializes behind an ``explode(array())``
+    barrier before the band keys slice it — Catalyst has no CSE for
+    higher-order functions, so without the barrier each of the
+    ``bands``·``rows_per_band`` bit references would re-run the whole
+    signature transform (the tokenize-once lesson, see
+    textstats._with_tokens)."""
+    sig = emb.select(
+        F.col(id_col),
+        F.explode(
+            F.array(rh_signature_bits("embedding", planes))
+        ).alias("__bits"),
+    )
+    bits = F.col("__bits")
     keys = F.array(
         *[
             F.concat_ws(
                 ":",
                 F.lit(str(b)),
-                *[bits[b * rows_per_band + r].cast("string")
+                *[F.get(bits, b * rows_per_band + r).cast("string")
                   for r in range(rows_per_band)],
             )
             for b in range(bands)
         ]
     )
-    return emb.select(F.col(id_col), F.explode(keys).alias("bucket"))
+    return sig.select(F.col(id_col), F.explode(keys).alias("bucket"))
 
 
 def rh_near_dup_pairs(
@@ -373,3 +402,127 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         maxabs > 0, F.round(cosine_similarity("__v", deq), 6)
     ).otherwise(F.lit(1.0))
     return out.withColumn("roundtrip_cos", rt).drop("__v")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Embedding-space semantic dedup (SemDeDup, Abbas et al. 2023;
+    PAPERS.md): near-identical *meanings* — paraphrases, templated
+    rewrites — that lexical MinHash can't see, collapsed to one
+    survivor per semantic cluster.
+
+    Pipeline: sign-LSH candidate pairs ≥ ``threshold`` cosine
+    (:func:`rh_near_dup_pairs` — bucket-local, never all-pairs) →
+    connected components over the verified pair graph
+    (``dedup.connected_components`` — the same min-label propagation
+    as document dup_clusters, one edge-list shuffle per round) →
+    (vec_id, cluster_id, is_keep) with the min-id vector as the
+    canonical survivor. SemDeDup proper clusters with k-means first;
+    the LSH buckets play that role here — both are cheap candidate
+    partitions, and the exact-cosine verify is the decision either
+    way. Vectors with no ≥-threshold neighbor never enter the edge
+    list (they are trivially kept and need no row)."""
+    from .dedup import connected_components
+
+    pairs = rh_near_dup_pairs(emb, dim, threshold, id_col)
+    return connected_components(pairs, "vec_a", "vec_b", id_col, max_iters)
+
+
+def knn_join(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    query_mod: int = 41,
+    id_col: str = "vec_id",
+    batch_margin: int | None = None,
+) -> DataFrame:
+    """Batched k-NN join: top-k corpus neighbors for EVERY query in a
+    query batch (queries = ``vec_id % query_mod == 0``, corpus = the
+    rest) — the retrieval shape behind dataset curation passes like
+    SemDeDup's cluster assignment or RETRO-style neighbor lookup.
+
+    Scale design — the naive plan (crossJoin → window rank over
+    |corpus|·|Q| rows) shuffles the whole cross product; this one
+    never does:
+
+    1. The query batch is small by definition (a retrieval batch);
+       its (id, vector) list rides into an Arrow ``mapInPandas``
+       closure, exactly like a broadcast dim table.
+    2. **Partial top-k, zero shuffle**: each Arrow batch computes a
+       vectorized (batch × Q) dot-product matrix in NumPy and emits
+       only its local top-``(k + margin)`` candidate ids per query —
+       ≤ Q·(k+margin) narrow rows per batch leave the scan.
+    3. **Exact verify, JVM-side**: candidates (now tiny) broadcast
+       back onto the corpus; the final cosine is the sequential
+       ``aggregate`` fold of ``functions.vectors`` (bit-identical to
+       the DuckDB oracle's list_sum, unlike NumPy's pairwise SIMD
+       sums), rounded to 6dp, ranked by (cos desc, id) in a window
+       over the candidate set only.
+
+    The margin (default k) absorbs NumPy-vs-JVM last-ulp rank noise
+    at the per-batch cut; the exact global top-k under the final
+    metric is a subset of every batch's exact top-k, so candidates
+    only need to cover rank k+ulp-jitter locally. Output:
+    (query_id, vec_id, cos, rank), rank 1..k per query."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import cosine_similarity
+
+    margin = k if batch_margin is None else batch_margin
+    queries = emb.filter(F.col(id_col) % query_mod == 0)
+    corpus = emb.filter(F.col(id_col) % query_mod != 0)
+
+    # the small-side collect IS the broadcast (same move as a dim
+    # table); a retrieval batch is thousands of rows, never corpus-sized
+    qrows = queries.select(F.col(id_col), "embedding").collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0.0] = 1.0
+    take = k + margin
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0.0] = 1.0
+            sims = (mat @ qmat.T) / norms[:, None] / qnorm[None, :]  # (B, Q)
+            top = min(take, len(ids))
+            # argpartition: O(B) per query vs full sort's O(B log B)
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, Q)
+            out_q = np.repeat(qids, top)
+            out_v = ids[idx.T.ravel()]
+            yield pd.DataFrame({"query_id": out_q, id_col: out_v})
+
+    cands = corpus.select(id_col, "embedding").mapInPandas(
+        partial_topk, schema=f"query_id bigint, {id_col} bigint"
+    )
+    qframe = queries.select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    # broadcast the query frame: without the hint this tiny×tiny join
+    # plans as a shuffle join and the candidate stream — the thing the
+    # partial top-k existed to keep shuffle-free — gets an Exchange
+    bcand = cands.join(F.broadcast(qframe), "query_id")
+    verified = corpus.join(F.broadcast(bcand), id_col).select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine_similarity("embedding", "__qv"), 6).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        verified.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cos", F.col("rank").cast("int").alias("rank"))
+    )

@@ -149,6 +149,47 @@ def quality_bands(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def adaptive_quality_filter(
+    docs: DataFrame, text_col: str = "text", quantile: float = 0.5
+) -> DataFrame:
+    """Per-source adaptive quality thresholding: instead of one global
+    quality cutoff (which silently empties strict-but-valuable sources
+    and waves through lenient ones), each source keeps its own top
+    ``1 - quantile`` fraction by score — the per-domain calibration
+    move production curation pipelines make when sources have
+    incomparable score distributions (books vs forum posts).
+
+    Plan shape: score once (tokenize-once barrier), one small
+    per-source exact-percentile aggregate (|sources| rows — tiny),
+    broadcast it back onto the scored frame, count survivors. Two
+    passes over the scored projection, zero global sorts; at 100 TB
+    the percentile aggregate is the only wide op and it reduces
+    map-side. Returns (source, threshold, n_docs, n_kept)."""
+    from ..materialize import materialize
+
+    # referenced twice (threshold agg + survivor count): materialize so
+    # the regex tokenization runs once, not once per branch
+    scored = materialize(
+        _with_tokens(docs, text_col, "source").select(
+            "source", quality_score_t(F.col("__toks")).alias("__q")
+        )
+    )
+    thr = scored.groupBy("source").agg(
+        F.expr(f"percentile(__q, {quantile})").alias("__thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.round(F.first("__thr"), 6).alias("threshold"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("__q") >= F.col("__thr")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Corpus-level tf-idf: top-k terms by summed tf·idf.
 

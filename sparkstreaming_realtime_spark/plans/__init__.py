@@ -22,17 +22,20 @@ from . import cdc_queries  # noqa: F401 — populates REGISTRY on import
 #: packing, decontamination, percentiles, as-of + range joins, PII
 #: scrub, chunk dedup) while every operator family keeps at least one
 #: already-green sentinel inside the cap — if a rotation broke
-#: something family-wide, the sentinel still flags it.
+#: something family-wide, the sentinel still flags it. The five
+#: operators NEW this round (SCD2 history, semantic dedup, kNN join,
+#: adaptive quality, DSIR resampling) also sit inside the cap; the
+#: slots came from family-redundant r3-green sentinels (moved to the
+#: 51+ tail, still covered by scripts/check_oracle.py + pytest).
 _PRIORITY = [
-    # serving / DAU sentinels (A1, endpoint, dim joins J4/J5)
-    "dau_total_by_day", "dau_realtime_endpoint", "dau_enriched",
-    # log-split sentinels (P4/P5 projection, P7 fan-out, P9 multiplex)
-    "log_split_page", "log_split_actions", "multiplex_route_counts",
-    # CDC sentinels (P10/P11 routing, K4 upsert)
-    "cdc_route_counts", "cdc_dim_snapshot",
-    # ES query-surface sentinels (A3, O1/O2, K8/K9, F11/F15, F8)
+    # serving / DAU sentinels (A1, endpoint)
+    "dau_total_by_day", "dau_realtime_endpoint",
+    # log-split sentinels (P4/P5 projection, P9 multiplex)
+    "log_split_page", "multiplex_route_counts",
+    # CDC sentinels (P10/P11 routing, K4 upsert, SCD2 — new r4)
+    "cdc_route_counts", "cdc_dim_snapshot", "cdc_scd2_history",
+    # ES query-surface sentinels (A3, O1/O2)
     "stats_by_item_segment", "filtered_sorted_paginated",
-    "term_exact_update_view", "highlight_match", "json_props_extract",
     # joins / rollups / TPC-H sentinels
     "order_wide_join", "hourly_window_rollup", "user_sessions",
     "pricing_summary", "revenue_by_nation", "shipping_priority",
@@ -42,11 +45,15 @@ _PRIORITY = [
     # never-driver-checked extension operators
     "value_percentiles", "events_asof_last_order",
     "orders_events_range_join",
-    # LLM dedup/similarity/text/multimodal sentinels
-    "doc_exact_dedup", "doc_minhash_near_dup", "doc_simhash",
-    "doc_incremental_near_dup", "emb_cosine_topk", "emb_int8_quantize",
+    # LLM dedup/similarity/text/multimodal sentinels (+ the four new
+    # r4-session ops: semantic dedup, kNN join, adaptive quality,
+    # DSIR importance resampling)
+    "doc_exact_dedup", "doc_minhash_near_dup",
+    "doc_incremental_near_dup", "emb_cosine_topk",
     "doc_token_stats", "doc_lang_id", "doc_binary_meta",
-    "corpus_curation_funnel",
+    "corpus_curation_funnel", "emb_semantic_dedup", "emb_knn_join",
+    "doc_quality_adaptive", "doc_importance_resample",
+    "doc_lm_perplexity",
     # never-driver-checked LLM ops (doc_overlap_spans and the r4
     # streaming curation parity are new this round)
     "emb_ivf_topk", "emb_ivf_multiprobe_topk", "emb_near_dup_lsh",
@@ -59,10 +66,13 @@ _PRIORITY = [
     # top-50 block: if the cap is a count they're inside it, if a time
     # budget the cheap queries above have already banked rows
     "streaming_dau_dedup_parity", "streaming_order_wide_parity",
-    "streaming_curation_parity",
+    "streaming_curation_parity", "streaming_scd2_parity",
     # tail of the curated block (51+): r3-green rows rotated out this
     # round (still verified by scripts/check_oracle.py and pytest),
     # plus the remaining never-checked extensions
+    "dau_enriched", "log_split_actions", "term_exact_update_view",
+    "highlight_match", "json_props_extract", "doc_simhash",
+    "emb_int8_quantize",
     "dau_by_hour", "session_entry_first_daily", "get_by_id",
     "error_routing", "log_split_error", "log_split_displays",
     "log_split_start", "cdc_op_normalize", "cdc_fact_rows",

@@ -171,6 +171,41 @@ def cdc_dim_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_scd2_history",
+    oracle=f"""
+    SELECT "table", id, data, version, valid_from, valid_to, is_current
+    FROM (
+      SELECT tbl AS "table",
+             (user_id % 100)::VARCHAR AS id,
+             {_DATA_SQL} AS data,
+             op,
+             row_number() OVER (
+               PARTITION BY tbl, user_id % 100
+               ORDER BY epoch_ms(ts), event_id)::INT AS version,
+             epoch_ms(ts) AS valid_from,
+             lead(epoch_ms(ts)) OVER (
+               PARTITION BY tbl, user_id % 100
+               ORDER BY epoch_ms(ts), event_id) AS valid_to,
+             (lead(epoch_ms(ts)) OVER (
+               PARTITION BY tbl, user_id % 100
+               ORDER BY epoch_ms(ts), event_id) IS NULL)::INT AS is_current
+      FROM (SELECT *, {_TABLE_SQL} AS tbl, {_OP_SQL} AS op FROM events)
+      WHERE op IS NOT NULL AND tbl IN ('user_info', 'base_province')
+    ) WHERE op <> 'D'
+    """,
+    tags=("K4", "warehouse"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history (operators/cdc.py:scd2_history):
+    every dim version with its [valid_from, valid_to) interval —
+    what the reference's last-write-wins Redis store throws away, and
+    what an as-of fact join needs. One entity-keyed window shuffle;
+    a delete closes the version it follows and emits no row."""
+    dims = cdc.route_dims(cdc.normalize_op(_parsed(spark, sf_dir)))
+    return cdc.scd2_history(dims, ord_cols=("ts_ms", "event_id"))
+
+
+@register(
     "streaming_cdc_dim_parity",
     oracle=f"""
     SELECT "table", id, data FROM (
@@ -237,6 +272,81 @@ def streaming_cdc_dim_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(snap).select("table", "id", "data")
+
+
+@register(
+    "streaming_scd2_parity",
+    oracle=f"""
+    SELECT "table", id, data, version, valid_from, valid_to, is_current
+    FROM (
+      SELECT tbl AS "table",
+             (user_id % 100)::VARCHAR AS id,
+             {_DATA_SQL} AS data,
+             op,
+             row_number() OVER (
+               PARTITION BY tbl, user_id % 100
+               ORDER BY epoch_ms(ts), event_id)::INT AS version,
+             epoch_ms(ts) AS valid_from,
+             lead(epoch_ms(ts)) OVER (
+               PARTITION BY tbl, user_id % 100
+               ORDER BY epoch_ms(ts), event_id) AS valid_to,
+             (lead(epoch_ms(ts)) OVER (
+               PARTITION BY tbl, user_id % 100
+               ORDER BY epoch_ms(ts), event_id) IS NULL)::INT AS is_current
+      FROM (SELECT *, {_TABLE_SQL} AS tbl, {_OP_SQL} AS op FROM events)
+      WHERE op IS NOT NULL AND tbl IN ('user_info', 'base_province')
+    ) WHERE op <> 'D'
+    """,
+    tags=("K4", "warehouse", "streaming"),
+)
+def streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2's STREAMING side end-to-end under the batch oracle: the
+    Maxwell dim branch through real Structured Streaming into
+    ``streaming/sinks.py:scd2_sink`` — per batch, only the touched
+    keys' history recomputes (semi/anti split + entity-keyed window),
+    the rest carries over; the accumulated history must equal the
+    batch ``cdc_scd2_history`` exactly. Cross-batch interval closing
+    and replay idempotency are additionally pinned by
+    tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from ..schemas import ODS_BASE_DB_SCHEMA
+    from ..sources.files import events_with_ts
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import read_scd2, scd2_sink
+
+    _t(spark, sf_dir, "events")  # sets the temporal read confs
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    env = _synthesize_cdc(events_with_ts(raw))
+    parsed = env.select(
+        F.from_json("value", ODS_BASE_DB_SCHEMA).alias("j"),
+        "ts_ms",
+        "event_id",
+    ).select(
+        F.col("j.type").alias("type"),
+        F.col("j.table").alias("table"),
+        F.col("j.data").alias("data"),
+        "ts_ms",
+        "event_id",
+    )
+    dims = cdc.route_dims(cdc.normalize_op(parsed))
+    hist = tempfile.mkdtemp(prefix="scd2_parity_") + "/history"
+    q = run_available_now(
+        dims,
+        scd2_sink(hist),
+        checkpoint=tempfile.mkdtemp(prefix="scd2_parity_ckpt_"),
+        query_name="scd2p_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return read_scd2(spark, hist)
 
 
 _TD = "2024-01-15"

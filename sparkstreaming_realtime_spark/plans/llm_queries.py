@@ -518,6 +518,128 @@ def doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.quality_bands(_t(spark, sf_dir, "documents"))
 
 
+def _quality_adaptive_oracle() -> str:
+    stop = _marker_sql(ts.STOPWORDS)
+    n = f"len({_toks_sql('text')})"
+    q = (
+        f"round(least(1.0, {n}::DOUBLE / 100.0) * 0.7 + "
+        f"(CASE WHEN {n} > 0 THEN {stop}::DOUBLE / {n} ELSE 0.0 END) * 0.3, 6)"
+    )
+    return f"""
+WITH scored AS (SELECT source, {q} AS q FROM documents),
+thr AS (SELECT source, quantile_cont(q, 0.5) AS t FROM scored GROUP BY source)
+SELECT s.source, round(any_value(t), 6) AS threshold,
+       count(*)::BIGINT AS n_docs,
+       sum((q >= t)::BIGINT)::BIGINT AS n_kept
+FROM scored s JOIN thr USING (source)
+GROUP BY s.source
+"""
+
+
+_DSIR_B = 256
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, is_t, {oracle_hash60_sql("tok")} % {_DSIR_B} AS bucket
+  FROM (SELECT doc_id, (lang = 'en') AS is_t,
+               unnest({_toks_sql("text")}) AS tok
+        FROM documents)),
+counts AS (SELECT bucket, count(*) AS cr, sum(is_t::BIGINT) AS ct
+           FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS tr, sum(is_t::BIGINT) AS tt FROM toks),
+feats AS (SELECT bucket,
+                 round(1e6 * (ln(ct + 1.0) - ln(tt + {_DSIR_B}.0)
+                              - ln(cr + 1.0) + ln(tr + {_DSIR_B}.0))
+                 )::BIGINT AS llr
+          FROM counts, tot),
+scores AS (SELECT doc_id, sum(llr)::BIGINT AS score_micro
+           FROM toks JOIN feats USING (bucket) GROUP BY 1),
+thr AS (SELECT quantile_cont(score_micro, 0.75) AS t FROM scores)
+SELECT doc_id, score_micro, (score_micro >= t)::INT AS keep
+FROM scores, thr
+"""
+
+
+def _lm_ppl_oracle() -> str:
+    h = oracle_hash60_sql
+    return f"""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS is_t, {_toks_sql("text")} AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, is_t,
+         {h("pair[1]")} AS w1h, {h("pair[2]")} AS bgh
+  FROM (SELECT doc_id, is_t,
+               unnest(list_transform(range(1, len(t)),
+                      i -> [t[i], t[i] || ' ' || t[i+1]])) AS pair
+        FROM base)),
+c1 AS (SELECT w1h, count(*) AS c1 FROM bg WHERE is_t GROUP BY 1),
+c2 AS (SELECT w1h, bgh, count(*) AS c2 FROM bg WHERE is_t GROUP BY 1, 2),
+v AS (SELECT count(DISTINCT w1h)::DOUBLE AS v FROM bg WHERE is_t),
+model AS (
+  SELECT bgh, round(1e6 * (ln(c2 + 1.0) - ln(c1 + v)))::BIGINT AS llp
+  FROM c2 JOIN c1 USING (w1h), v),
+fallback AS (
+  SELECT w1h, round(-1e6 * ln(c1 + v))::BIGINT AS llp_w1 FROM c1, v),
+scored AS (
+  SELECT doc_id,
+         coalesce(m.llp, f.llp_w1,
+                  round(-1e6 * ln(v.v))::BIGINT) AS llp
+  FROM bg LEFT JOIN model m USING (bgh)
+          LEFT JOIN fallback f USING (w1h), v)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(llp)::BIGINT AS logprob_micro,
+       round(sum(llp)::DOUBLE / count(*) / 1e6, 4) AS mean_logprob
+FROM scored GROUP BY doc_id
+"""
+
+
+@register("doc_lm_perplexity", oracle=_lm_ppl_oracle(), tags=("LLM", "quality"))
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal (operators/lm.py:lm_score;
+    Wenzek et al. 2020): mean bigram log-probability of every doc
+    under the add-1 bigram model of the lang='en' target docs.
+    Model tables are counting aggregates over the target (vocab-
+    bound, not corpus-bound); per-doc totals are exact integer
+    micro-nat sums, so the parallel aggregation is bit-identical to
+    the oracle's sequential one."""
+    from ..operators.lm import lm_score
+
+    return lm_score(_t(spark, sf_dir, "documents"), F.col("lang") == "en")
+
+
+@register(
+    "doc_importance_resample", oracle=_DSIR_ORACLE, tags=("LLM", "sampling")
+)
+def doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling
+    (operators/importance.py:importance_weights; Xie et al. 2023):
+    hashed-unigram bag-of-words models for the target (lang='en')
+    and raw distributions, per-doc log importance weight as an EXACT
+    integer micro-nat sum (order-independent across engines), top
+    quartile flagged for keeping via a broadcast exact percentile.
+    The 256-row feature table broadcasts at any corpus size."""
+    from ..operators.importance import importance_weights
+
+    return importance_weights(
+        _t(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+@register(
+    "doc_quality_adaptive", oracle=_quality_adaptive_oracle(), tags=("LLM", "text")
+)
+def doc_quality_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality thresholding
+    (operators/textstats.py:adaptive_quality_filter): each source
+    keeps its own above-median-quality half — the per-domain
+    calibration a global cutoff gets wrong. Exact per-source
+    percentile (Spark `percentile` == DuckDB `quantile_cont`,
+    same parity contract as value_percentiles), broadcast back,
+    survivor count."""
+    return ts.adaptive_quality_filter(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (mapInPandas over binary payloads)
 # ---------------------------------------------------------------------------
@@ -545,9 +667,11 @@ def doc_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _rh_oracle() -> str:
-    """Replicates rh_near_dup_pairs: identical plane literals, band
-    keys, bucket self-join, cosine verify."""
+def _rh_ctes() -> str:
+    """``buckets``/``cand``/``verified`` CTE chain replicating
+    rh_near_dup_pairs: identical plane literals, band keys, bucket
+    self-join, cosine verify. Shared by the pair query and the
+    semantic-dedup cluster query."""
     planes = sim.random_hyperplanes(sim.RH_PLANES, _EMB_DIM)
 
     def dot_lit(plane: list[float]) -> str:
@@ -566,8 +690,7 @@ def _rh_oracle() -> str:
         )
         for b in range(sim.RH_BANDS)
     )
-    return f"""
-WITH buckets AS (
+    return f"""buckets AS (
   SELECT vec_id, unnest([{bands}]) AS bucket FROM embeddings),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -577,7 +700,12 @@ verified AS (
   SELECT c.vec_a, c.vec_b,
          round({_cos_sql("x.embedding", "y.embedding")}, 6) AS cos
   FROM cand c JOIN embeddings x ON c.vec_a = x.vec_id
-              JOIN embeddings y ON c.vec_b = y.vec_id)
+              JOIN embeddings y ON c.vec_b = y.vec_id)"""
+
+
+def _rh_oracle() -> str:
+    return f"""
+WITH {_rh_ctes()}
 SELECT vec_a, vec_b, cos FROM verified WHERE cos >= 0.4
 """
 
@@ -592,6 +720,87 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the tunable, never an all-pairs fallback."""
     return sim.rh_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    """Connected components over the verified embedding-pair graph as
+    a recursive transitive closure — algorithm-independent cross-check
+    of the min-label-propagation loop (same protocol as
+    doc_dup_clusters' oracle)."""
+    return f"""
+WITH RECURSIVE {_rh_ctes()},
+pairs AS (SELECT vec_a, vec_b FROM verified WHERE cos >= 0.4),
+edges AS (SELECT vec_a AS node, vec_b AS nbr FROM pairs
+          UNION ALL
+          SELECT vec_b, vec_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT node, node FROM edges
+  UNION
+  SELECT e.node, reach.r FROM edges e JOIN reach ON reach.node = e.nbr
+)
+SELECT node AS vec_id, min(r) AS cluster_id,
+       (node = min(r))::INT AS is_keep
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "emb_semantic_dedup",
+    oracle=_semantic_dedup_oracle(),
+    tags=("LLM", "similarity", "dedup"),
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): sign-LSH
+    candidate pairs → exact-cosine verify → connected components →
+    one min-id survivor per semantic cluster
+    (operators/similarity.py:semantic_dedup). The oracle recomputes
+    the components as a recursive transitive closure, so the iterative
+    Spark loop is checked by a different algorithm."""
+    return sim.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4
+    )
+
+
+_KNN_JOIN_K = 5
+_KNN_JOIN_MOD = 41
+
+_KNN_JOIN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % {_KNN_JOIN_MOD} = 0),
+c AS (SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {_KNN_JOIN_MOD} <> 0),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round({_cos_sql("c.embedding", "q.qv")}, 6) AS cos
+  FROM q CROSS JOIN c),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cos, rank::INT AS rank
+FROM ranked WHERE rank <= {_KNN_JOIN_K}
+"""
+
+
+@register(
+    "emb_knn_join",
+    oracle=_KNN_JOIN_ORACLE,
+    tags=("LLM", "similarity"),
+)
+def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched k-NN join (operators/similarity.py:knn_join): exact
+    top-{_k} neighbors for every query in a deterministic query batch.
+    Arrow mapInPandas computes per-batch partial top-k (zero-shuffle
+    candidate generation — the cross product never shuffles); the
+    JVM-fold cosine re-verifies candidates bit-identically to the
+    oracle's sequential list_sum, rank window runs over candidates
+    only. The oracle brute-forces the full cross join."""
+    return sim.knn_join(
+        _t(spark, sf_dir, "embeddings"),
+        dim=_EMB_DIM,
+        k=_KNN_JOIN_K,
+        query_mod=_KNN_JOIN_MOD,
     )
 
 

@@ -562,3 +562,149 @@ def test_stride_chunks_catch_straddling_duplicate(spark):
     ]
     assert len(strided) == 1  # the shifted run fingerprint-matches
     assert strided[0]["keep_doc"] == 1
+
+
+def test_semantic_dedup_clusters_planted_paraphrases(spark):
+    # three near-identical vectors (one semantic cluster) + one far
+    # vector with no >=threshold neighbor (no row at all)
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base + 0.01 * rng.randn(8)]),
+        (3, [float(x) for x in base + 0.01 * rng.randn(8)]),
+        (4, [float(x) for x in -base]),  # antipodal: cosine ≈ -1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["cluster_id"], r["is_keep"])
+           for r in sim.semantic_dedup(emb, dim=8, threshold=0.9).collect()}
+    assert out.get(1) == (1, 1)
+    assert out.get(2) == (1, 0)
+    assert out.get(3) == (1, 0)
+    assert 4 not in out  # isolated vector: trivially kept, no row
+
+
+def test_knn_join_matches_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = sim.knn_join(emb, dim=8, k=3, query_mod=10)
+    res = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+    # brute-force reference in numpy (float64, same widening as JVM)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows])
+    qs = ids[ids % 10 == 0]
+    for q in qs:
+        qv = mat[q]
+        cs = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+        order = sorted(
+            [(round(float(cs[i]), 6), int(ids[i])) for i in range(60)
+             if ids[i] % 10 != 0],
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (_, vid) in enumerate(order[:3], start=1):
+            assert res[(q, rank)] == vid
+
+
+def test_adaptive_quality_filter_per_source_median(spark):
+    # source a: clearly bimodal quality; source b: uniform junk — each
+    # keeps >= half by ITS OWN median, not a global cutoff
+    long_good = ("the quick brown fox jumps over the lazy dog and keeps "
+                 "going with many more words " * 5)
+    rows = (
+        [(i, long_good, "a") for i in range(4)]
+        + [(i + 4, "tiny", "a") for i in range(4)]
+        + [(i + 8, "junk words here", "b") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in ts.adaptive_quality_filter(docs).collect()}
+    assert out["a"]["n_docs"] == 8 and out["b"]["n_docs"] == 4
+    # every source keeps at least the >= median half
+    assert out["a"]["n_kept"] >= 4
+    assert out["b"]["n_kept"] == 4  # identical scores: all >= median
+    # thresholds differ per source (per-domain calibration, the point)
+    assert out["a"]["threshold"] != out["b"]["threshold"]
+
+
+def test_importance_weights_prefers_target_like_docs(spark):
+    from sparkstreaming_realtime_spark.operators.importance import (
+        importance_weights,
+    )
+
+    # target docs share a distinctive vocabulary; one raw doc mimics
+    # it (should score high), one is alien (should score low)
+    target_text = "alpha bravo charlie delta echo foxtrot " * 3
+    rows = (
+        [(i, target_text, "en") for i in range(4)]
+        + [(10, "alpha bravo charlie delta", "xx")]     # target-like
+        + [(11, "zulu yankee xray whiskey victor", "xx")]  # alien
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           importance_weights(docs, F.col("lang") == "en").collect()}
+    assert out[10]["score_micro"] > out[11]["score_micro"]
+    assert out[11]["keep"] == 0
+
+
+def test_connected_components_strategies_agree(spark):
+    """The driver-side union-find cutover and the distributed
+    pointer-jumped label propagation are two physical strategies for
+    ONE contract — on the same pair graph they must emit identical
+    (id, cluster, is_keep) rows. Chain + triangle + isolated pair
+    exercises transitivity, cycles, and multi-component output."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain: min 1
+         (10, 11), (11, 12), (10, 12),        # triangle: min 10
+         (20, 21)],                           # pair: min 20
+        "doc_a long, doc_b long",
+    )
+    local = sorted(map(tuple, dd.connected_components(
+        pairs, local_threshold=10**9).collect()))
+    dist = sorted(map(tuple, dd.connected_components(
+        pairs, local_threshold=0).collect()))
+    assert local == dist
+    clusters = {r[0]: r[1] for r in local}
+    assert all(clusters[n] == 1 for n in (1, 2, 3, 4, 5))
+    assert all(clusters[n] == 10 for n in (10, 11, 12))
+    assert all(clusters[n] == 20 for n in (20, 21))
+
+
+def test_knn_join_candidate_stage_has_no_shuffle(spark):
+    """The kNN join's scale contract: candidate generation (scan →
+    mapInPandas partial top-k) must plan WITHOUT any Exchange — the
+    corpus×queries cross product never shuffles; only the tiny
+    candidate set does (broadcast + window)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.knn_join(emb, dim=8, k=3, query_mod=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.split("\n")
+    starts = [i for i, ln in enumerate(lines) if "InPandas" in ln]
+    assert starts, plan
+
+    def indent(ln: str) -> int:
+        body = ln.lstrip(" :+-*")
+        return len(ln) - len(body)
+
+    # the subtree FEEDING the Python stage (deeper-indented lines
+    # below it) must contain no Exchange: the corpus scans straight
+    # into the Arrow partial top-k. Exchanges elsewhere in the plan
+    # (candidate broadcast, final tiny rank window) are the design.
+    i = starts[0]
+    base = indent(lines[i])
+    j = i + 1
+    subtree = []
+    while j < len(lines) and indent(lines[j]) > base:
+        subtree.append(lines[j])
+        j += 1
+    assert subtree, plan
+    assert not any("Exchange" in ln for ln in subtree), "\n".join(subtree)

@@ -17,8 +17,18 @@ def _local(path: str) -> str:
     return path[len("file:"):] if path.startswith("file:") else path
 
 
+def _unset_checkpoint_dir(spark) -> None:
+    """Clear the session checkpoint dir — iterative operators install
+    one via ensure_checkpoint_dir(), so a shared test session may
+    arrive here with it set; these tests pin each materialize branch
+    explicitly."""
+    sc = spark.sparkContext
+    getattr(sc._jsc.sc(), "checkpointDir_$eq")(spark._jvm.scala.Option.empty())
+
+
 def test_persist_branch_tracks_and_releases(spark):
     release_all(clean_checkpoints=True)  # isolate from other tests
+    _unset_checkpoint_dir(spark)
     df = materialize(spark.range(100).selectExpr("id", "id * 2 AS v"))
     assert any(d is df for d in _LIVE)
     df.count()
@@ -30,8 +40,9 @@ def test_persist_branch_tracks_and_releases(spark):
 
 def test_checkpoint_cleanup_is_opt_in(spark, tmp_path):
     release_all(clean_checkpoints=True)
+    _unset_checkpoint_dir(spark)
     sc = spark.sparkContext
-    assert sc.getCheckpointDir() is None  # engine sessions don't set one
+    assert sc.getCheckpointDir() is None
     sc.setCheckpointDir(str(tmp_path / "ck"))
     try:
         a = materialize(spark.range(50).selectExpr("id"), eager=True)
@@ -67,3 +78,26 @@ def test_release_single_checkpointed_frame(spark, tmp_path):
         assert not os.path.exists(pb)
     finally:
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(spark._jvm.scala.Option.empty())
+
+
+def test_ensure_checkpoint_dir_installs_and_respects(spark, tmp_path):
+    """ensure_checkpoint_dir: installs a dir when none is set (so
+    iterative loops always cut lineage), and NEVER overrides a
+    deployment-configured one."""
+    from sparkstreaming_realtime_spark.materialize import (
+        ensure_checkpoint_dir,
+    )
+
+    sc = spark.sparkContext
+    _unset_checkpoint_dir(spark)
+    assert sc.getCheckpointDir() is None
+    ensure_checkpoint_dir(spark)
+    installed = sc.getCheckpointDir()
+    assert installed is not None
+    try:
+        configured = str(tmp_path / "deploy_ck")
+        sc.setCheckpointDir(configured)
+        ensure_checkpoint_dir(spark)
+        assert configured in sc.getCheckpointDir()
+    finally:
+        _unset_checkpoint_dir(spark)

@@ -453,3 +453,86 @@ def test_dim_upsert_sink_replay_is_idempotent(spark, tmp_path):
     second = sorted(map(tuple, spark.read.parquet(snap).collect()))
     assert first == second
     assert [(r[0], r[1]) for r in first] == [("user_info", "1")]
+
+
+def test_scd2_sink_builds_history_across_batches(spark, tmp_path):
+    """Streaming SCD2: a later batch must CLOSE the open version of a
+    key (cross-batch interval closing), deletes close but emit no
+    row, untouched keys carry over — and the final history must equal
+    the batch scd2_history over the concatenation of all batches."""
+    from sparkstreaming_realtime_spark.operators.cdc import scd2_history
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        read_scd2,
+        scd2_sink,
+    )
+
+    src = str(tmp_path / "src")
+    b1 = [
+        {"table": "user_info", "data": '{"id":1,"v":10}', "op": "I",
+         "ts_ms": 1000, "event_id": 1},
+        {"table": "user_info", "data": '{"id":2,"v":20}', "op": "I",
+         "ts_ms": 1001, "event_id": 2},
+        {"table": "base_province", "data": '{"id":9,"v":90}', "op": "I",
+         "ts_ms": 1002, "event_id": 3},
+    ]
+    b2 = [
+        # new version of id 1 (closes v1), delete id 2 (closes, no row)
+        {"table": "user_info", "data": '{"id":1,"v":11}', "op": "U",
+         "ts_ms": 2000, "event_id": 4},
+        {"table": "user_info", "data": '{"id":2,"v":0}', "op": "D",
+         "ts_ms": 2001, "event_id": 5},
+    ]
+    _write_jsonl(f"{src}/b1.json", seq=1, rows=b1)
+    _write_jsonl(f"{src}/b2.json", seq=2, rows=b2)
+    hist_path = str(tmp_path / "hist")
+    stream = file_stream(spark, src, CDC_SCHEMA, max_files_per_trigger=1)
+    _drain(stream, scd2_sink(hist_path), str(tmp_path / "ckpt"))
+
+    key = lambda r: (r["table"], r["id"], r["version"])  # noqa: E731
+    got = {
+        key(r): (r["data"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in read_scd2(spark, hist_path).collect()
+    }
+    assert got[("user_info", "1", 1)] == ('{"id":1,"v":10}', 1000, 2000, 0)
+    assert got[("user_info", "1", 2)] == ('{"id":1,"v":11}', 2000, None, 1)
+    # id 2: v1 closed by the delete at 2001; the delete has no row
+    assert got[("user_info", "2", 1)] == ('{"id":2,"v":20}', 1001, 2001, 0)
+    assert ("user_info", "2", 2) not in got
+    # untouched key carried over open
+    assert got[("base_province", "9", 1)] == ('{"id":9,"v":90}', 1002, None, 1)
+
+    all_rows = spark.createDataFrame(
+        [tuple(r.values()) for r in b1 + b2], CDC_SCHEMA
+    )
+    batch = {
+        key(r): (r["data"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(all_rows).collect()
+    }
+    assert got == batch
+
+
+def test_scd2_sink_replay_is_idempotent(spark, tmp_path):
+    """T5 for SCD2: re-delivering a batch (at-least-once) must leave
+    the history identical — the write-order dedupe absorbs it."""
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        read_scd2,
+        scd2_sink,
+    )
+
+    rows = [
+        {"table": "user_info", "data": '{"id":1,"v":10}', "op": "I",
+         "ts_ms": 1000, "event_id": 1},
+        {"table": "user_info", "data": '{"id":1,"v":11}', "op": "U",
+         "ts_ms": 2000, "event_id": 2},
+    ]
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in rows], CDC_SCHEMA
+    )
+    hist_path = str(tmp_path / "hist")
+    sink = scd2_sink(hist_path)
+    sink(batch, 0)
+    first = sorted(map(tuple, read_scd2(spark, hist_path).collect()))
+    sink(batch, 0)  # replay
+    second = sorted(map(tuple, read_scd2(spark, hist_path).collect()))
+    assert first == second
+    assert len(first) == 2

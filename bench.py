@@ -70,6 +70,8 @@ HEADLINE = [
     "doc_importance_resample",
     "doc_quality_adaptive",
     "doc_lm_perplexity",
+    "doc_heavy_hitters_sketch",
+    "clustered_point_lookup",
 ]
 
 

@@ -34,6 +34,14 @@ PROBE = [
     "doc_incremental_near_dup",
     "corpus_curation_funnel",
     "emb_ivf_topk",
+    # r4-session operators
+    "emb_knn_join",
+    "emb_semantic_dedup",
+    "cdc_scd2_history",
+    "doc_importance_resample",
+    "doc_lm_perplexity",
+    "doc_heavy_hitters_sketch",
+    "clustered_point_lookup",
 ]
 
 

@@ -525,20 +525,24 @@ def connected_components(
     # materialization MUST cut lineage (persist-only goes exponential
     # in plan re-analysis past ~5 rounds; see ensure_checkpoint_dir)
     ensure_checkpoint_dir(pairs.sparkSession)
-    # materialize the PAIRS before the symmetric union — the two
-    # union branches reference the same frame, and an unmaterialized
-    # pair plan (LSH join + verify) would run once per branch
+    # materialize the PAIRS before anything references them twice —
+    # an unmaterialized pair plan (LSH join + verify) would rerun per
+    # reference (the count probe + either strategy's consumption)
     pairs = materialize(pairs, eager=True)
+    if 2 * pairs.count() <= local_threshold:
+        # the local path consumes the directed pairs as-is (union-find
+        # is symmetric by construction) — no edge frame, no extra job
+        out = _local_components(
+            pairs.sparkSession, pairs.select(a_col, b_col), id_out
+        )
+        release(pairs)
+        return out
     edges = (
         pairs.select(F.col(a_col).alias("node"), F.col(b_col).alias("nbr"))
         .union(pairs.select(F.col(b_col).alias("node"), F.col(a_col).alias("nbr")))
     )
     edges = materialize(edges, eager=True)
     release(pairs)
-    if edges.count() <= local_threshold:
-        out = _local_components(pairs.sparkSession, edges, id_out)
-        release(edges)
-        return out
     labels = edges.select("node").distinct().withColumn("label", F.col("node"))
     for _ in range(max_iters):
         nbr_min = (
@@ -587,9 +591,9 @@ def connected_components(
 
 def _local_components(spark, edges: DataFrame, id_out: str) -> DataFrame:
     """Driver-side union-find for the small-graph cutover of
-    :func:`connected_components`. Path-halving + union-by-min keeps
-    the min id as each root, matching the distributed loop's labels
-    exactly."""
+    :func:`connected_components` (input: one row per undirected edge,
+    any two columns). Path-halving + union-by-min keeps the min id as
+    each root, matching the distributed loop's labels exactly."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -598,7 +602,7 @@ def _local_components(spark, edges: DataFrame, id_out: str) -> DataFrame:
             x = parent[x]
         return x
 
-    for row in edges.select("node", "nbr").collect():
+    for row in edges.collect():
         a, b = row[0], row[1]
         if a not in parent:
             parent[a] = a

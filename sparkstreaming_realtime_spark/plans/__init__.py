@@ -38,7 +38,7 @@ _PRIORITY = [
     "stats_by_item_segment", "filtered_sorted_paginated",
     # joins / rollups / TPC-H sentinels
     "order_wide_join", "hourly_window_rollup", "user_sessions",
-    "pricing_summary", "revenue_by_nation", "shipping_priority",
+    "shipping_priority",
     # never-driver-checked TPC-H shapes (Q2, Q9, Q11, Q20)
     "min_cost_supplier", "product_profit_by_nation_year",
     "important_stock_value", "excess_stock_suppliers",
@@ -60,8 +60,9 @@ _PRIORITY = [
     "doc_winnow_fingerprints", "doc_overlap_spans",
     "doc_sequence_packing", "doc_decontaminate", "doc_pii_scrub",
     "doc_chunk_dedup",
-    # warehouse sentinels
+    # warehouse sentinels (+ the r4-session clustering layout)
     "dau_warehouse_day_slice", "bucketed_colocated_join",
+    "clustered_point_lookup", "doc_heavy_hitters_sketch",
     # streaming-parity sentinels (real state machinery) — last in the
     # top-50 block: if the cap is a count they're inside it, if a time
     # budget the cheap queries above have already banked rows
@@ -72,7 +73,7 @@ _PRIORITY = [
     # plus the remaining never-checked extensions
     "dau_enriched", "log_split_actions", "term_exact_update_view",
     "highlight_match", "json_props_extract", "doc_simhash",
-    "emb_int8_quantize",
+    "emb_int8_quantize", "pricing_summary", "revenue_by_nation",
     "dau_by_hour", "session_entry_first_daily", "get_by_id",
     "error_routing", "log_split_error", "log_split_displays",
     "log_split_start", "cdc_op_normalize", "cdc_fact_rows",

@@ -560,6 +560,59 @@ FROM scores, thr
 """
 
 
+def _heavy_hitters_oracle() -> str:
+    from ..operators import sketches as sk
+
+    h = oracle_hash60_sql
+    w, d, k = sk.CM_WIDTH, sk.CM_DEPTH, 20
+    hash_rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {h('item', salt=r)} % {w} AS col FROM toks"
+        for r in range(d)
+    )
+    addr_rows = " UNION ALL ".join(
+        f"SELECT item, true_count, {r} AS row, {h('item', salt=r)} % {w} AS col"
+        f" FROM top"
+        for r in range(d)
+    )
+    return f"""
+WITH toks AS (SELECT unnest({_toks_sql("text")}) AS item FROM documents),
+n AS (SELECT count(*)::DOUBLE AS n FROM toks),
+cells AS (
+  SELECT row, col, count(*)::BIGINT AS c
+  FROM ({hash_rows}) GROUP BY 1, 2),
+top AS (
+  SELECT item, count(*)::BIGINT AS true_count FROM toks
+  GROUP BY 1 ORDER BY true_count DESC, item LIMIT {k}),
+est AS (
+  SELECT item, true_count, min(c) AS est_count
+  FROM ({addr_rows}) a JOIN cells USING (row, col) GROUP BY 1, 2)
+SELECT item AS term, true_count, est_count,
+       est_count - true_count AS overcount,
+       (est_count >= true_count AND
+        est_count <= true_count
+                     + ceil(2.718281828459045 / {w} * n.n)::BIGINT)::INT
+       AS within_bound
+FROM est, n
+"""
+
+
+@register(
+    "doc_heavy_hitters_sketch",
+    oracle=_heavy_hitters_oracle(),
+    tags=("LLM", "sketch"),
+)
+def doc_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch with its accuracy contract
+    (operators/sketches.py; Cormode & Muthukrishnan 2005): the exact
+    top-20 terms' counts re-answered from a fixed d·w cell table,
+    pinned to est ∈ [true, true + ceil(e/w·N)] — the bounded-size
+    summary that replaces a corpus-wide exact count at serving time
+    and merges cell-wise across batches."""
+    from ..operators.sketches import heavy_hitters_check
+
+    return heavy_hitters_check(_t(spark, sf_dir, "documents"), k=20)
+
+
 def _lm_ppl_oracle() -> str:
     h = oracle_hash60_sql
     return f"""

@@ -240,6 +240,49 @@ def dau_warehouse_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clustered_point_lookup",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(floor("value" * 100)::BIGINT)::BIGINT AS cents
+    FROM events WHERE user_id = 42 GROUP BY event_type
+    """,
+    tags=("extension", "warehouse", "clustering"),
+)
+def clustered_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping layout END-TO-END: events written range-clustered
+    on user_id (``sources.warehouse.write_clustered`` —
+    repartitionByRange + sortWithinPartitions), then a selective key
+    lookup served OUT of the clustered table. Each file/row-group
+    carries a tight disjoint [min, max] of the key, so the parquet
+    reader's stats filter skips everything but one file — the
+    high-cardinality answer to "index this column" where a partition
+    directory per value would be wrong. Stats disjointness is pinned
+    by tests/test_warehouse.py::
+    test_clustered_write_produces_disjoint_file_stats; the oracle
+    proves the re-layout loses nothing."""
+    import tempfile
+
+    from ..sources.warehouse import write_clustered
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ev_clustered_")
+    write_clustered(ev, path, cluster_by=("user_id",), n_files=8)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("user_id") == 42)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+
+
+@register(
     "bucketed_colocated_join",
     oracle=f"""
     SELECT o_orderstatus,

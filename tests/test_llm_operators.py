@@ -708,3 +708,21 @@ def test_knn_join_candidate_stage_has_no_shuffle(spark):
         j += 1
     assert subtree, plan
     assert not any("Exchange" in ln for ln in subtree), "\n".join(subtree)
+
+
+def test_count_min_never_undercounts(spark):
+    """The count-min invariant: for EVERY queried term, est >= true
+    (collisions only add). Tiny vocabulary + tiny width forces heavy
+    collisions, so the test exercises the interesting regime."""
+    from sparkstreaming_realtime_spark.operators.sketches import (
+        heavy_hitters_check,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    rows = heavy_hitters_check(docs, k=5, width=8).collect()
+    assert rows
+    for r in rows:
+        assert r["est_count"] >= r["true_count"]

@@ -110,3 +110,52 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_clustered_write_produces_disjoint_file_stats(spark, tmp_path):
+    """write_clustered's data-skipping contract: each parquet file
+    carries a tight, pairwise-disjoint [min, max] of the cluster key
+    (so a point predicate prunes to one file), while a hash-shuffled
+    write leaves every file spanning ~the full key range (nothing
+    prunes)."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_realtime_spark.sources.warehouse import (
+        write_clustered,
+    )
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id AS user_id", "id % 97 AS v"
+    )
+    clustered = str(tmp_path / "clustered")
+    write_clustered(df, clustered, cluster_by=("user_id",), n_files=4)
+    shuffled = str(tmp_path / "shuffled")
+    df.repartition(4).write.parquet(shuffled)
+
+    def spans(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            lo = min(
+                md.row_group(i).column(0).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(0).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            out.append((lo, hi))
+        return sorted(out)
+
+    cl = spans(clustered)
+    assert len(cl) == 4
+    # disjoint, ordered ranges — a point lookup touches exactly one
+    for (_, hi_prev), (lo_next, _) in zip(cl, cl[1:]):
+        assert hi_prev < lo_next
+    # the hash-shuffled layout cannot skip: every file spans ~everything
+    sh = spans(shuffled)
+    assert all(hi - lo > 9_000 for lo, hi in sh)
+    # and the clustered table still reads back complete + correct
+    assert spark.read.parquet(clustered).count() == 10_000

@@ -72,6 +72,7 @@ HEADLINE = [
     "doc_lm_perplexity",
     "doc_heavy_hitters_sketch",
     "clustered_point_lookup",
+    "emb_ivf_knn_join",
 ]
 
 

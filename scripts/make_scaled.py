@@ -52,6 +52,22 @@ def _copy(df: DataFrame, table: str, i: int) -> DataFrame:
         src = "abcdefghijklmnopqrstuvwxyz"
         dst = src[i:] + src[:i]
         out = out.withColumn("text", F.translate("text", src, dst))
+    if table == "embeddings" and i > 0:
+        # circular-shift the vector per copy: copies point in
+        # ~orthogonal directions (a shifted Gaussian vector is a fresh
+        # draw), so the NEAR-DUP rate stays constant with scale — a
+        # verbatim copy would give every vector factor-1 exact twins
+        # and the pair graph would densify ×factor² by construction
+        # (measured: ×10.7 "scaling" on emb_semantic_dedup that was
+        # pure fixture artifact). ANN scan costs still scale with
+        # rows, which is what the emb probes measure.
+        out = out.withColumn(
+            "embedding",
+            F.concat(
+                F.slice(F.col("embedding"), i + 1, 64 - i),
+                F.slice(F.col("embedding"), 1, i),
+            ),
+        )
     return out
 
 

@@ -202,6 +202,13 @@ def build_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     (
         emb.withColumn("cell", assign_cell(vec_col, cents))
+        # co-locate each inverted list before writing: without this,
+        # every one of the session's shuffle-partition tasks writes a
+        # sliver into every cell directory (shuffle.partitions ×
+        # n_cells tiny files — measured painful on a stock
+        # 400-partition session); with it, files-per-cell = tasks
+        # holding that cell (AQE coalesces the empties)
+        .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/corpus")
@@ -349,17 +356,38 @@ def rh_near_dup_pairs(
     dim: int,
     threshold: float = 0.4,
     id_col: str = "vec_id",
+    bands: int = RH_BANDS,
+    rows_per_band: int = RH_ROWS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: sign-LSH band buckets →
     bucket-local candidate self-join → exact cosine ≥ threshold on
     candidates only. The vector payload joins back by id, so 64·8
     bytes per row never ride the bucket shuffle (same shape as
-    dedup.near_dup_pairs; at 100 TB raise rows_per_band to keep
-    buckets small)."""
+    dedup.near_dup_pairs).
+
+    **The scale knob is rows_per_band.** A band key has
+    2^rows_per_band possible values, so expected bucket size is
+    N / 2^rows_per_band and the candidate self-join produces
+    O(bands · N² / 2^rows_per_band) pairs — quadratic in N at FIXED
+    bits (measured ×8.8 cost at ×10 corpus with the 4-bit default).
+    Growing rows_per_band with log₂(N) keeps bucket sizes — and the
+    verify cost — constant per row; the recall trade moves along
+    P(band match) = (1-θ/π)^rows_per_band, compensated with more
+    bands. ``max_bucket`` hard-caps degenerate buckets (identical
+    to the MinHash cap in dedup.near_dup_join)."""
     from ..functions.vectors import cosine_similarity
 
-    planes = random_hyperplanes(RH_PLANES, dim)
-    buckets = rh_band_buckets(emb, planes, id_col)
+    planes = random_hyperplanes(bands * rows_per_band, dim)
+    buckets = rh_band_buckets(emb, planes, id_col, bands, rows_per_band)
+    if max_bucket is not None:
+        small = (
+            buckets.groupBy("bucket")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("bucket")
+        )
+        buckets = buckets.join(small, "bucket")
     a = buckets.select(F.col("bucket"), F.col(id_col).alias("vec_a"))
     b = buckets.select(F.col("bucket"), F.col(id_col).alias("vec_b"))
     cands = (
@@ -410,6 +438,9 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     max_iters: int = 20,
+    bands: int = RH_BANDS,
+    rows_per_band: int = RH_ROWS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-space semantic dedup (SemDeDup, Abbas et al. 2023;
     PAPERS.md): near-identical *meanings* — paraphrases, templated
@@ -426,10 +457,16 @@ def semantic_dedup(
     the LSH buckets play that role here — both are cheap candidate
     partitions, and the exact-cosine verify is the decision either
     way. Vectors with no ≥-threshold neighbor never enter the edge
-    list (they are trivially kept and need no row)."""
+    list (they are trivially kept and need no row).
+
+    ``bands``/``rows_per_band``/``max_bucket`` pass through to the
+    LSH stage — rows_per_band is THE corpus-size knob (see
+    :func:`rh_near_dup_pairs`)."""
     from .dedup import connected_components
 
-    pairs = rh_near_dup_pairs(emb, dim, threshold, id_col)
+    pairs = rh_near_dup_pairs(
+        emb, dim, threshold, id_col, bands, rows_per_band, max_bucket
+    )
     return connected_components(pairs, "vec_a", "vec_b", id_col, max_iters)
 
 
@@ -525,4 +562,67 @@ def knn_join(
         verified.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_knn_join(
+    spark,
+    index_path: str,
+    k: int = 5,
+    probes: int = 2,
+    query_mod: int = 41,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batched ANN retrieval THROUGH the persisted IVF index: top-k
+    neighbors for every query in the batch (queries = corpus ids
+    ``% query_mod == 0``), scanning only each query's ``probes``
+    nearest cells — :func:`knn_join`'s exact scan replaced by the
+    inverted-list index, the production serving shape when the query
+    stream is continuous and the corpus is 100 TB.
+
+    Plan: centroids (n_cells rows) × queries (small) rank to a
+    (query, cell) routing table; the corpus joins the BROADCAST
+    routing on the partition column (scan prunes to the union of
+    routed cells), then each candidate scores once per routed query
+    of its cell and a window ranks within query. Per-query cost is
+    probes/n_cells of the corpus; recall is the IVF trade
+    (emb_ivf_recall_curve measures it).
+
+    Returns (query_id, vec_id, cos, rank) like :func:`knn_join`."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine_similarity
+
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    corpus = spark.read.parquet(f"{index_path}/corpus")
+    queries = corpus.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("__ccos"), F.asc("cell")
+    )
+    routed = (
+        cents.crossJoin(F.broadcast(queries))
+        .select(
+            "query_id",
+            "__qv",
+            "cell",
+            F.round(cosine_similarity("centroid", "__qv"), 6).alias("__ccos"),
+        )
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= probes)
+        .select("query_id", "__qv", "cell")
+    )
+    cands = corpus.filter(F.col(id_col) % query_mod != 0).join(
+        F.broadcast(routed), "cell"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        cands.select(
+            "query_id",
+            F.col(id_col),
+            F.round(cosine_similarity("embedding", "__qv"), 6).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
     )

@@ -50,10 +50,10 @@ _PRIORITY = [
     # DSIR importance resampling)
     "doc_exact_dedup", "doc_minhash_near_dup",
     "doc_incremental_near_dup", "emb_cosine_topk",
-    "doc_token_stats", "doc_lang_id", "doc_binary_meta",
+    "doc_token_stats", "doc_binary_meta",
     "corpus_curation_funnel", "emb_semantic_dedup", "emb_knn_join",
-    "doc_quality_adaptive", "doc_importance_resample",
-    "doc_lm_perplexity",
+    "emb_ivf_knn_join", "doc_quality_adaptive",
+    "doc_importance_resample", "doc_lm_perplexity",
     # never-driver-checked LLM ops (doc_overlap_spans and the r4
     # streaming curation parity are new this round)
     "emb_ivf_topk", "emb_ivf_multiprobe_topk", "emb_near_dup_lsh",
@@ -74,6 +74,7 @@ _PRIORITY = [
     "dau_enriched", "log_split_actions", "term_exact_update_view",
     "highlight_match", "json_props_extract", "doc_simhash",
     "emb_int8_quantize", "pricing_summary", "revenue_by_nation",
+    "doc_lang_id",
     "dau_by_hour", "session_entry_first_daily", "get_by_id",
     "error_routing", "log_split_error", "log_split_displays",
     "log_split_start", "cdc_op_normalize", "cdc_fact_rows",

@@ -232,6 +232,9 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERY_VEC_ID = 0
 _EMB_DIM = 64
+#: batched-kNN query selection: ids % mod == 0 are the query batch
+_KNN_JOIN_K = 5
+_KNN_JOIN_MOD = 41
 
 _TOPK_ORACLE = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
@@ -377,6 +380,56 @@ def emb_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ivf_index_path(spark, sf_dir)
     return sim.ivf_search(
         spark, idx, q, k=10, exclude_id=_QUERY_VEC_ID, probes=3
+    )
+
+
+_IVF_KNN_PROBES = 2
+
+
+def _ivf_knn_join_oracle() -> str:
+    it = sim.IVF_ITERS
+    k, mod, probes = _KNN_JOIN_K, _KNN_JOIN_MOD, _IVF_KNN_PROBES
+    return f"""
+WITH {_kmeans_ctes()},
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % {mod} = 0),
+routed AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round({_cos_sql("c.centroid", "q.qv")}, 6)
+                      DESC, c.cell) AS rn
+    FROM c{it} c CROSS JOIN q) WHERE rn <= {probes}),
+scored AS (
+  SELECT r.query_id, e.vec_id,
+         round({_cos_sql("e.embedding", "r.qv")}, 6) AS cos
+  FROM afin e JOIN routed r USING (cell)
+  WHERE e.vec_id % {mod} <> 0)
+SELECT query_id, vec_id, cos, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, vec_id)::INT AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+@register(
+    "emb_ivf_knn_join",
+    oracle=_ivf_knn_join_oracle(),
+    tags=("LLM", "similarity"),
+)
+def emb_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN retrieval through the persisted IVF index
+    (operators/similarity.py:ivf_knn_join): the same query batch as
+    emb_knn_join, but each query scans only its 2 nearest cells'
+    partition directories instead of the whole corpus — the serving
+    shape when the corpus is 100 TB and the query stream continuous.
+    The oracle replays the identical learned index (same Lloyd
+    rounds) and routing, so the gate checks the engine end-to-end."""
+    idx = _ivf_index_path(spark, sf_dir)
+    return sim.ivf_knn_join(
+        spark, idx, k=_KNN_JOIN_K, probes=_IVF_KNN_PROBES,
+        query_mod=_KNN_JOIN_MOD,
     )
 
 
@@ -814,9 +867,6 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4
     )
 
-
-_KNN_JOIN_K = 5
-_KNN_JOIN_MOD = 41
 
 _KNN_JOIN_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings

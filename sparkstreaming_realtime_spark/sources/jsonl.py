@@ -1,0 +1,94 @@
+"""JSONL (newline-delimited JSON) interchange for document corpora.
+
+Parquet is the engine's working format, but training-data pipelines
+exchange corpora as JSONL (one JSON object per line, usually
+gzipped) — the lingua franca of public corpus releases. These
+readers/writers keep that boundary explicit and scale-honest:
+
+- **Read with an explicit schema.** Schema inference scans the data
+  TWICE (once to sample types, once to read) — at 100 TB that is a
+  full extra pass; callers pass the schema and Spark's JSON reader
+  projects exactly those fields JVM-side (no Python in the loop).
+  Corrupt lines land in ``_corrupt_record`` instead of failing the
+  job (PERMISSIVE mode), mirroring the log-split error routing (P3).
+- **Write with deterministic sharding.** One shuffle on a hash of
+  the id column spreads rows evenly over ``n_shards`` files whose
+  membership is data-derived (re-runs produce identical shards) —
+  the same contract as sampling.write_training_shards, but in the
+  interchange format. gzip (or zstd) compression is a codec option,
+  not a format change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the documents-table interchange schema; _corrupt_record catches
+#: malformed lines under PERMISSIVE mode instead of killing the job
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, source string, "
+    "n_chars long, _corrupt_record string"
+)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_JSONL_SCHEMA,
+) -> DataFrame:
+    """Read a JSONL corpus with an explicit schema (never inference —
+    that's a second full scan at 100 TB). Compressed inputs (.gz,
+    .zst) decode transparently by extension. Returns good rows AND a
+    ``_corrupt_record`` column; see :func:`split_corrupt`."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): the P3 error-routing move at the corpus boundary —
+    bad lines are data to quarantine, not a reason to fail the job.
+
+    The frame is materialized first (engine-tracked DISK_ONLY persist)
+    because Spark disallows querying ONLY the internal corrupt-record
+    column straight off a raw JSON scan (SPARK-21610) — and both
+    branches consume the same parse anyway, so the one-pass
+    materialization is what you'd want at scale regardless."""
+    from ..materialize import materialize
+
+    df = materialize(df)
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    return good, bad
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    compression: str | None = "gzip",
+    mode: str = "overwrite",
+) -> None:
+    """Write a deterministically-sharded JSONL corpus: shard =
+    hash60(id) % n_shards, so re-exports are bit-comparable
+    shard-by-shard and downstream loaders can split work by file.
+    One shuffle, regardless of corpus size."""
+    from ..functions.hashing import hash60
+
+    shard = (hash60(F.col(id_col).cast("string")) % n_shards).alias("__shard")
+    w = (
+        df.repartition(n_shards, shard)
+        .write.mode(mode)
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -726,3 +726,30 @@ def test_count_min_never_undercounts(spark):
     assert rows
     for r in rows:
         assert r["est_count"] >= r["true_count"]
+
+
+def test_ivf_knn_join_plan_prunes_and_broadcasts(spark, tmp_path):
+    """Batched ANN serving contract: the corpus side joins the tiny
+    (query, cell) routing table by BROADCAST on the partition column
+    (scan prunes to routed cells), and the query path contains no
+    full-corpus aggregate — same invariants as single-query
+    ivf_search, now per batch."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0], 0) for i in range(60)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, dim=3, path=path, n_cells=2, iters=1)
+    out = sim.ivf_knn_join(spark, path, k=3, probes=1, query_mod=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "BroadcastHashJoin" in plan
+    # results are well-formed: <=k rows per query, ranks 1..k
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert by_q
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3

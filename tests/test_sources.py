@@ -90,3 +90,70 @@ def test_real_tables_read_with_temporal_types(spark, sf_dir):
             assert isinstance(
                 dt, (T.TimestampType, T.TimestampNTZType)
             ), f"{table}.{col} read as {dt}"
+
+
+def test_jsonl_roundtrip_and_corrupt_routing(spark, tmp_path):
+    """JSONL interchange: explicit-schema read (no inference pass),
+    corrupt lines quarantined not fatal, deterministic shard count,
+    gzip transparent, values preserved through the round-trip."""
+    import glob
+    import os
+
+    from sparkstreaming_realtime_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    with open(src / "part0.jsonl", "w") as f:
+        f.write('{"doc_id": 1, "text": "hello", "lang": "en", '
+                '"source": "web", "n_chars": 5}\n')
+        f.write('{"doc_id": 2, "text": "welt", "lang": "de", '
+                '"source": "web", "n_chars": 4}\n')
+        f.write('this line is not json\n')
+
+    df = read_jsonl(spark, str(src))
+    good, bad = split_corrupt(df)
+    assert bad.count() == 1
+    rows = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert rows == {1: "hello", 2: "welt"}
+
+    out = str(tmp_path / "out")
+    write_jsonl(good, out, n_shards=2)
+    files = glob.glob(f"{out}/part-*.json.gz")
+    assert len(files) == 2
+    back = read_jsonl(spark, out)
+    gb, bb = split_corrupt(back)
+    assert bb.count() == 0
+    assert {r["doc_id"]: r["text"] for r in gb.collect()} == rows
+
+
+def test_jsonl_write_sharding_is_deterministic(spark, tmp_path):
+    """Same data → same shard membership across re-exports (the
+    write_training_shards contract in the interchange format)."""
+    from sparkstreaming_realtime_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    df = spark.range(0, 200).selectExpr(
+        "id AS doc_id", "concat('t', id) AS text",
+        "'en' AS lang", "'s' AS source", "2 AS n_chars",
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_jsonl(df, a, n_shards=4, compression=None)
+    write_jsonl(df, b, n_shards=4, compression=None)
+
+    def shard_sets(path):
+        import glob
+
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.json")):
+            g, _ = split_corrupt(read_jsonl(spark, f))
+            out.append(frozenset(r["doc_id"] for r in g.collect()))
+        return set(out)
+
+    assert shard_sets(a) == shard_sets(b)

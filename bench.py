@@ -73,6 +73,8 @@ HEADLINE = [
     "doc_heavy_hitters_sketch",
     "clustered_point_lookup",
     "emb_ivf_knn_join",
+    "doc_remove_dup_spans",
+    "events_table_profile",
 ]
 
 

@@ -717,3 +717,79 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
+
+
+def remove_dup_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 15,
+) -> DataFrame:
+    """C4-style corpus-wide span REMOVAL (Raffel et al. 2020 §2.2 —
+    C4 deletes every repeated three-sentence span, keeping only its
+    first occurrence): where :func:`chunk_dedup` *reports* duplicated
+    chunks, this operator performs the surgery — all-but-first global
+    occurrences of every ``w``-token chunk are cut out and each
+    document is reassembled from its surviving chunks in order.
+
+    "First occurrence" is the corpus-total order (doc_id, position),
+    deterministic under re-runs. The final sub-``w`` tail of each
+    document rides along as its own (shorter) chunk, so a document
+    with no duplicated spans reassembles to exactly its normalized
+    text — nothing is silently lost.
+
+    Scale shape: one explode to (fp, doc, idx) rows (8-byte
+    fingerprint hashed before the shuffle), ONE window over the
+    fingerprint key (well-spread — a hash of content) to rank
+    occurrences, one doc-keyed reassembly aggregate
+    (``array_sort(collect_list(struct(idx, chunk)))`` — map-side
+    combinable). Docs with zero tokens produce no output row.
+
+    Returns (doc_id, text_clean, n_chunks, n_removed)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+
+    toked = docs.select(F.col(id_col), tokenize(text_col).alias("__t"))
+    t = F.col("__t")
+    n_chunks = F.ceil(F.size(t) / w).cast("int")
+    idx = F.when(F.size(t) > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = toked.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i * w + 1, w)))
+        ).alias("idx", "chunk"),
+    )
+    ranked = chunks.select(
+        id_col, "idx", "chunk", fingerprint("chunk").alias("__fp")
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__fp").orderBy(F.col(id_col), F.col("idx"))
+        ),
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct(F.col("idx"), F.col("chunk")),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("text_clean"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum((F.col("__rn") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

@@ -1,0 +1,52 @@
+"""Table profiling — the ANALYZE TABLE / data-quality surface.
+
+A pipeline onboarding a new 100 TB source asks the same first
+questions every time: how many rows, which columns are nullable in
+practice, what are the cardinalities. :func:`table_profile` answers
+them in ONE scan:
+
+- every per-column statistic (null count, exact distinct) rides in a
+  single ``agg`` — Spark plans the multi-distinct via EXPAND, still
+  one pass over the data with map-side partials;
+- the single stats row unpivots driver-side into one row per column
+  (a few dozen rows — metadata-sized by construction).
+
+Exact distincts are deliberate: this is the oracle-checkable
+contract. At 100 TB swap ``exact=False`` to run HLL sketches
+(``approx_count_distinct``) instead — same plan shape, bounded
+memory — mirroring the dau_approx_vs_exact accuracy trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_profile(df: DataFrame, exact: bool = True) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct) for every column, one
+    scan. ``exact=False`` switches distincts to HLL estimates for
+    arbitrary-cardinality columns at scale."""
+    cols = df.columns
+    distinct = F.count_distinct if exact else F.approx_count_distinct
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}")
+        )
+        aggs.append(distinct(F.col(c)).alias(f"__nd_{c}"))
+    row = df.agg(*aggs)
+    stack = F.expr(
+        "stack({n}, {args}) AS (column, n_nulls, n_distinct)".format(
+            n=len(cols),
+            args=", ".join(
+                f"'{c}', __nulls_{c}, __nd_{c}" for c in cols
+            ),
+        )
+    )
+    return row.select(F.col("__n").alias("n_rows"), stack).select(
+        "column",
+        F.col("n_rows").cast("bigint"),
+        F.col("n_nulls").cast("bigint"),
+        F.col("n_distinct").cast("bigint"),
+    )

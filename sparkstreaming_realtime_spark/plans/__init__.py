@@ -34,8 +34,8 @@ _PRIORITY = [
     "log_split_page", "multiplex_route_counts",
     # CDC sentinels (P10/P11 routing, K4 upsert, SCD2 — new r4)
     "cdc_route_counts", "cdc_dim_snapshot", "cdc_scd2_history",
-    # ES query-surface sentinels (A3, O1/O2)
-    "stats_by_item_segment", "filtered_sorted_paginated",
+    # ES query-surface sentinel (A3)
+    "stats_by_item_segment",
     # joins / rollups / TPC-H sentinels
     "order_wide_join", "hourly_window_rollup", "user_sessions",
     "shipping_priority",
@@ -50,7 +50,7 @@ _PRIORITY = [
     # DSIR importance resampling)
     "doc_exact_dedup", "doc_minhash_near_dup",
     "doc_incremental_near_dup", "emb_cosine_topk",
-    "doc_token_stats", "doc_binary_meta",
+    "doc_binary_meta",
     "corpus_curation_funnel", "emb_semantic_dedup", "emb_knn_join",
     "emb_ivf_knn_join", "doc_quality_adaptive",
     "doc_importance_resample", "doc_lm_perplexity",
@@ -63,6 +63,7 @@ _PRIORITY = [
     # warehouse sentinels (+ the r4-session clustering layout)
     "dau_warehouse_day_slice", "bucketed_colocated_join",
     "clustered_point_lookup", "doc_heavy_hitters_sketch",
+    "doc_remove_dup_spans", "events_table_profile",
     # streaming-parity sentinels (real state machinery) — last in the
     # top-50 block: if the cap is a count they're inside it, if a time
     # budget the cheap queries above have already banked rows
@@ -74,7 +75,7 @@ _PRIORITY = [
     "dau_enriched", "log_split_actions", "term_exact_update_view",
     "highlight_match", "json_props_extract", "doc_simhash",
     "emb_int8_quantize", "pricing_summary", "revenue_by_nation",
-    "doc_lang_id",
+    "doc_lang_id", "filtered_sorted_paginated", "doc_token_stats",
     "dau_by_hour", "session_entry_first_daily", "get_by_id",
     "error_routing", "log_split_error", "log_split_displays",
     "log_split_start", "cdc_op_normalize", "cdc_fact_rows",

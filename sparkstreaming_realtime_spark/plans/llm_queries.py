@@ -613,6 +613,73 @@ FROM scores, thr
 """
 
 
+_EVENTS_PROFILE_COLS = (
+    "event_id", "ts", "user_id", "event_type", "value", "props"
+)
+
+_EVENTS_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column, count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_nulls,
+       count(DISTINCT {c})::BIGINT AS n_distinct FROM events"""
+    for c in _EVENTS_PROFILE_COLS
+)
+
+
+@register(
+    "events_table_profile",
+    oracle=_EVENTS_PROFILE_ORACLE,
+    tags=("extension", "profiling"),
+)
+def events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE surface (operators/profiling.py:table_profile):
+    per-column row/null/exact-distinct counts in ONE scan (the
+    multi-distinct plans as EXPAND with map-side partials; at 100 TB
+    the exact=False switch swaps in HLL sketches, same plan shape)."""
+    from ..operators.profiling import table_profile
+
+    return table_profile(_t(spark, sf_dir, "events"))
+
+
+_C4_W = 15
+
+_C4_REMOVE_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
+idxed AS (
+  SELECT doc_id, t, unnest(range(0, (len(t) + {_C4_W - 1}) // {_C4_W})) AS idx
+  FROM toked WHERE len(t) > 0),
+chunks AS (
+  SELECT doc_id, idx,
+         array_to_string(t[idx * {_C4_W} + 1 : idx * {_C4_W} + {_C4_W}], ' ')
+           AS chunk
+  FROM idxed),
+ranked AS (
+  SELECT doc_id, idx, chunk,
+         row_number() OVER (
+           PARTITION BY {oracle_hash60_sql("chunk")}
+           ORDER BY doc_id, idx) AS rn
+  FROM chunks)
+SELECT doc_id,
+       coalesce(string_agg(chunk, ' ' ORDER BY idx)
+                FILTER (WHERE rn = 1), '') AS text_clean,
+       count(*)::BIGINT AS n_chunks,
+       sum((rn > 1)::BIGINT)::BIGINT AS n_removed
+FROM ranked GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_remove_dup_spans", oracle=_C4_REMOVE_ORACLE, tags=("LLM", "dedup")
+)
+def doc_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span removal (operators/dedup.py:remove_dup_chunks;
+    Raffel et al. 2020 §2.2): every all-but-first global occurrence
+    of a 15-token chunk is cut and documents reassemble from their
+    surviving chunks — the *surgical* counterpart of doc_chunk_dedup's
+    reporting. One content-hash window + one doc-keyed reassembly."""
+    return dd.remove_dup_chunks(_t(spark, sf_dir, "documents"), w=_C4_W)
+
+
 def _heavy_hitters_oracle() -> str:
     from ..operators import sketches as sk
 

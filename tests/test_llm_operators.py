@@ -753,3 +753,43 @@ def test_ivf_knn_join_plan_prunes_and_broadcasts(spark, tmp_path):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_remove_dup_chunks_cuts_all_but_first_and_reassembles(spark):
+    """C4 span removal: the duplicated chunk survives only at its
+    first (doc_id, idx) occurrence; unique text reassembles exactly;
+    the sub-w tail is preserved."""
+    dup = "one two three four five"  # w=5 chunk duplicated across docs
+    docs = _docs(
+        spark,
+        [
+            (1, dup + " tail bit"),          # first occurrence + tail
+            (2, dup),                        # exact re-occurrence: all cut
+            (3, "fresh words only here now"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in
+           dd.remove_dup_chunks(docs, w=5).collect()}
+    assert out[1]["text_clean"] == "one two three four five tail bit"
+    assert out[1]["n_removed"] == 0 and out[1]["n_chunks"] == 2
+    assert out[2]["text_clean"] == "" and out[2]["n_removed"] == 1
+    assert out[3]["text_clean"] == "fresh words only here now"
+    assert out[3]["n_removed"] == 0
+
+
+def test_table_profile_counts_nulls_and_distincts(spark):
+    from sparkstreaming_realtime_spark.operators.profiling import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, v string"
+    )
+    prof = {r["column"]: r for r in table_profile(df).collect()}
+    assert prof["id"]["n_rows"] == 4
+    assert prof["id"]["n_nulls"] == 0 and prof["id"]["n_distinct"] == 4
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["n_distinct"] == 2
+    # approx mode keeps the same schema/contract
+    approx = {r["column"]: r for r in
+              table_profile(df, exact=False).collect()}
+    assert set(approx) == {"id", "v"}

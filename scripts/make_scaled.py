@@ -61,11 +61,15 @@ def _copy(df: DataFrame, table: str, i: int) -> DataFrame:
         # (measured: ×10.7 "scaling" on emb_semantic_dedup that was
         # pure fixture artifact). ANN scan costs still scale with
         # rows, which is what the emb probes measure.
+        # shift cycles 1..63 (never 0 mod 64): copy 64 would otherwise
+        # rotate back to the identity — a verbatim twin of the base —
+        # and copy 66 would slice with negative length and crash
+        shift = (i - 1) % 63 + 1
         out = out.withColumn(
             "embedding",
             F.concat(
-                F.slice(F.col("embedding"), i + 1, 64 - i),
-                F.slice(F.col("embedding"), 1, i),
+                F.slice(F.col("embedding"), shift + 1, 64 - shift),
+                F.slice(F.col("embedding"), 1, shift),
             ),
         )
     return out

@@ -75,9 +75,17 @@ def ensure_checkpoint_dir(spark) -> None:
     should always configure a shared dir instead."""
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
+        import atexit
+        import shutil
         import tempfile
 
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-graft-ckpt-"))
+        path = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
+        sc.setCheckpointDir(path)
+        # engine-installed dir → engine-owned lifecycle: remove it at
+        # process exit so long-lived drivers don't leak checkpoint
+        # files into /tmp (a DEPLOYMENT-configured dir is never
+        # touched — its retention belongs to the deployment)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
 
 
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:

@@ -620,9 +620,20 @@ def _local_components(spark, edges: DataFrame, id_out: str) -> DataFrame:
     rows = [
         (node, find(node), int(node == find(node))) for node in parent
     ]
-    return spark.createDataFrame(
-        rows, schema=f"{id_out} long, cluster_id long, is_keep int"
+    # node type follows the input ids (long, string, ...) — a
+    # hardcoded long schema would make the small-graph path crash on
+    # string ids while the distributed path handled them fine
+    from pyspark.sql import types as T
+
+    node_type = edges.schema.fields[0].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_out, node_type),
+            T.StructField("cluster_id", node_type),
+            T.StructField("is_keep", T.IntegerType()),
+        ]
     )
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def near_dup_join(

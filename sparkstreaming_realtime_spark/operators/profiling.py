@@ -29,18 +29,24 @@ def table_profile(df: DataFrame, exact: bool = True) -> DataFrame:
     arbitrary-cardinality columns at scale."""
     cols = df.columns
     distinct = F.count_distinct if exact else F.approx_count_distinct
+    # positional aliases + df[c] references: a column named
+    # 'content-type' or 'a b' (JSON ingests) must not break the
+    # generic ANALYZE surface via unquoted identifier interpolation
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs.append(
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}")
+            F.sum(df[c].isNull().cast("bigint")).alias(f"__nulls_{i}")
         )
-        aggs.append(distinct(F.col(c)).alias(f"__nd_{c}"))
+        aggs.append(distinct(df[c]).alias(f"__nd_{i}"))
     row = df.agg(*aggs)
     stack = F.expr(
         "stack({n}, {args}) AS (column, n_nulls, n_distinct)".format(
             n=len(cols),
             args=", ".join(
-                f"'{c}', __nulls_{c}, __nd_{c}" for c in cols
+                "'{c}', __nulls_{i}, __nd_{i}".format(
+                    c=c.replace("'", "\\'"), i=i
+                )
+                for i, c in enumerate(cols)
             ),
         )
     )

@@ -377,24 +377,27 @@ def rh_near_dup_pairs(
     bands. ``max_bucket`` hard-caps degenerate buckets (identical
     to the MinHash cap in dedup.near_dup_join)."""
     from ..functions.vectors import cosine_similarity
+    from ..materialize import materialize
+    from .dedup import lsh_candidate_pairs
 
     planes = random_hyperplanes(bands * rows_per_band, dim)
-    buckets = rh_band_buckets(emb, planes, id_col, bands, rows_per_band)
-    if max_bucket is not None:
-        small = (
-            buckets.groupBy("bucket")
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") <= max_bucket)
-            .select("bucket")
-        )
-        buckets = buckets.join(small, "bucket")
-    a = buckets.select(F.col("bucket"), F.col(id_col).alias("vec_a"))
-    b = buckets.select(F.col("bucket"), F.col(id_col).alias("vec_b"))
+    # materialize: the bucket frame's signature transform (all the
+    # hyperplane dots) is consumed by both self-join sides (and the
+    # cap count when set) — without this it re-computes per subtree,
+    # same reason near_dup_pairs materializes its shingle sets
+    buckets = materialize(
+        rh_band_buckets(emb, planes, id_col, bands, rows_per_band)
+    )
+    # candidate generation IS MinHash's (dedup.lsh_candidate_pairs):
+    # same bucket-local self-join, same cap semantics — only the
+    # output column names differ
     cands = (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+        lsh_candidate_pairs(
+            buckets.withColumnRenamed(id_col, "doc_id"),
+            max_bucket=max_bucket,
+        )
+        .withColumnRenamed("doc_a", "vec_a")
+        .withColumnRenamed("doc_b", "vec_b")
     )
     ea = emb.select(F.col(id_col).alias("vec_a"), F.col("embedding").alias("__ea"))
     eb = emb.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("__eb"))
@@ -518,6 +521,12 @@ def knn_join(
     # the small-side collect IS the broadcast (same move as a dim
     # table); a retrieval batch is thousands of rows, never corpus-sized
     qrows = queries.select(F.col(id_col), "embedding").collect()
+    if not qrows:
+        # empty query batch: a well-typed empty result, not a NumPy
+        # shape error at plan-construction time
+        return emb.sparkSession.createDataFrame(
+            [], f"query_id bigint, {id_col} bigint, cos double, rank int"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)  # (Q, D)
     qnorm = np.linalg.norm(qmat, axis=1)
@@ -534,10 +543,18 @@ def knn_join(
             norms[norms == 0.0] = 1.0
             sims = (mat @ qmat.T) / norms[:, None] / qnorm[None, :]  # (B, Q)
             top = min(take, len(ids))
-            # argpartition: O(B) per query vs full sort's O(B log B)
-            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # (top, Q)
+            # candidate cut uses the SAME (cos desc, id asc) order as
+            # the final rank window: an argpartition on cos alone
+            # keeps an ARBITRARY subset of tied rows at the cut, which
+            # can drop the tie-break winners when > margin candidates
+            # share one value (mass duplicates) — lexsort is
+            # O(B log B) per query but tie-exact
+            picks = []
+            for j in range(len(qids)):
+                order = np.lexsort((ids, -sims[:, j]))[:top]
+                picks.append(ids[order])
             out_q = np.repeat(qids, top)
-            out_v = ids[idx.T.ravel()]
+            out_v = np.concatenate(picks)
             yield pd.DataFrame({"query_id": out_q, id_col: out_v})
 
     cands = corpus.select(id_col, "embedding").mapInPandas(

@@ -79,15 +79,24 @@ def write_jsonl(
     mode: str = "overwrite",
 ) -> None:
     """Write a deterministically-sharded JSONL corpus: shard =
-    hash60(id) % n_shards, so re-exports are bit-comparable
-    shard-by-shard and downstream loaders can split work by file.
-    One shuffle, regardless of corpus size."""
+    hash60(id) % n_shards, laid out as ``<path>/shard=N/`` partition
+    directories (the write_training_shards convention), so re-exports
+    are bit-comparable shard-by-shard and downstream loaders can
+    split work by directory. One shuffle, regardless of corpus size.
+
+    The shard column MUST materialize as a partition directory, not a
+    ``repartition(n, col)`` — that would re-hash the already-hashed
+    shard value (pmod(murmur3(shard), n)), collapsing shards into
+    shared/empty files (review-caught: 2 shards both landed in one
+    file)."""
     from ..functions.hashing import hash60
 
-    shard = (hash60(F.col(id_col).cast("string")) % n_shards).alias("__shard")
+    shard = (hash60(F.col(id_col).cast("string")) % n_shards).alias("shard")
     w = (
-        df.repartition(n_shards, shard)
-        .write.mode(mode)
+        df.withColumn("shard", shard)
+        .repartition(F.col("shard"))
+        .write.partitionBy("shard")
+        .mode(mode)
     )
     if compression:
         w = w.option("compression", compression)

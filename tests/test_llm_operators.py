@@ -793,3 +793,37 @@ def test_table_profile_counts_nulls_and_distincts(spark):
     approx = {r["column"]: r for r in
               table_profile(df, exact=False).collect()}
     assert set(approx) == {"id", "v"}
+
+
+def test_table_profile_handles_nonidentifier_columns(spark):
+    from sparkstreaming_realtime_spark.operators.profiling import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame([(1, "x")]).toDF("content-type", "a b")
+    prof = {r["column"]: r for r in table_profile(df).collect()}
+    assert set(prof) == {"content-type", "a b"}
+    assert prof["content-type"]["n_distinct"] == 1
+
+
+def test_knn_join_survives_mass_ties_and_empty_queries(spark):
+    """Review-caught edge cases: (a) > margin identical vectors at the
+    cut must still yield the (cos desc, id asc) winners; (b) an empty
+    query batch returns an empty, well-typed frame."""
+    dup = [1.0, 0.0, 0.0]
+    # corpus: 15 IDENTICAL vectors (ids 1..9, 11..16); query: id 10
+    rows = [(i, dup) for i in list(range(1, 10)) + list(range(11, 17))]
+    rows.append((10, [1.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    got = sim.knn_join(emb, dim=3, k=3, query_mod=10, batch_margin=0)
+    res = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+    # 15 identical corpus vectors tie at cos=1.0; margin=0 forces the
+    # cut to k — the id tie-break winners 1,2,3 must survive it
+    assert res == {(10, 1): 1, (10, 2): 2, (10, 3): 3}
+
+    none_q = sim.knn_join(emb.filter("vec_id % 10 != 0"), dim=3, k=3,
+                          query_mod=10)
+    assert none_q.count() == 0
+    assert none_q.columns == ["query_id", "vec_id", "cos", "rank"]

@@ -75,6 +75,7 @@ HEADLINE = [
     "emb_ivf_knn_join",
     "doc_remove_dup_spans",
     "events_table_profile",
+    "cdc_scd2_asof_enrich",
 ]
 
 

@@ -22,11 +22,14 @@ from . import cdc_queries  # noqa: F401 — populates REGISTRY on import
 #: packing, decontamination, percentiles, as-of + range joins, PII
 #: scrub, chunk dedup) while every operator family keeps at least one
 #: already-green sentinel inside the cap — if a rotation broke
-#: something family-wide, the sentinel still flags it. The five
-#: operators NEW this round (SCD2 history, semantic dedup, kNN join,
-#: adaptive quality, DSIR resampling) also sit inside the cap; the
-#: slots came from family-redundant r3-green sentinels (moved to the
-#: 51+ tail, still covered by scripts/check_oracle.py + pytest).
+#: something family-wide, the sentinel still flags it. The THIRTEEN
+#: operators NEW this round (SCD2 history + streaming parity + as-of
+#: consumption, semantic dedup, exact + IVF batched kNN joins,
+#: adaptive quality, DSIR resampling, LM perplexity, count-min heavy
+#: hitters, clustered point lookup, C4 span removal, table profiling)
+#: also sit inside the cap; the slots came from family-redundant
+#: r3-green sentinels (moved to the 51+ tail, still covered by
+#: scripts/check_oracle.py + pytest).
 _PRIORITY = [
     # serving / DAU sentinels (A1, endpoint)
     "dau_total_by_day", "dau_realtime_endpoint",
@@ -49,8 +52,8 @@ _PRIORITY = [
     # r4-session ops: semantic dedup, kNN join, adaptive quality,
     # DSIR importance resampling)
     "doc_exact_dedup", "doc_minhash_near_dup",
-    "doc_incremental_near_dup", "emb_cosine_topk",
-    "doc_binary_meta",
+    "doc_incremental_near_dup",
+    "doc_binary_meta", "cdc_scd2_asof_enrich",
     "corpus_curation_funnel", "emb_semantic_dedup", "emb_knn_join",
     "emb_ivf_knn_join", "doc_quality_adaptive",
     "doc_importance_resample", "doc_lm_perplexity",
@@ -76,6 +79,7 @@ _PRIORITY = [
     "highlight_match", "json_props_extract", "doc_simhash",
     "emb_int8_quantize", "pricing_summary", "revenue_by_nation",
     "doc_lang_id", "filtered_sorted_paginated", "doc_token_stats",
+    "emb_cosine_topk",
     "dau_by_hour", "session_entry_first_daily", "get_by_id",
     "error_routing", "log_split_error", "log_split_displays",
     "log_split_start", "cdc_op_normalize", "cdc_fact_rows",

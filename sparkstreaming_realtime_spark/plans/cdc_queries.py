@@ -275,6 +275,97 @@ def streaming_cdc_dim_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_scd2_asof_enrich",
+    oracle=f"""
+    WITH hist AS (
+      SELECT id, data, version, valid_from, valid_to FROM (
+        SELECT (user_id % 100)::VARCHAR AS id,
+               {_DATA_SQL} AS data,
+               op,
+               row_number() OVER (
+                 PARTITION BY user_id % 100
+                 ORDER BY epoch_ms(ts), event_id)::INT AS version,
+               epoch_ms(ts) AS valid_from,
+               lead(epoch_ms(ts)) OVER (
+                 PARTITION BY user_id % 100
+                 ORDER BY epoch_ms(ts), event_id) AS valid_to
+        FROM (SELECT *, {_TABLE_SQL} AS tbl, {_OP_SQL} AS op FROM events)
+        WHERE op IS NOT NULL AND tbl = 'user_info'
+      ) WHERE op <> 'D')
+    SELECT e.event_id, (e.user_id % 100)::VARCHAR AS id,
+           epoch_ms(e.ts) AS ts_ms,
+           h.data AS dim_data, h.version AS dim_version
+    FROM events e LEFT JOIN hist h
+      ON h.id = (e.user_id % 100)::VARCHAR
+     AND h.valid_from <= epoch_ms(e.ts)
+     AND (h.valid_to IS NULL OR epoch_ms(e.ts) < h.valid_to)
+    WHERE e.user_id % 5 = 2
+    """,
+    tags=("K4", "J4", "warehouse"),
+)
+def cdc_scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 CONSUMPTION end-to-end: every event of a dim-covered user
+    enriched with the dim VERSION VALID AT EVENT TIME — the temporal
+    dim join the reference's last-write-wins Redis store cannot
+    answer (it always serves the newest payload; OdsBaseDbApp.scala
+    :128-140), and the reason scd2_history keeps intervals at all.
+
+    Engine shape: ONE entity-keyed shuffle via the as-of
+    union-and-carry window (operators/asof.py) — never an inequality
+    range join (candidate explosion) or per-row subquery. The version
+    payload rides as one packed struct so NULL fields (an open
+    version's valid_to) can't cross-contaminate between carried
+    columns; validity masks the carried version where the event falls
+    after a delete. The oracle computes the same enrichment as a
+    declarative interval join — at most one version matches by the
+    non-overlap construction."""
+    from ..operators.asof import as_of_join
+
+    dims = cdc.route_dims(cdc.normalize_op(_parsed(spark, sf_dir)))
+    hist = cdc.scd2_history(
+        dims.filter(F.col("table") == "user_info"),
+        ord_cols=("ts_ms", "event_id"),
+    )
+    # one version per (id, valid_from): equal-timestamp writes keep
+    # only the effective (max-version) row — its zero-length
+    # predecessor can never satisfy ts < valid_to anyway, and the
+    # as-of carry needs unique (key, ts) right rows
+    hist1 = (
+        hist.groupBy("id", "valid_from")
+        .agg(
+            F.max_by(
+                F.struct("data", "version", "valid_to"), F.col("version")
+            ).alias("dim_v")
+        )
+    )
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 2)
+    facts = ev.select(
+        "event_id",
+        (F.col("user_id") % 100).cast("string").alias("id"),
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    joined = as_of_join(
+        facts,
+        hist1.select("id", "valid_from", "dim_v"),
+        key="id",
+        left_ts="ts_ms",
+        right_ts="valid_from",
+        payload_cols=("dim_v",),
+    )
+    valid = F.col("dim_v").isNotNull() & (
+        F.col("dim_v.valid_to").isNull()
+        | (F.col("ts_ms") < F.col("dim_v.valid_to"))
+    )
+    return joined.select(
+        "event_id",
+        "id",
+        "ts_ms",
+        F.when(valid, F.col("dim_v.data")).alias("dim_data"),
+        F.when(valid, F.col("dim_v.version")).alias("dim_version"),
+    )
+
+
+@register(
     "streaming_scd2_parity",
     oracle=f"""
     SELECT "table", id, data, version, valid_from, valid_to, is_current

@@ -733,6 +733,63 @@ def doc_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_check(_t(spark, sf_dir, "documents"), k=20)
 
 
+def _cm_cells_oracle() -> str:
+    from ..operators import sketches as sk
+
+    h = oracle_hash60_sql
+    w, d = sk.CM_WIDTH, sk.CM_DEPTH
+    hash_rows = " UNION ALL ".join(
+        f"SELECT {r} AS row, {h('item', salt=r)} % {w} AS col FROM toks"
+        for r in range(d)
+    )
+    return f"""
+WITH toks AS (SELECT unnest({_toks_sql("text")}) AS item FROM documents)
+SELECT row, col, count(*)::BIGINT AS c
+FROM ({hash_rows}) GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_heavy_hitters_parity",
+    oracle=_cm_cells_oracle(),
+    tags=("LLM", "sketch", "streaming"),
+)
+def streaming_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min MERGE property under real Structured Streaming:
+    documents stream in micro-batches, each batch sketches
+    independently (streaming/sinks.py:count_min_sink, idempotent
+    per-batch directories), and the cell-wise sum of the per-batch
+    sketches must equal the one-shot batch sketch exactly — the
+    associativity that makes count-min a streaming/distributable
+    aggregate, checked against the DuckDB oracle. Replay idempotency
+    is additionally pinned by tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from ..functions.text import tokenize
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import count_min_sink, read_count_min
+
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    items = raw.select(F.explode(tokenize("text")).alias("item"))
+    path = tempfile.mkdtemp(prefix="cm_parity_") + "/cells"
+    q = run_available_now(
+        items,
+        count_min_sink(path),
+        checkpoint=tempfile.mkdtemp(prefix="cm_parity_ckpt_"),
+        query_name="cmp_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return read_count_min(spark, path)
+
+
 def _lm_ppl_oracle() -> str:
     h = oracle_hash60_sql
     return f"""

@@ -241,3 +241,35 @@ def read_scd2(spark, path: str) -> DataFrame:
             "valid_from", "valid_to", "is_current",
         )
     )
+
+
+def count_min_sink(path: str, item_col: str = "item",
+                   depth: int | None = None, width: int | None = None):
+    """Streaming count-min maintenance: each micro-batch's cell
+    counts land in their own ``batch=<id>`` directory (deterministic
+    location → a replayed batch OVERWRITES its previous attempt, the
+    T5 idempotence move), and the live sketch is the cell-wise SUM
+    over batch directories — exercising exactly the
+    associative+commutative merge that makes count-min a streaming
+    aggregate (operators/sketches.py). Read with
+    :func:`read_count_min`."""
+    from ..operators import sketches as sk
+
+    d = sk.CM_DEPTH if depth is None else depth
+    w = sk.CM_WIDTH if width is None else width
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        cells = sk.count_min_cells(batch_df, item_col, d, w)
+        cells.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return write
+
+
+def read_count_min(spark, path: str) -> DataFrame:
+    """Merge the per-batch sketches: cell-wise addition over the
+    batch directories (the count-min merge)."""
+    return (
+        spark.read.option("basePath", path).parquet(f"{path}/batch=*")
+        .groupBy("row", "col")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )

@@ -536,3 +536,36 @@ def test_scd2_sink_replay_is_idempotent(spark, tmp_path):
     second = sorted(map(tuple, read_scd2(spark, hist_path).collect()))
     assert first == second
     assert len(first) == 2
+
+
+def test_count_min_sink_merges_batches_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Count-min as a streaming aggregate: per-batch sketches merge by
+    cell-wise addition to exactly the one-shot sketch, and a replayed
+    batch overwrites (not double-counts) its contribution."""
+    from sparkstreaming_realtime_spark.operators.sketches import (
+        count_min_cells,
+    )
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        count_min_sink,
+        read_count_min,
+    )
+
+    b1 = spark.createDataFrame([("a",), ("b",), ("a",)], "item string")
+    b2 = spark.createDataFrame([("a",), ("c",)], "item string")
+    path = str(tmp_path / "cells")
+    sink = count_min_sink(path, depth=2, width=8)
+    sink(b1, 0)
+    sink(b2, 1)
+    merged = {(r["row"], r["col"]): r["c"]
+              for r in read_count_min(spark, path).collect()}
+    oneshot = {
+        (r["row"], r["col"]): r["c"]
+        for r in count_min_cells(b1.union(b2), "item", 2, 8).collect()
+    }
+    assert merged == oneshot
+    sink(b2, 1)  # replay: same batch id overwrites its directory
+    replayed = {(r["row"], r["col"]): r["c"]
+                for r in read_count_min(spark, path).collect()}
+    assert replayed == oneshot

@@ -76,6 +76,7 @@ HEADLINE = [
     "doc_remove_dup_spans",
     "events_table_profile",
     "cdc_scd2_asof_enrich",
+    "doc_exact_k_sample",
 ]
 
 

@@ -118,3 +118,35 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def exact_k_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str,
+) -> DataFrame:
+    """Exactly-``k`` rows per stratum (or all, when the stratum is
+    smaller), deterministic: rows rank by ``hash60(key)`` within
+    their stratum and the first ``k`` win. The quota counterpart of
+    :func:`stratified_sample`'s rates — "cap every source at k docs"
+    — with hash order standing in for a random order, so membership
+    is stable across runs/engines and composes with hash splits.
+
+    Cost: ONE shuffle keyed by stratum for the rank window. Stratum
+    skew is real at 100 TB (one source can be half the corpus); the
+    mitigation is a pre-filter with :func:`stratified_sample` at a
+    rate that overshoots k (hash-threshold, zero shuffle) so the
+    window only ranks ~k·ε rows per stratum — the two ops compose
+    exactly because both order by the SAME hash."""
+    from pyspark.sql import Window
+
+    rank_key = hash60(F.col(key_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(
+        rank_key.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

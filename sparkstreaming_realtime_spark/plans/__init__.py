@@ -75,7 +75,7 @@ _PRIORITY = [
     # tail of the curated block (51+): r3-green rows rotated out this
     # round (still verified by scripts/check_oracle.py and pytest),
     # plus the remaining never-checked extensions
-    "streaming_heavy_hitters_parity",
+    "streaming_heavy_hitters_parity", "doc_exact_k_sample",
     "dau_enriched", "log_split_actions", "term_exact_update_view",
     "highlight_match", "json_props_extract", "doc_simhash",
     "emb_int8_quantize", "pricing_summary", "revenue_by_nation",

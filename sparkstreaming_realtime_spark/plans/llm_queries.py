@@ -613,6 +613,34 @@ FROM scores, thr
 """
 
 
+_EXACT_K = 20
+
+_EXACT_K_ORACLE = f"""
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {oracle_hash60_sql("doc_id::VARCHAR")}, doc_id) AS rn
+  FROM documents)
+WHERE rn <= {_EXACT_K}
+"""
+
+
+@register(
+    "doc_exact_k_sample", oracle=_EXACT_K_ORACLE, tags=("LLM", "sampling")
+)
+def doc_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum quota sampling
+    (operators/sampling.py:exact_k_sample): cap every source at 20
+    docs by deterministic hash rank — the quota counterpart of the
+    rate-based stratified sampler, same hash order so the two
+    compose (overshoot-rate pre-filter then exact cap)."""
+    from ..operators.sampling import exact_k_sample
+
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    return exact_k_sample(docs, "source", _EXACT_K, "doc_id")
+
+
 _EVENTS_PROFILE_COLS = (
     "event_id", "ts", "user_id", "event_type", "value", "props"
 )

@@ -108,3 +108,40 @@ def test_route_with_config_is_dynamic(spark):
     assert r1 == "kafka:DWD_ORDER_INFO_I"
     assert r2 == "redis:DIM:ORDER_INFO"
     assert r3 == "drop"
+
+
+def test_scd2_intervals_partition_time_per_key(spark):
+    """SCD2 invariants on a messy changelog (out-of-order build input,
+    same-ts writes, deletes, reinserts): per key, versions sort by
+    valid_from with each valid_to equal to the NEXT write's ts (any
+    op), exactly one open version unless the last write was a delete,
+    and version numbers strictly increase."""
+    from sparkstreaming_realtime_spark.operators.cdc import scd2_history
+
+    rows = [
+        # key 1: I, U, same-ts U (event_id breaks tie), D, re-I
+        ("user_info", '{"id":1,"v":1}', "I", 100, 1),
+        ("user_info", '{"id":1,"v":2}', "U", 200, 2),
+        ("user_info", '{"id":1,"v":3}', "U", 200, 3),
+        ("user_info", '{"id":1,"v":0}', "D", 300, 4),
+        ("user_info", '{"id":1,"v":4}', "I", 400, 5),
+        # key 2: single insert, stays open
+        ("user_info", '{"id":2,"v":9}', "I", 150, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "table string, data string, op string, ts_ms long, event_id long"
+    )
+    hist = sorted(
+        (
+            (r["id"], r["version"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in scd2_history(df).collect()
+        )
+    )
+    assert hist == [
+        ("1", 1, 100, 200, 0),
+        ("1", 2, 200, 200, 0),   # zero-length: superseded same-ts
+        ("1", 3, 200, 300, 0),   # closed by the delete
+        ("1", 5, 400, None, 1),  # reinsert reopens (version 4 = the D)
+        ("2", 1, 150, None, 1),
+    ]

@@ -179,3 +179,32 @@ def test_pii_scrub_cross_engine_and_idempotent(spark, s):
     duck = con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [s]).fetchone()[0]
     con.close()
     assert row["s1"] == duck
+
+
+@given(
+    lengths=st.lists(st.integers(min_value=1, max_value=40),
+                     min_size=1, max_size=6),
+    w=st.integers(min_value=2, max_value=9),
+)
+@settings(max_examples=8, deadline=None)
+def test_remove_dup_chunks_reassembly_is_lossless_without_dups(
+    spark, lengths, w
+):
+    """Property: when every chunk in the corpus is globally unique
+    (constructed: token (i, j) is distinct corpus-wide), C4 span
+    removal is the identity on normalized text — n_removed=0 and
+    text_clean round-trips the token join exactly, for any chunk
+    width and any tail length."""
+    from sparkstreaming_realtime_spark.operators.dedup import (
+        remove_dup_chunks,
+    )
+
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)))
+        for i, n in enumerate(lengths)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_dup_chunks(docs, w=w).collect()}
+    for i, t in rows:
+        assert out[i]["n_removed"] == 0
+        assert out[i]["text_clean"] == t

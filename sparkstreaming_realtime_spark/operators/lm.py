@@ -87,17 +87,19 @@ def lm_score(
         )
     )
     target = bg.filter(F.col("__is_target"))
-    c1 = target.groupBy("w1h").agg(F.count("*").alias("c1"))
-    c2 = target.groupBy("w1h", "bgh").agg(F.count("*").alias("c2"))
-    # V = distinct unigrams of the target = distinct w1 plus possibly
-    # the final token of each target doc; bigram w1's are every token
-    # except each doc's last, so count distinct over BOTH bigram
-    # hash positions' source tokens would need the raw tokens — use
-    # distinct w1h, the standard conditioning-vocabulary choice
-    # (consistent between engines by construction).
-    v = target.select("w1h").distinct().agg(
-        F.count("*").cast("double").alias("v")
+    # ONE corpus-side shuffle: the (w1, bigram) count. The unigram
+    # table and the vocabulary size both derive from it — c1(w1) =
+    # Σ_bg c2 and V = |c1| — as vocab-sized re-aggregations, so the
+    # corpus never shuffles for them (was 3 corpus-wide shuffles).
+    c2 = materialize(
+        target.groupBy("w1h", "bgh").agg(F.count("*").alias("c2"))
     )
+    c1 = c2.groupBy("w1h").agg(F.sum("c2").alias("c1"))
+    # V = distinct conditioning unigrams of the target = rows of c1;
+    # bigram w1's are every target token except each doc's last — the
+    # standard conditioning-vocabulary choice, consistent between
+    # engines by construction.
+    v = c1.agg(F.count("*").cast("double").alias("v"))
     model = (
         c2.join(c1, "w1h")
         .crossJoin(F.broadcast(v))

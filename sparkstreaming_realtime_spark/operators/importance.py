@@ -92,13 +92,16 @@ def importance_weights(
             carry=("__is_target",),
         )
     )
-    counts = toks.groupBy("bucket").agg(
-        F.count("*").alias("cr"),
-        F.sum(F.col("__is_target").cast("bigint")).alias("ct"),
+    counts = materialize(
+        toks.groupBy("bucket").agg(
+            F.count("*").alias("cr"),
+            F.sum(F.col("__is_target").cast("bigint")).alias("ct"),
+        )
     )
-    totals = toks.agg(
-        F.count("*").alias("tr"),
-        F.sum(F.col("__is_target").cast("bigint")).alias("tt"),
+    # totals fold over the B-row bucket table, not the corpus — the
+    # exploded tokens are scanned exactly once (the counts aggregate)
+    totals = counts.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     )
     b = F.lit(float(n_buckets))
     llr_micro = F.round(

@@ -83,8 +83,12 @@ def heavy_hitters_check(
     toks = materialize(
         docs.select(F.explode(tokenize(text_col)).alias("item"))
     )
-    cells = count_min_cells(toks, "item", depth, width)
-    total = toks.agg(F.count("*").alias("n"))
+    cells = materialize(count_min_cells(toks, "item", depth, width))
+    # stream length N folds over the d·w cell table (row 0 holds every
+    # occurrence exactly once) — no extra corpus pass
+    total = cells.filter(F.col("row") == 0).agg(
+        F.sum("c").cast("bigint").alias("n")
+    )
     top = (
         toks.groupBy("item")
         .agg(F.count("*").cast("bigint").alias("true_count"))

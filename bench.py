@@ -77,6 +77,7 @@ HEADLINE = [
     "events_table_profile",
     "cdc_scd2_asof_enrich",
     "doc_exact_k_sample",
+    "corpus_curation_funnel_v2",
 ]
 
 

@@ -40,7 +40,7 @@ _PRIORITY = [
     # ES query-surface sentinel (A3)
     "stats_by_item_segment",
     # joins / rollups / TPC-H sentinels
-    "order_wide_join", "hourly_window_rollup", "user_sessions",
+    "order_wide_join", "hourly_window_rollup",
     "shipping_priority",
     # never-driver-checked TPC-H shapes (Q2, Q9, Q11, Q20)
     "min_cost_supplier", "product_profit_by_nation_year",
@@ -54,7 +54,8 @@ _PRIORITY = [
     "doc_exact_dedup", "doc_minhash_near_dup",
     "doc_incremental_near_dup",
     "doc_binary_meta", "cdc_scd2_asof_enrich",
-    "corpus_curation_funnel", "emb_semantic_dedup", "emb_knn_join",
+    "corpus_curation_funnel", "corpus_curation_funnel_v2",
+    "emb_semantic_dedup", "emb_knn_join",
     "emb_ivf_knn_join", "doc_quality_adaptive",
     "doc_importance_resample", "doc_lm_perplexity",
     # never-driver-checked LLM ops (doc_overlap_spans and the r4
@@ -76,6 +77,7 @@ _PRIORITY = [
     # round (still verified by scripts/check_oracle.py and pytest),
     # plus the remaining never-checked extensions
     "streaming_heavy_hitters_parity", "doc_exact_k_sample",
+    "user_sessions",
     "dau_enriched", "log_split_actions", "term_exact_update_view",
     "highlight_match", "json_props_extract", "doc_simhash",
     "emb_int8_quantize", "pricing_summary", "revenue_by_nation",

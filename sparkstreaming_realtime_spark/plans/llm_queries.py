@@ -235,6 +235,10 @@ _EMB_DIM = 64
 #: batched-kNN query selection: ids % mod == 0 are the query batch
 _KNN_JOIN_K = 5
 _KNN_JOIN_MOD = 41
+#: DSIR hashed-feature buckets / C4 chunk width (shared by the ops
+#: and the v2 funnel composition)
+_DSIR_B = 256
+_C4_W = 15
 
 _TOPK_ORACLE = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID})
@@ -589,8 +593,6 @@ GROUP BY s.source
 """
 
 
-_DSIR_B = 256
-
 _DSIR_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, is_t, {oracle_hash60_sql("tok")} % {_DSIR_B} AS bucket
@@ -611,6 +613,130 @@ thr AS (SELECT quantile_cont(score_micro, 0.75) AS t FROM scores)
 SELECT doc_id, score_micro, (score_micro >= t)::INT AS keep
 FROM scores, thr
 """
+
+
+def _funnel_v2_oracle() -> str:
+    stop = _marker_sql(ts.STOPWORDS)
+    n = f"len({_toks_sql('text')})"
+    q = (
+        f"round(least(1.0, {n}::DOUBLE / 100.0) * 0.7 + "
+        f"(CASE WHEN {n} > 0 THEN {stop}::DOUBLE / {n} ELSE 0.0 END) * 0.3, 6)"
+    )
+    h = oracle_hash60_sql
+    return f"""
+WITH qscored AS (SELECT doc_id, source, {q} AS q FROM documents),
+qthr AS (SELECT source, quantile_cont(q, 0.5) AS qt
+         FROM qscored GROUP BY source),
+dtoks AS (
+  SELECT doc_id, is_t, {h("tok")} % {_DSIR_B} AS bucket
+  FROM (SELECT doc_id, (lang = 'en') AS is_t,
+               unnest({_toks_sql("text")}) AS tok FROM documents)),
+dcounts AS (SELECT bucket, count(*) AS cr, sum(is_t::BIGINT) AS ct
+            FROM dtoks GROUP BY 1),
+dtot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM dcounts),
+dfeats AS (SELECT bucket,
+                  round(1e6 * (ln(ct + 1.0) - ln(tt + {_DSIR_B}.0)
+                               - ln(cr + 1.0) + ln(tr + {_DSIR_B}.0))
+                  )::BIGINT AS llr
+           FROM dcounts, dtot),
+dscores AS (SELECT doc_id, sum(llr)::BIGINT AS sm
+            FROM dtoks JOIN dfeats USING (bucket) GROUP BY 1),
+dthr AS (SELECT quantile_cont(sm, 0.75) AS dt FROM dscores),
+ctoked AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
+cidx AS (SELECT doc_id, t,
+                unnest(range(0, (len(t) + {_C4_W - 1}) // {_C4_W})) AS idx
+         FROM ctoked WHERE len(t) > 0),
+cchunks AS (
+  SELECT doc_id, idx,
+         array_to_string(t[idx * {_C4_W} + 1 : idx * {_C4_W} + {_C4_W}], ' ')
+           AS chunk
+  FROM cidx),
+cranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY {h("chunk")}
+                            ORDER BY doc_id, idx) AS rn
+  FROM cchunks),
+spans AS (SELECT doc_id, count(*) AS n_chunks,
+                 sum((rn > 1)::BIGINT) AS n_removed
+          FROM cranked GROUP BY 1)
+SELECT s.source,
+       count(*)::BIGINT AS n_raw,
+       sum((s.q >= t.qt)::BIGINT)::BIGINT AS n_quality,
+       sum((coalesce(sp.n_removed, 0) * 2
+            <= coalesce(sp.n_chunks, 0)
+            OR sp.doc_id IS NULL)::BIGINT)::BIGINT AS n_span_clean,
+       sum(coalesce((ds.sm >= dth.dt)::BIGINT, 0))::BIGINT AS n_dsir,
+       sum(((s.q >= t.qt)
+            AND (coalesce(sp.n_removed, 0) * 2
+                 <= coalesce(sp.n_chunks, 0) OR sp.doc_id IS NULL)
+            AND coalesce(ds.sm >= dth.dt, FALSE))::BIGINT
+       )::BIGINT AS n_final
+FROM qscored s
+JOIN qthr t USING (source)
+LEFT JOIN spans sp USING (doc_id)
+LEFT JOIN dscores ds USING (doc_id), dthr dth
+GROUP BY s.source
+"""
+
+
+@register(
+    "corpus_curation_funnel_v2",
+    oracle=_funnel_v2_oracle(),
+    tags=("LLM", "pipeline"),
+)
+def corpus_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r4 curation pipeline composed as ONE plan: per-source
+    ADAPTIVE quality gate (each source keeps its ≥-median half) ∧
+    C4 span hygiene (docs losing > half their chunks to corpus-wide
+    span removal drop) ∧ DSIR importance (top quartile vs the
+    lang='en' target) — reported as a per-source funnel
+    (raw → quality → span_clean → dsir → final).
+
+    Composition cost: the three stages reuse their operators
+    verbatim (adaptive percentile broadcast, remove_dup_chunks
+    counts, importance_weights keep flag) and meet in doc-keyed
+    joins + one small aggregate — no stage recomputes another's
+    scan, and each operator's own oracle already pins it in
+    isolation; this query pins the composition."""
+    from ..operators.importance import importance_weights
+
+    docs = dd.spread(_t(spark, sf_dir, "documents"))
+    scored = ts._with_tokens(docs, "text", "doc_id", "source").select(
+        "doc_id", "source", ts.quality_score_t(F.col("__toks")).alias("q")
+    )
+    from ..materialize import materialize
+
+    scored = materialize(scored)
+    qthr = scored.groupBy("source").agg(
+        F.expr("percentile(q, 0.5)").alias("qt")
+    )
+    spans = dd.remove_dup_chunks(docs, w=_C4_W).select(
+        "doc_id", "n_chunks", "n_removed"
+    )
+    dsir = importance_weights(docs, F.col("lang") == "en").select(
+        "doc_id", F.col("keep").alias("dsir_keep")
+    )
+    span_clean = F.coalesce(
+        F.col("n_removed") * 2 <= F.col("n_chunks"), F.lit(True)
+    )
+    pass_q = F.col("q") >= F.col("qt")
+    keep_d = F.coalesce(F.col("dsir_keep") == 1, F.lit(False))
+    return (
+        scored.join(F.broadcast(qthr), "source")
+        .join(spans, "doc_id", "left")
+        .join(dsir, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.sum(pass_q.cast("bigint")).cast("bigint").alias("n_quality"),
+            F.sum(span_clean.cast("bigint")).cast("bigint")
+            .alias("n_span_clean"),
+            F.sum(keep_d.cast("bigint")).cast("bigint").alias("n_dsir"),
+            F.sum((pass_q & span_clean & keep_d).cast("bigint"))
+            .cast("bigint")
+            .alias("n_final"),
+        )
+    )
 
 
 _EXACT_K = 20
@@ -667,8 +793,6 @@ def events_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return table_profile(_t(spark, sf_dir, "events"))
 
-
-_C4_W = 15
 
 _C4_REMOVE_ORACLE = f"""
 WITH toked AS (

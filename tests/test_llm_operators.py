@@ -827,3 +827,24 @@ def test_knn_join_survives_mass_ties_and_empty_queries(spark):
                           query_mod=10)
     assert none_q.count() == 0
     assert none_q.columns == ["query_id", "vec_id", "cos", "rank"]
+
+
+def test_exact_k_sample_caps_and_is_deterministic(spark):
+    from sparkstreaming_realtime_spark.operators.sampling import (
+        exact_k_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 40 else "small") for i in range(43)],
+        "doc_id long, source string",
+    )
+    out = exact_k_sample(df, "source", 5, "doc_id")
+    by_src = {}
+    for r in out.collect():
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 5        # capped exactly
+    assert len(by_src["small"]) == 3      # under-quota stratum: all kept
+    # deterministic membership across runs
+    again = {r["doc_id"] for r in
+             exact_k_sample(df, "source", 5, "doc_id").collect()}
+    assert again == by_src["big"] | by_src["small"]

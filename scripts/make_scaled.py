@@ -72,6 +72,29 @@ def _copy(df: DataFrame, table: str, i: int) -> DataFrame:
                 F.slice(F.col("embedding"), 1, shift),
             ),
         )
+        # the shift alone cycles with period 63 — copies i and i+63
+        # would share a transform and reintroduce exact twins (and the
+        # quadratic pair-graph artifact) past factor 63. Compose with a
+        # per-63-block sign-flip mask (coordinate j flips iff bit j of
+        # the block index is set): blocks get distinct masks up to
+        # 2^63 copies, a flipped Gaussian stays Gaussian, and block 0
+        # (factors <= 63) is the identity — probe outputs unchanged.
+        block = (i - 1) // 63
+        if block:
+            signs = F.array(
+                *[
+                    F.lit(-1.0 if (block >> (j % 63)) & 1 else 1.0)
+                    for j in range(64)
+                ]
+            )
+            out = out.withColumn(
+                "embedding",
+                # cast back: the double sign literal must not widen the
+                # stored element type (readers pin the source schema)
+                F.zip_with("embedding", signs, lambda x, s: x * s).cast(
+                    dict(df.dtypes)["embedding"]
+                ),
+            )
     return out
 
 

@@ -35,7 +35,12 @@ def table_profile(df: DataFrame, exact: bool = True) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         aggs.append(
-            F.sum(df[c].isNull().cast("bigint")).alias(f"__nulls_{i}")
+            # coalesce: sum over ZERO rows is NULL, but the profile's
+            # schema contract is "0 nulls in 0 rows" (count_distinct
+            # already yields 0 on empty input)
+            F.coalesce(
+                F.sum(df[c].isNull().cast("bigint")), F.lit(0)
+            ).alias(f"__nulls_{i}")
         )
         aggs.append(distinct(df[c]).alias(f"__nd_{i}"))
     row = df.agg(*aggs)

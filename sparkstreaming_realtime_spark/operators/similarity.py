@@ -480,6 +480,7 @@ def knn_join(
     query_mod: int = 41,
     id_col: str = "vec_id",
     batch_margin: int | None = None,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Batched k-NN join: top-k corpus neighbors for EVERY query in a
     query batch (queries = ``vec_id % query_mod == 0``, corpus = the
@@ -519,8 +520,24 @@ def knn_join(
     corpus = emb.filter(F.col(id_col) % query_mod != 0)
 
     # the small-side collect IS the broadcast (same move as a dim
-    # table); a retrieval batch is thousands of rows, never corpus-sized
-    qrows = queries.select(F.col(id_col), "embedding").collect()
+    # table); a retrieval batch is thousands of rows, never
+    # corpus-sized — and that assumption is ENFORCED, not assumed:
+    # the collect is capped (limit bounds the fetch itself, so an
+    # over-sized batch costs cap+1 rows of driver memory, not OOM)
+    # and over-cap batches fail loudly with the fix spelled out
+    qrows = (
+        queries.select(F.col(id_col), "embedding")
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"knn_join query batch exceeds max_query_rows="
+            f"{max_query_rows}: the batch rides to every executor as "
+            f"a broadcast closure, so an unbounded batch OOMs the "
+            f"driver. Split the batch (e.g. run per hash bucket of "
+            f"{id_col}) or raise max_query_rows deliberately."
+        )
     if not qrows:
         # empty query batch: a well-typed empty result, not a NumPy
         # shape error at plan-construction time

@@ -244,7 +244,8 @@ def dau_warehouse_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type, count(*)::BIGINT AS n,
            sum(floor("value" * 100)::BIGINT)::BIGINT AS cents
-    FROM events WHERE user_id = 42 GROUP BY event_type
+    FROM events WHERE user_id = (SELECT min(user_id) FROM events)
+    GROUP BY event_type
     """,
     tags=("extension", "warehouse", "clustering"),
 )
@@ -259,7 +260,13 @@ def clustered_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory per value would be wrong. Stats disjointness is pinned
     by tests/test_warehouse.py::
     test_clustered_write_produces_disjoint_file_stats; the oracle
-    proves the re-layout loses nothing."""
+    proves the re-layout loses nothing. The lookup key is
+    min(user_id) — a key GUARANTEED present at every SF (a fixed
+    literal made the parity vacuously-empty at sf0.001; pinned
+    non-empty by tests/test_warehouse.py) — collected as a scalar so
+    the filter is a literal predicate the parquet reader's row-group
+    stats can act on (a scalar-subquery join would defeat the
+    file-skipping this query demonstrates)."""
     import tempfile
 
     from ..sources.warehouse import write_clustered
@@ -271,9 +278,10 @@ def clustered_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = tempfile.mkdtemp(prefix="ev_clustered_")
     write_clustered(ev, path, cluster_by=("user_id",), n_files=8)
+    target = ev.agg(F.min("user_id")).collect()[0][0]
     return (
         spark.read.parquet(path)
-        .filter(F.col("user_id") == 42)
+        .filter(F.col("user_id") == target)
         .groupBy("event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),

@@ -93,6 +93,37 @@ def reset_sink(path: str) -> None:
         shutil.rmtree(path)
 
 
+def _swap_snapshot(out: DataFrame, path: str) -> None:
+    """Crash-safe snapshot replacement for the state-carrying sinks.
+
+    The naive sequence (rmtree(path); rename(.next, path)) has a
+    window where the ONLY copy of the accumulated state is gone: the
+    streaming checkpoint replays at most the in-flight batch, not the
+    history that built the snapshot, so a crash inside the window
+    loses the sink's entire state (all SCD2 history, not just one
+    batch). Instead the old snapshot is renamed ASIDE (`.old`) until
+    the new one is durably in place — every crash point leaves a
+    complete snapshot on disk under `path` or `.old`, and
+    :func:`_recover_snapshot` rolls the aside copy back on restart."""
+    nxt, old = path + ".next", path + ".old"
+    out.write.mode("overwrite").parquet(nxt)
+    if os.path.exists(old):  # leftover from a crash after step 3
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(nxt, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_snapshot(path: str) -> None:
+    """Restore the aside copy if a previous :func:`_swap_snapshot`
+    crashed between rename-aside and rename-into-place (the replayed
+    batch then rebuilds forward from the restored prior state)."""
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
+
 def dim_upsert_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")):
     """K4's streaming binding: maintain a last-write-wins dim snapshot
     across micro-batches — the engine's replacement for the per-row
@@ -116,6 +147,7 @@ def dim_upsert_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover_snapshot(path)
         cols = ["table", "id", "data", "op", *ord_cols]
         incoming = batch_df.select(
             "table",
@@ -139,11 +171,7 @@ def dim_upsert_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")
             *[F.max(c).alias(c) for c in ord_cols]
         )
         out = snap.join(keep_ord, ["table", "id"]).withColumn("op", F.lit("U"))
-        nxt = path + ".next"
-        out.select(*cols).write.mode("overwrite").parquet(nxt)
-        if _os.path.exists(path):
-            shutil.rmtree(path)
-        _os.rename(nxt, path)
+        _swap_snapshot(out.select(*cols), path)
 
     return write
 
@@ -179,6 +207,7 @@ def scd2_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")):
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover_snapshot(path)
         state_cols = ["table", "id", "data", "op", *ord_cols,
                       "version", "valid_from", "valid_to", "is_current"]
         first_ord = ord_cols[0]
@@ -220,11 +249,7 @@ def scd2_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")):
             if untouched is None
             else untouched.unionByName(recomputed)
         )
-        nxt = path + ".next"
-        out.write.mode("overwrite").parquet(nxt)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(nxt, path)
+        _swap_snapshot(out, path)
 
     return write
 

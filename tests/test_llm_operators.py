@@ -795,6 +795,23 @@ def test_table_profile_counts_nulls_and_distincts(spark):
     assert set(approx) == {"id", "v"}
 
 
+def test_table_profile_empty_frame_yields_zeros_not_nulls(spark):
+    """Schema-contract edge: sum() over zero rows is NULL, but an
+    empty table's profile must read n_rows=0, n_nulls=0, n_distinct=0
+    for every column (the UNION-ALL oracle shape produces 0)."""
+    from sparkstreaming_realtime_spark.operators.profiling import (
+        table_profile,
+    )
+
+    df = spark.createDataFrame([], "id long, v string")
+    prof = {r["column"]: r for r in table_profile(df).collect()}
+    assert set(prof) == {"id", "v"}
+    for c in ("id", "v"):
+        assert prof[c]["n_rows"] == 0
+        assert prof[c]["n_nulls"] == 0
+        assert prof[c]["n_distinct"] == 0
+
+
 def test_table_profile_handles_nonidentifier_columns(spark):
     from sparkstreaming_realtime_spark.operators.profiling import (
         table_profile,
@@ -827,6 +844,19 @@ def test_knn_join_survives_mass_ties_and_empty_queries(spark):
                           query_mod=10)
     assert none_q.count() == 0
     assert none_q.columns == ["query_id", "vec_id", "cos", "rank"]
+
+
+def test_knn_join_enforces_query_batch_cap(spark):
+    """The query-side collect is a broadcast-small-side move; an
+    over-cap batch must fail loudly (bounded fetch, no driver OOM)
+    instead of silently collecting a corpus-sized side."""
+    import pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # query_mod=1 makes EVERY row a query — 20 > cap of 5
+    with pytest.raises(ValueError, match="max_query_rows"):
+        sim.knn_join(emb, dim=2, k=2, query_mod=1, max_query_rows=5)
 
 
 def test_exact_k_sample_caps_and_is_deterministic(spark):

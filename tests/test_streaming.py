@@ -538,6 +538,43 @@ def test_scd2_sink_replay_is_idempotent(spark, tmp_path):
     assert len(first) == 2
 
 
+def test_snapshot_swap_survives_crash_between_renames(spark, tmp_path):
+    """The swap's worst crash point — old snapshot renamed aside, new
+    one not yet in place — must not lose the accumulated state: the
+    next write() restores the aside copy and rebuilds forward from it
+    (with the crashed batch replayed by the checkpoint, history is
+    complete). Before the `.old` aside existed, this window deleted
+    the only copy of the entire SCD2 history."""
+    import os
+
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        read_scd2,
+        scd2_sink,
+    )
+
+    b1 = spark.createDataFrame(
+        [("user_info", '{"id":1,"v":10}', "I", 1000, 1)], CDC_SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [("user_info", '{"id":1,"v":11}', "U", 2000, 2)], CDC_SCHEMA
+    )
+    hist = str(tmp_path / "hist")
+    sink = scd2_sink(hist)
+    sink(b1, 0)
+    # simulate the crash window: prior snapshot set aside, replacement
+    # never arrived (this is exactly the on-disk state if the process
+    # dies between the two renames)
+    os.rename(hist, hist + ".old")
+    sink(b2, 1)  # restart: recovery + the replayed batch
+    got = {
+        (r["id"], r["version"]): (r["valid_from"], r["valid_to"])
+        for r in read_scd2(spark, hist).collect()
+    }
+    assert got == {("1", 1): (1000, 2000), ("1", 2): (2000, None)}
+    assert not os.path.exists(hist + ".old")
+    assert not os.path.exists(hist + ".next")
+
+
 def test_count_min_sink_merges_batches_and_replays_idempotently(
     spark, tmp_path
 ):

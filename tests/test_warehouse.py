@@ -159,3 +159,14 @@ def test_clustered_write_produces_disjoint_file_stats(spark, tmp_path):
     assert all(hi - lo > 9_000 for lo, hi in sh)
     # and the clustered table still reads back complete + correct
     assert spark.read.parquet(clustered).count() == 10_000
+
+
+def test_clustered_point_lookup_is_nonvacuous_at_smoke_sf(spark, sf_dir):
+    """The registry's clustered point lookup must return rows at the
+    smallest test SF: a fixed key literal made the oracle parity pass
+    on 0 == 0 rows (vacuous), so the key is now derived from
+    min(user_id), which exists at every SF by construction."""
+    from sparkstreaming_realtime_spark.plans import REGISTRY
+
+    out = REGISTRY["clustered_point_lookup"].fn(spark, sf_dir)
+    assert out.count() > 0

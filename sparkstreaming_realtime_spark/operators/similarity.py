@@ -262,6 +262,39 @@ RH_PLANES = 16
 RH_BANDS = 4
 RH_ROWS = 4
 
+#: auto-banding target: expected bucket size N / 2^rows_per_band held
+#: at ~2^RH_TARGET_LOG_BUCKET rows, so the bucket-local self-join does
+#: O(bucket) work per row at ANY corpus size.
+RH_TARGET_LOG_BUCKET = 4
+
+
+def auto_lsh_params(
+    n: int,
+    base_bands: int = RH_BANDS,
+    base_rows: int = RH_ROWS,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) derived from corpus size ``n`` — the r4
+    scaling probe proved a FIXED band width goes quadratic (candidate
+    pairs grow O(bands · N² / 2^rows_per_band): ×12.9 cost at ×10 rows
+    with the pinned 4-bit default), so width must grow with log₂(N).
+
+    - ``rows_per_band = max(base, ceil(log2 n) - TARGET)`` holds the
+      expected bucket at ~2^TARGET rows: per-row verify work is then
+      constant in N and total candidates grow ~linearly.
+    - each extra signature bit lowers P(band match) by the Charikar
+      factor (1-θ/π), so ``bands`` grows by one per extra bit as
+      partial recall compensation — a deliberate trade (full
+      compensation needs bands ∝ (1-θ/π)^-Δrows, which re-inflates
+      the candidate set; callers needing pinned recall at huge N
+      should pass both knobs explicitly, SemDeDup-style k-means
+      partitions being the far end of that trade).
+    """
+    import math
+
+    rows = max(base_rows, math.ceil(math.log2(max(n, 2))) - RH_TARGET_LOG_BUCKET)
+    bands = base_bands + max(0, rows - base_rows)
+    return bands, rows
+
 
 def random_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: component (p, i) is
@@ -356,9 +389,10 @@ def rh_near_dup_pairs(
     dim: int,
     threshold: float = 0.4,
     id_col: str = "vec_id",
-    bands: int = RH_BANDS,
-    rows_per_band: int = RH_ROWS,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
     max_bucket: int | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: sign-LSH band buckets →
     bucket-local candidate self-join → exact cosine ≥ threshold on
@@ -366,20 +400,35 @@ def rh_near_dup_pairs(
     bytes per row never ride the bucket shuffle (same shape as
     dedup.near_dup_pairs).
 
-    **The scale knob is rows_per_band.** A band key has
-    2^rows_per_band possible values, so expected bucket size is
-    N / 2^rows_per_band and the candidate self-join produces
-    O(bands · N² / 2^rows_per_band) pairs — quadratic in N at FIXED
-    bits (measured ×8.8 cost at ×10 corpus with the 4-bit default).
-    Growing rows_per_band with log₂(N) keeps bucket sizes — and the
-    verify cost — constant per row; the recall trade moves along
-    P(band match) = (1-θ/π)^rows_per_band, compensated with more
-    bands. ``max_bucket`` hard-caps degenerate buckets (identical
-    to the MinHash cap in dedup.near_dup_join)."""
+    **The scale knob is rows_per_band — and it now defaults to
+    N-derived.** A band key has 2^rows_per_band possible values, so
+    expected bucket size is N / 2^rows_per_band and the candidate
+    self-join produces O(bands · N² / 2^rows_per_band) pairs —
+    quadratic in N at FIXED bits (measured ×12.9 cost at ×10 corpus
+    with the old pinned 4-bit default). When ``rows_per_band`` is
+    None, :func:`auto_lsh_params` sizes it from the corpus count
+    (``approx_count`` hint if given, else one cheap narrow
+    ``count()``) so buckets — and per-row verify cost — stay constant
+    at any N; the recall trade moves along
+    P(band match) = (1-θ/π)^rows_per_band, partially compensated with
+    more bands. Passing both knobs explicitly pins the bucketing
+    exactly (the oracle-checked registry queries do, for
+    reproducibility across engines). ``max_bucket`` hard-caps
+    degenerate buckets (identical to the MinHash cap in
+    dedup.near_dup_join)."""
     from ..functions.vectors import cosine_similarity
     from ..materialize import materialize
     from .dedup import lsh_candidate_pairs
 
+    if rows_per_band is None:
+        n = approx_count if approx_count is not None else emb.count()
+        auto_bands, rows_per_band = auto_lsh_params(
+            n, base_bands=bands if bands is not None else RH_BANDS
+        )
+        if bands is None:
+            bands = auto_bands
+    elif bands is None:
+        bands = RH_BANDS
     planes = random_hyperplanes(bands * rows_per_band, dim)
     # materialize: the bucket frame's signature transform (all the
     # hyperplane dots) is consumed by both self-join sides (and the
@@ -441,9 +490,10 @@ def semantic_dedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     max_iters: int = 20,
-    bands: int = RH_BANDS,
-    rows_per_band: int = RH_ROWS,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
     max_bucket: int | None = None,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Embedding-space semantic dedup (SemDeDup, Abbas et al. 2023;
     PAPERS.md): near-identical *meanings* — paraphrases, templated
@@ -462,13 +512,16 @@ def semantic_dedup(
     way. Vectors with no ≥-threshold neighbor never enter the edge
     list (they are trivially kept and need no row).
 
-    ``bands``/``rows_per_band``/``max_bucket`` pass through to the
-    LSH stage — rows_per_band is THE corpus-size knob (see
-    :func:`rh_near_dup_pairs`)."""
+    ``bands``/``rows_per_band``/``max_bucket``/``approx_count`` pass
+    through to the LSH stage — rows_per_band is THE corpus-size knob
+    and defaults to N-derived via :func:`auto_lsh_params` (see
+    :func:`rh_near_dup_pairs`); explicit values pin the bucketing for
+    cross-engine reproducibility."""
     from .dedup import connected_components
 
     pairs = rh_near_dup_pairs(
-        emb, dim, threshold, id_col, bands, rows_per_band, max_bucket
+        emb, dim, threshold, id_col, bands, rows_per_band, max_bucket,
+        approx_count,
     )
     return connected_components(pairs, "vec_a", "vec_b", id_col, max_iters)
 

@@ -1099,9 +1099,12 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate join, exact cosine >= 0.4 verify
     (operators/similarity.py:rh_near_dup_pairs). Candidate recall at
     a given cosine follows 1-(1-(1-θ/π)^4)^4 — the banding constants
-    are the tunable, never an all-pairs fallback."""
+    are the tunable, never an all-pairs fallback. Bands are passed
+    EXPLICITLY (the library default is N-derived via auto_lsh_params)
+    because the DuckDB oracle bakes the same plane/band literals."""
     return sim.rh_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4
+        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4,
+        bands=sim.RH_BANDS, rows_per_band=sim.RH_ROWS,
     )
 
 
@@ -1138,9 +1141,12 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one min-id survivor per semantic cluster
     (operators/similarity.py:semantic_dedup). The oracle recomputes
     the components as a recursive transitive closure, so the iterative
-    Spark loop is checked by a different algorithm."""
+    Spark loop is checked by a different algorithm. Bands are passed
+    EXPLICITLY (the library default is N-derived via auto_lsh_params)
+    because the oracle bakes the same plane/band literals."""
     return sim.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4
+        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4,
+        bands=sim.RH_BANDS, rows_per_band=sim.RH_ROWS,
     )
 
 

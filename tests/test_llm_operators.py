@@ -215,6 +215,71 @@ def test_rh_near_dup_finds_planted_pair(spark):
     assert pairs[0]["cos"] > 0.9
 
 
+def test_auto_lsh_params_track_corpus_size():
+    """The N-derived banding contract: rows_per_band holds expected
+    bucket size at ~2^4 rows (so candidate work per row is constant
+    in N), bands grow one per extra bit, and small corpora keep the
+    pinned 4x4 defaults (oracle-stable)."""
+    # small N: the classic 4 bands of 4 — unchanged behavior
+    assert sim.auto_lsh_params(100) == (4, 4)
+    assert sim.auto_lsh_params(256) == (4, 4)
+    # each 2^k growth past 2^8 adds a bit (bucket stays ~16) + a band
+    assert sim.auto_lsh_params(512) == (5, 5)
+    assert sim.auto_lsh_params(1 << 13) == (9, 9)
+    assert sim.auto_lsh_params(1 << 20) == (16, 16)
+    # monotone, never below the base
+    prev = (0, 0)
+    for p in range(2, 30):
+        cur = sim.auto_lsh_params(1 << p)
+        assert cur >= prev and cur[1] >= sim.RH_ROWS
+        prev = cur
+
+
+def test_auto_lsh_banding_keeps_candidate_growth_subquadratic(spark):
+    """The r4 scale-probe finding, pinned: at x10 corpus size the
+    LSH candidate-pair count with AUTO banding must grow ~linearly
+    (<= ~3x per row, i.e. <= 30x total), where the old fixed 4-bit
+    default grew quadratically (~100x). Deterministic pseudo-random
+    vectors, so the counts are exact and stable."""
+    import hashlib
+
+    from sparkstreaming_realtime_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    # dim must comfortably exceed rows_per_band at the big size: more
+    # hyperplanes than dimensions makes sign bits linearly dependent,
+    # which shrinks the reachable key space and re-inflates buckets
+    DIM = 32
+
+    def mk(n):
+        rows = []
+        for i in range(n):
+            v = [
+                (int(hashlib.md5(f"v:{i}:{j}".encode()).hexdigest()[:8], 16)
+                 % 2001 - 1000) / 1000.0
+                for j in range(DIM)
+            ]
+            rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def n_cands(df, n):
+        bands, rows = sim.auto_lsh_params(n)
+        planes = sim.random_hyperplanes(bands * rows, DIM)
+        buckets = sim.rh_band_buckets(df, planes, bands=bands,
+                                      rows_per_band=rows)
+        return lsh_candidate_pairs(
+            buckets.withColumnRenamed("vec_id", "doc_id")
+        ).count()
+
+    small, big = 400, 4000
+    c_small = n_cands(mk(small), small)
+    c_big = n_cands(mk(big), big)
+    assert c_small > 0
+    # x10 rows -> at most ~3x candidates per row with auto banding
+    assert c_big <= 30 * max(c_small, 1), (c_small, c_big)
+
+
 def test_tfidf_rare_term_outranks_common(spark):
     docs = _docs(
         spark,

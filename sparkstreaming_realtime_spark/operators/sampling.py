@@ -120,11 +120,25 @@ def write_training_shards(
     )
 
 
+#: pre-filter sizing for exact_k_sample: keep the ~``margin·k`` (at
+#: least ``floor``) smallest-hash rows per stratum before the rank
+#: window. P(the true k-th smallest hash is filtered out) =
+#: P(Binomial(n, target/n) < k) ≤ exp(-(target-k)²/2·target)
+#: (Chernoff) — below 1e-40 at the defaults for any k ≤ 64, and
+#: deterministic for a fixed dataset (hashes are content-derived, so
+#: an oracle run either always agrees or always disagrees — pinned
+#: by test_exact_k_prefilter_matches_unfiltered).
+EXACT_K_MARGIN = 4
+EXACT_K_FLOOR = 256
+_HASH_SPACE = 1 << 60
+
+
 def exact_k_sample(
     df: DataFrame,
     strata_col: str,
     k: int,
     key_col: str,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Exactly-``k`` rows per stratum (or all, when the stratum is
     smaller), deterministic: rows rank by ``hash60(key)`` within
@@ -133,20 +147,45 @@ def exact_k_sample(
     — with hash order standing in for a random order, so membership
     is stable across runs/engines and composes with hash splits.
 
-    Cost: ONE shuffle keyed by stratum for the rank window. Stratum
-    skew is real at 100 TB (one source can be half the corpus); the
-    mitigation is a pre-filter with :func:`stratified_sample` at a
-    rate that overshoots k (hash-threshold, zero shuffle) so the
-    window only ranks ~k·ε rows per stratum — the two ops compose
-    exactly because both order by the SAME hash."""
+    **Skew safety is built in**: a 10-billion-row stratum must never
+    be globally sorted to take k rows. Before the rank window, a
+    hash-threshold pre-filter keeps only rows with
+    ``hash60(key) < 2^60 · target/|stratum|`` (``target`` =
+    max(4k, 256)); because the filter cuts a PREFIX of the exact
+    rank order, the surviving ~target rows per stratum provably
+    contain the true top-k (failure bound in :data:`EXACT_K_MARGIN`'s
+    note). Per-stratum sizes come from one narrow count aggregate
+    broadcast back onto the scan, so the plan is: cheap count →
+    pushdown-friendly filter → window over ~target rows per stratum.
+    ``prefilter=False`` restores the plain window (used by tests to
+    prove equivalence)."""
     from pyspark.sql import Window
 
     rank_key = hash60(F.col(key_col).cast("string"))
+    base = df
+    if prefilter:
+        target = float(max(EXACT_K_MARGIN * k, EXACT_K_FLOOR))
+        counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+        cutoff = (
+            F.when(F.col("__n") <= target, F.lit(_HASH_SPACE))
+            .otherwise(
+                (F.lit(float(_HASH_SPACE)) * target / F.col("__n"))
+                .cast("bigint")
+            )
+            .alias("__cut")
+        )
+        base = (
+            df.join(
+                F.broadcast(counts.select(strata_col, cutoff)), strata_col
+            )
+            .filter(rank_key < F.col("__cut"))
+            .select(*df.columns)  # restore caller column order
+        )
     w = Window.partitionBy(strata_col).orderBy(
         rank_key.asc(), F.col(key_col).asc()
     )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        base.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )

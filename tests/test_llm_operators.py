@@ -943,3 +943,50 @@ def test_exact_k_sample_caps_and_is_deterministic(spark):
     again = {r["doc_id"] for r in
              exact_k_sample(df, "source", 5, "doc_id").collect()}
     assert again == by_src["big"] | by_src["small"]
+
+
+def test_exact_k_prefilter_matches_unfiltered(spark):
+    """The skew-safety pre-filter cuts a PREFIX of the exact rank
+    order, so with the 4k/256-floor margin it must select the
+    IDENTICAL rows as the plain full-stratum window — here on strata
+    big enough (5000 rows) that the filter actually engages
+    (cutoff < hash space)."""
+    from sparkstreaming_realtime_spark.operators.sampling import (
+        exact_k_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(5000)],
+        "doc_id long, source string",
+    )
+    plain = sorted(
+        map(tuple, exact_k_sample(df, "source", 9, "doc_id",
+                                  prefilter=False).collect())
+    )
+    fast = sorted(
+        map(tuple, exact_k_sample(df, "source", 9, "doc_id").collect())
+    )
+    assert plain == fast
+    assert len([t for t in fast if t[1] == "hot"]) == 9
+
+
+def test_exact_k_prefilter_precedes_window(spark):
+    """Plan pin: the hash-threshold filter must sit BELOW the rank
+    window (the whole point — no stratum is globally sorted), and the
+    sizing side must be a broadcast join, not a shuffle."""
+    from sparkstreaming_realtime_spark.operators.sampling import (
+        exact_k_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(1000)], "doc_id long, source string"
+    )
+    out = exact_k_sample(df, "source", 5, "doc_id")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    iw = plan.find("Window")
+    assert iw >= 0
+    # the md5 rank-key threshold filter is in the window's SUBTREE
+    # (printed after/below it), not above
+    assert "md5" in plan[iw:]
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in phys or "BroadcastNestedLoop" in phys

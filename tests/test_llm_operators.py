@@ -115,6 +115,66 @@ def test_ivf_index_build_and_pruned_search(spark, tmp_path):
     assert sorted(r["vec_id"] for r in got2.collect()) == [1, 2, 3, 4, 5]
 
 
+def test_ivf_recall_strictly_improves_with_probes_on_clustered_data(
+    spark, tmp_path
+):
+    """The nprobe knob must DEMONSTRABLY trade cost for recall. The
+    registry recall-curve query runs on the driver's near-uniform
+    embeddings, where every probe count returns the same flat recall
+    — it checks parity but can't distinguish a working knob from a
+    broken one. This fixture is a deterministic mixture of Gaussians
+    (8 well-separated clusters, 3 points each) with the query a
+    decreasing-weight blend of ALL cluster centers, so its true
+    top-10 spans four clusters: each extra probed cell must add
+    neighbors — recall@10 strictly increases over probes 1 → 2 → 4.
+    (Monotone non-decrease is automatic — candidates(p) ⊆
+    candidates(p+1) and BF-top-10 members outrank all other
+    candidates — so the STRICT assertion is what the clustered
+    geometry buys.)"""
+    import hashlib
+
+    DIM, C, PER = 16, 8, 3
+
+    def noise(i, j, scale=0.05):
+        h = int(hashlib.md5(f"n:{i}:{j}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0 * scale
+
+    rows = []
+    for vid in range(C * PER):
+        c = vid // PER
+        v = [noise(vid, j) for j in range(DIM)]
+        v[2 * c] += 1.0  # cluster center = basis vector e_{2c}
+        rows.append((vid, v, c))
+    q_vec = [0.0] * DIM
+    for c in range(C):
+        q_vec[2 * c] = 1.0 / (c + 1.0)  # cos to cluster c ~ 1/(c+1)
+    QID = 1000
+    rows.append((QID, q_vec, 99))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, DIM, path, n_cells=C, iters=2)
+    q = sim.query_vector(emb, QID)
+    bf = {
+        r["vec_id"]
+        for r in sim.cosine_topk(emb, q, k=10, exclude_id=QID).collect()
+    }
+    recalls = []
+    for p in (1, 2, 4):
+        ids = {
+            r["vec_id"]
+            for r in sim.ivf_search(
+                spark, path, q, k=10, exclude_id=QID, probes=p
+            ).collect()
+        }
+        recalls.append(len(ids & bf) / 10.0)
+    assert recalls[0] < recalls[1] < recalls[2], recalls
+    # pin the exact deterministic curve so a routing/indexing
+    # regression that merely preserves order still flags
+    assert recalls == [0.3, 0.6, 0.9], recalls
+
+
 def test_kmeans_training_is_deterministic(spark):
     emb = spark.createDataFrame(
         [(i, [float(i % 3), float(i % 5)], 0) for i in range(30)],

@@ -1,0 +1,162 @@
+"""Thin HTTP serving layer — the reference's REST query surface.
+
+The reference's only true serving artifact is a Spring controller
+with two endpoints (``publish-realtime/.../controller/
+publishController.java:26-47``):
+
+- ``GET /dauRealtime?td=yyyy-MM-dd`` → ``{"dauTotal": n,
+  "dauTd": {hour: ct}, "dauYd": {hour: ct}}``
+  (PublishDaoImpl.java:104-176);
+- ``GET /statsByItem?itemName=&t=`` → per-group amount sums for an
+  analyzed match on the item name, grouped by a user dimension
+  (PublisherServiceImpl.java:31-78).
+
+This module is the runnable analog: the SAME oracle-checked engine
+plans the registry exposes (``dau_realtime_endpoint``,
+``stats_by_item_segment``), parameterized by the request and wrapped
+in ~60 lines of stdlib ``http.server`` — no new dependencies, no
+framework. The Spark driver hosts the server; each request plans a
+DataFrame job over the warehouse directory, which is exactly the
+reference's controller→service→DAO→ES flow with the engine standing
+in for ES.
+
+Serving-at-scale note: these endpoint queries are pruned
+aggregations (a dt-partitioned warehouse makes each leg a
+one-partition scan), but a 100 TB deployment would put a
+materialized rollup (the streaming pipelines maintain them) behind
+the endpoints rather than re-scanning facts per request; the wrapper
+doesn't care — it serves whatever frame the functions return.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.datetimes import hr_col
+from .functions.text import match_all_terms
+from .operators.dau import dedup_first_daily
+
+
+def dau_realtime(
+    spark: SparkSession, sf_dir: str, td: str
+) -> dict:
+    """``GET /dauRealtime`` semantics, parameterized by ``td``: total
+    deduped actives for the day plus per-hour buckets for ``td`` and
+    the previous day (the controller's today/yesterday split,
+    PublishDaoImpl.java:104-176). Same plan as the oracle-checked
+    ``dau_realtime_endpoint`` registry query — one aggregate over the
+    first-daily dedup, pivoted driver-side into the response shape."""
+    from .plans.queries import _t
+
+    yd = str(
+        spark.range(1)
+        .select(F.date_sub(F.lit(td).cast("date"), 1).cast("string"))
+        .collect()[0][0]
+    )
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    d = dedup_first_daily(ev, key="user_id", ts="ts", tiebreak="event_id")
+    base = d.select("dt", "user_id", hr_col("ts", d).alias("hr"))
+    rows = (
+        base.filter(F.col("dt").isin(td, yd))
+        .groupBy("dt", "hr")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+        .collect()
+    )
+    td_hr = {r["hr"]: r["ct"] for r in rows if r["dt"] == td}
+    yd_hr = {r["hr"]: r["ct"] for r in rows if r["dt"] == yd}
+    return {
+        "dauTotal": int(sum(td_hr.values())),
+        "dauTd": td_hr,
+        "dauYd": yd_hr,
+    }
+
+
+def stats_by_item(
+    spark: SparkSession, sf_dir: str, item_name: str, t: str = "segment"
+) -> list[dict]:
+    """``GET /statsByItem`` semantics, parameterized: analyzed
+    match-AND on the part name, amount sum grouped by a user
+    dimension — ``t`` picks the grouping exactly like the
+    reference's age/gender switch (PublisherServiceImpl.java:31-78):
+    ``segment`` groups by market segment, ``band`` by the account-
+    balance re-bucketing (the A5 banding surface)."""
+    from .plans.queries import _t
+
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    if t == "segment":
+        group = F.col("c_mktsegment")
+    elif t == "band":
+        group = (
+            F.when(F.col("c_acctbal") < 2000, "low")
+            .when(F.col("c_acctbal") <= 6000, "mid")
+            .otherwise("high")
+        )
+    else:
+        raise ValueError(f"unknown grouping t={t!r} (segment|band)")
+    rows = (
+        l.join(p.filter(match_all_terms("p_name", item_name)),
+               l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(group.alias("name"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("amount"))
+        .orderBy("name")
+        .collect()
+    )
+    return [{"name": r["name"], "amount": r["amount"]} for r in rows]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # (spark, sf_dir) arrive via the server instance, see serve()
+    def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
+        url = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        spark, sf_dir = self.server.engine  # type: ignore[attr-defined]
+        try:
+            if url.path == "/dauRealtime":
+                body = dau_realtime(spark, sf_dir, q["td"])
+            elif url.path == "/statsByItem":
+                body = stats_by_item(
+                    spark, sf_dir, q["itemName"], q.get("t", "segment")
+                )
+            else:
+                self._reply(404, {"error": f"no route {url.path}"})
+                return
+        except (KeyError, ValueError) as e:
+            self._reply(400, {"error": repr(e)})
+            return
+        self._reply(200, body)
+
+    def _reply(self, code: int, body) -> None:
+        data = json.dumps(body).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):  # quiet: the driver log is noisy enough
+        pass
+
+
+def serve(
+    spark: SparkSession, sf_dir: str, port: int = 0
+) -> tuple[ThreadingHTTPServer, threading.Thread]:
+    """Start the endpoint server on ``port`` (0 = ephemeral; read the
+    bound port from ``server.server_address[1]``). Runs on a daemon
+    thread so the Spark driver stays interactive; ``shutdown()`` the
+    returned server to stop."""
+    srv = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
+    srv.engine = (spark, sf_dir)  # type: ignore[attr-defined]
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    return srv, thread

@@ -1,0 +1,59 @@
+"""Engine-deterministic money aggregation.
+
+Floating-point summation is order-dependent; under AQE the partition
+order of a shuffle is not, so ``round(sum(double), 2)`` can flip the
+last cent between runs (and between engines) on sums whose true value
+sits near a rounding boundary. Money therefore aggregates in EXACT
+integer units: scale each ≤``decimals``-decimal amount to an integer,
+sum those (DECIMAL(38,0) accumulator — no overflow at any realistic
+group size), then round to cents in sign-aware integer math shared
+bit-for-bit by the DuckDB oracle (half away from zero via abs — floor
+and truncating division agree on non-negatives, so Spark's div and
+DuckDB's ``//`` produce identical cents).
+
+``decimals=4`` covers price·(1-disc); the three-factor TPC-H charge
+expression price·(1-disc)·(1+tax) carries 6; plain money columns
+carry 2 (where the integer sum is already cents and no rounding step
+exists at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def money_sum(expr: Column, decimals: int = 4) -> Column:
+    """Deterministic SUM of a money expression with ≤``decimals``
+    decimal places, emitted as a 2-decimal double."""
+    scale = 10**decimals
+    unit = scale // 100  # integer units per cent
+    half = unit // 2
+    ths = F.sum(F.round(expr * scale).cast("decimal(38,0)"))
+    if unit == 1:
+        signed = ths
+    else:
+        mag = F.floor(
+            F.abs(ths + F.when(ths >= 0, half).otherwise(-half)) / unit
+        )
+        signed = F.when(ths >= 0, mag).otherwise(-mag)
+    return signed.cast("double") / 100.0
+
+
+def oracle_money_sum_sql(expr: str, decimals: int = 4) -> str:
+    """The DuckDB mirror of :func:`money_sum` (sum(BIGINT) widens to
+    HUGEINT in DuckDB — same no-overflow property as the decimal
+    accumulator)."""
+    scale = 10**decimals
+    unit = scale // 100
+    half = unit // 2
+    ths = f"sum(round(({expr}) * {scale})::BIGINT)"
+    # parenthesized so the fragment embeds safely in larger arithmetic
+    # (an unwrapped trailing "/ 100.0" mis-associates when the caller
+    # divides by this aggregate: a/b/100 != a/(b/100))
+    if unit == 1:
+        return f"(({ths})::DOUBLE / 100.0)"
+    return (
+        f"((CASE WHEN {ths} >= 0 THEN (({ths} + {half}) // {unit}) "
+        f"ELSE -((abs({ths}) + {half}) // {unit}) END)::DOUBLE / 100.0)"
+    )

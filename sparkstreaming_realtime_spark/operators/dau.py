@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.datetimes import age_as_of, dt_col, hr_col
+from ..functions.money import money_sum
 
 
 def session_entries(page_log: DataFrame) -> DataFrame:
@@ -164,7 +165,7 @@ def sessionize(
         events.groupBy(F.session_window(ts, gap).alias("sw"), F.col(key))
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum(F.col("value"), 2).alias("sum_value"),
         )
         .select(
             F.col(key),

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..operators import cdc
 from ..operators.dau import dedup_first_daily
 from ..functions.datetimes import hr_col
-from .queries import _t, register
+from .queries import _money_sum_sql, _t, register
 
 #: synthesis mapping (keep in lockstep with _synthesize_cdc)
 #: event_type → Maxwell type; user_id % 5 → table (4 → unknown table,
@@ -583,7 +583,7 @@ def dau_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "user_sessions",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
       SELECT user_id, ts, "value",
              CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
@@ -599,7 +599,7 @@ def dau_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            min(ts) AS session_start,
            count(*)::BIGINT AS n_events,
-           round(sum("value"), 2) AS sum_value
+           {_money_sum_sql('"value"', 2)} AS sum_value
     FROM numbered
     GROUP BY user_id, session_no
     """,

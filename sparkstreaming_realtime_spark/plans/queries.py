@@ -82,27 +82,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-def _money_sum(expr: Column) -> Column:
-    """Engine-deterministic money aggregate: sum exact integer
-    ten-thousandths of a ≤4-decimal product, round to cents in
-    sign-aware INTEGER math (half away from zero via abs — floor and
-    truncating division agree on non-negatives, so Spark's ``div``
-    and DuckDB's ``//`` produce identical cents), emit as double.
-    See returned_item_report for the boundary failure this kills."""
-    ths = F.sum(F.round(expr * 10000).cast("bigint"))
-    # integral div by 100 with half-away rounding baked into the ±50
-    mag = F.floor(F.abs(ths + F.when(ths >= 0, 50).otherwise(-50)) / 100)
-    signed = F.when(ths >= 0, mag).otherwise(-mag)
-    return signed.cast("double") / 100.0
-
-
-def _money_sum_sql(expr: str) -> str:
-    """The DuckDB mirror of :func:`_money_sum`."""
-    ths = f"sum(round(({expr}) * 10000)::BIGINT)"
-    return (
-        f"(CASE WHEN {ths} >= 0 THEN (({ths} + 50) // 100) "
-        f"ELSE -((abs({ths}) + 50) // 100) END)::DOUBLE / 100.0"
-    )
+# deterministic money aggregation (see functions/money.py for the
+# rationale and the shared Spark/DuckDB integer-cents contract);
+# module-local aliases keep the 30+ oracle f-strings below readable
+from ..functions.money import money_sum as _money_sum  # noqa: E402
+from ..functions.money import oracle_money_sum_sql as _money_sum_sql  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -461,11 +445,11 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "hourly_window_rollup",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
            count(*)::BIGINT AS n,
-           round(sum(value), 2) AS sum_value
+           {_money_sum_sql("value", 2)} AS sum_value
     FROM events GROUP BY 1, 2
     """,
     tags=("T6", "F1", "F2"),
@@ -478,7 +462,7 @@ def hourly_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            _money_sum(F.col("value"), 2).alias("sum_value"),
         )
         .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
     )
@@ -548,9 +532,9 @@ def order_wide_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_by_nation",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {_money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
            count(*)::BIGINT AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -572,9 +556,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
             F.count("*").cast("bigint").alias("n_items"),
         )
     )
@@ -765,10 +749,10 @@ def streaming_dau_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_hourly_rollup_parity",
-    oracle="""
+    oracle=f"""
     SELECT hour_start, event_type, n, sum_value FROM (
       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, event_type,
-             count(*)::BIGINT AS n, round(sum(value), 2) AS sum_value
+             count(*)::BIGINT AS n, {_money_sum_sql("value", 2)} AS sum_value
       FROM events GROUP BY 1, 2)
     WHERE hour_start + INTERVAL 1 HOUR
           <= (SELECT max(ts) FROM events) - INTERVAL 2 HOURS
@@ -820,9 +804,9 @@ def streaming_hourly_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "nation_acctbal_salted",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation, count(*)::BIGINT AS n_customers,
-           round(sum(c.c_acctbal), 2) AS total_acctbal
+           {_money_sum_sql("c.c_acctbal", 2)} AS total_acctbal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY 1 ORDER BY 1
     """,
@@ -846,7 +830,7 @@ def nation_acctbal_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").cast("bigint").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            _money_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
         )
         .orderBy("nation")
     )
@@ -854,12 +838,12 @@ def nation_acctbal_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           {_money_sum_sql("l_extendedprice", 2)} AS sum_base_price,
+           {_money_sum_sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {_money_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
            round(avg(l_quantity), 2) AS avg_qty,
            round(avg(l_extendedprice), 2) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -872,24 +856,27 @@ def nation_acctbal_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary — the canonical partial-agg
-    (map-side combine) shape the engine must keep fast at 100 TB."""
+    (map-side combine) shape the engine must keep fast at 100 TB.
+    Money sums go through the integer-cents aggregate (_money_sum —
+    base price is a 2-decimal column, disc_price a 4-decimal product,
+    charge a 6-decimal product) so the values are independent of
+    AQE partition order; quantity is integer-valued, so its double
+    sum is already exact."""
     l = _t(spark, sf_dir, "lineitem")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-01-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
+            _money_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                6,
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
@@ -910,7 +897,7 @@ _ITEM_QUERY = "widget"  # multi-doc match term for p_name (ES match-AND analog)
     "stats_by_item_segment",
     oracle=rf"""
     SELECT c.c_mktsegment AS segment,
-           round(sum(l.l_extendedprice), 2) AS sum_amount
+           {_money_sum_sql("l.l_extendedprice", 2)} AS sum_amount
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -940,18 +927,18 @@ def stats_by_item_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("sum_amount"))
+        .agg(_money_sum(F.col("l_extendedprice"), 2).alias("sum_amount"))
     )
 
 
 @register(
     "acctbal_bands",
-    oracle="""
+    oracle=f"""
     SELECT CASE WHEN c_acctbal < 2000 THEN 'low'
                 WHEN c_acctbal <= 6000 THEN 'mid'
                 ELSE 'high' END AS band,
            count(*)::BIGINT AS n,
-           round(sum(c_acctbal), 2) AS total_bal
+           {_money_sum_sql("c_acctbal", 2)} AS total_bal
     FROM customer GROUP BY 1
     """,
     tags=("A5",),
@@ -967,7 +954,7 @@ def acctbal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return c.groupBy(band.alias("band")).agg(
         F.count("*").cast("bigint").alias("n"),
-        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        _money_sum(F.col("c_acctbal"), 2).alias("total_bal"),
     )
 
 
@@ -1275,10 +1262,10 @@ def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "revenue_rollup",
-    oracle="""
+    oracle=f"""
     SELECT coalesce(n.n_name, 'ALL') AS nation,
            coalesce(c.c_mktsegment, 'ALL') AS segment,
-           round(sum(o.o_totalprice), 2) AS revenue,
+           {_money_sum_sql("o.o_totalprice", 2)} AS revenue,
            count(*)::BIGINT AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1300,7 +1287,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .rollup("n_name", "c_mktsegment")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            _money_sum(F.col("o_totalprice"), 2).alias("revenue"),
             F.count("*").cast("bigint").alias("n_orders"),
         )
         .select(
@@ -1355,9 +1342,9 @@ def top_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           {_money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -1389,8 +1376,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select(
@@ -1406,8 +1393,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "forecast_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    oracle=f"""
+    SELECT {_money_sum_sql("l_extendedprice * l_discount")} AS revenue,
            count(*)::BIGINT AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
@@ -1431,9 +1418,9 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            _money_sum(
+                F.col("l_extendedprice") * F.col("l_discount")
+            ).alias("revenue"),
             F.count("*").cast("bigint").alias("n"),
         )
     )
@@ -1513,12 +1500,16 @@ def customers_no_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROMO_CASE = ("CASE WHEN p.p_type = 'PROMO' "
+               "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")
+
+
 @register(
     "promo_revenue_pct",
-    oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+    oracle=f"""
+    SELECT round(100.0 * {_money_sum_sql(_PROMO_CASE)}
+                 / {_money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")},
+                 6) AS promo_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
       AND l.l_shipdate < TIMESTAMP '1996-04-01'
@@ -1529,7 +1520,9 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional aggregation computing a ratio in
     ONE pass (no self-join, no second scan). `part` is a per-SF-small
     dim here so Catalyst broadcasts it under AQE; the lineitem month
-    filter reaches the parquet scan."""
+    filter reaches the parquet scan. Both legs of the ratio are
+    integer-cents sums (_money_sum), so the percentage is identical
+    under any partial-agg order."""
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1541,8 +1534,10 @@ def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * _money_sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                )
+                / _money_sum(rev),
                 6,
             ).alias("promo_pct")
         )
@@ -1626,10 +1621,10 @@ def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sql_text_api",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            count(*)::BIGINT AS n,
-           round(sum(l_extendedprice), 2) AS total
+           {_money_sum_sql("l_extendedprice", 2)} AS total
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("extension", "sql-api"),
@@ -1646,7 +1641,8 @@ def sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(l_extendedprice), 2) AS total
+               CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 100.0 AS total
         FROM lineitem GROUP BY l_returnflag
         """
     )
@@ -1654,8 +1650,8 @@ def sql_text_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "small_qty_order_revenue",
-    oracle="""
-    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    oracle=f"""
+    SELECT round({_money_sum_sql("l.l_extendedprice", 2)} / 7.0, 2) AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#23' AND p.p_size <= 5
@@ -1694,7 +1690,11 @@ def small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lj.join(thresh, "l_partkey")
         .filter(F.col("l_quantity") < F.col("__qty_thresh"))
-        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                _money_sum(F.col("l_extendedprice"), 2) / F.lit(7.0), 2
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -1784,9 +1784,9 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "nation_pair_volume",
-    oracle="""
+    oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           {_money_sum_sql("volume")} AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l.l_shipdate) AS l_year,
@@ -1840,8 +1840,8 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -1850,9 +1850,9 @@ def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "local_supplier_volume",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {_money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1906,8 +1906,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"))
@@ -1916,11 +1916,11 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "market_share_by_year",
-    oracle="""
+    oracle=f"""
     SELECT o_year,
-           round(round(sum(CASE WHEN nation = 'NATION_5' THEN volume
-                                ELSE 0 END), 2)
-                 / round(sum(volume), 2), 6) AS mkt_share
+           round({_money_sum_sql(
+               "CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END")}
+                 / {_money_sum_sql("volume")}, 6) AS mkt_share
     FROM (
       SELECT year(o.o_orderdate) AS o_year,
              l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -1946,8 +1946,9 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the selective dims prune both fact inputs before the
     big shuffles — part(type) shrinks lineitem via its join,
     region⋈nation broadcast shrinks customer; the supplier-nation name
-    (n2) is a 25-row broadcast. The ratio divides the two ROUNDED sums
-    so both engines agree bit-for-bit despite summation order."""
+    (n2) is a 25-row broadcast. The ratio divides two integer-cents
+    sums (_money_sum) so both engines agree bit-for-bit under any
+    summation order."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
     n1 = (
         _t(spark, sf_dir, "nation")
@@ -1986,10 +1987,10 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.round(
-                    F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0)), 2
+                _money_sum(
+                    F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0)
                 )
-                / F.round(F.sum(vol), 2),
+                / _money_sum(vol),
                 6,
             ).alias("mkt_share")
         )
@@ -2155,10 +2156,10 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_revenue_supplier",
-    oracle="""
+    oracle=f"""
     WITH rev AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2)
+             {_money_sum_sql("l_extendedprice * (1 - l_discount)")}
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01'
@@ -2188,8 +2189,8 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("total_revenue")
         )
     )
@@ -2207,8 +2208,8 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "disjunctive_part_revenue",
-    oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    oracle=f"""
+    SELECT {_money_sum_sql("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -2259,8 +2260,8 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(br)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -2268,7 +2269,7 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_user_sessions_parity",
-    oracle="""
+    oracle=f"""
     WITH marked AS (
       SELECT user_id, ts, "value",
              CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
@@ -2284,7 +2285,7 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            count(*)::BIGINT AS n_events,
-           round(sum("value"), 2) AS sum_value
+           {_money_sum_sql('"value"', 2)} AS sum_value
     FROM numbered
     GROUP BY user_id, session_no
     HAVING max(ts) + INTERVAL 30 MINUTE

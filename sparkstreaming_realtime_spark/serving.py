@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.datetimes import hr_col
+from .functions.money import money_sum
 from .functions.text import match_all_terms
 from .operators.dau import dedup_first_daily
 
@@ -108,7 +109,7 @@ def stats_by_item(
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(group.alias("name"))
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("amount"))
+        .agg(money_sum(F.col("l_extendedprice"), 2).alias("amount"))
         .orderBy("name")
         .collect()
     )

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.datetimes import dt_col
+from ..functions.money import money_sum
 
 
 def streaming_dau_dedup(
@@ -149,7 +150,7 @@ def streaming_hourly_rollup(
         .groupBy(F.window(ts, "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum(F.col("value"), 2).alias("sum_value"),
         )
         .select(F.col("w.start").alias("hour_start"), "event_type",
                 "n", "sum_value")
@@ -174,7 +175,7 @@ def streaming_user_sessions(
         .groupBy(F.session_window(F.col(ts), gap).alias("w"), "user_id")
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum(F.col("value"), 2).alias("sum_value"),
         )
         .select(
             "user_id",

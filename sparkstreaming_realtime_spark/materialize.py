@@ -55,6 +55,14 @@ _LIVE: list[DataFrame] = []
 #: the caller knows no later plan will re-read them.
 _LIVE_CKPT: list[DataFrame] = []
 
+#: the checkpoint dir ensure_checkpoint_dir() itself installed (None
+#: if the deployment configured one first). Engine-installed ⇒
+#: engine-owned lifecycle: release_all() auto-sweeps rdd-N dirs under
+#: THIS prefix by default, so a long bench/gate session doesn't
+#: accumulate checkpoint files in tmp between queries; a
+#: deployment-configured dir is never auto-touched.
+_ENGINE_CKPT_DIR: str | None = None
+
 
 def ensure_checkpoint_dir(spark) -> None:
     """Guarantee the session has a reliable checkpoint dir, so
@@ -73,6 +81,7 @@ def ensure_checkpoint_dir(spark) -> None:
     cluster), it is respected. Otherwise a process-local temp dir is
     installed — correct on local[*] (one JVM); a multi-node cluster
     should always configure a shared dir instead."""
+    global _ENGINE_CKPT_DIR
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
         import atexit
@@ -81,10 +90,13 @@ def ensure_checkpoint_dir(spark) -> None:
 
         path = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
         sc.setCheckpointDir(path)
+        _ENGINE_CKPT_DIR = path
         # engine-installed dir → engine-owned lifecycle: remove it at
         # process exit so long-lived drivers don't leak checkpoint
         # files into /tmp (a DEPLOYMENT-configured dir is never
-        # touched — its retention belongs to the deployment)
+        # touched — its retention belongs to the deployment), and
+        # release_all() sweeps finished frames' rdd-N dirs between
+        # queries (same ownership rule)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
 
 
@@ -146,30 +158,50 @@ def release(df: DataFrame, clean_checkpoint: bool = False) -> None:
         _LIVE_CKPT[:] = [d for d in _LIVE_CKPT if d is not df]
 
 
-def release_all(clean_checkpoints: bool = False) -> None:
+def release_all(clean_checkpoints: bool | None = None) -> None:
     """Unpersist every still-live materialized frame. Called by the
     query registry on entry to each query, so blocks from FINISHED
     queries never pile up across a long gate/bench session — only
     the engine's own frames are touched (never a caller's caches,
     unlike ``spark.catalog.clearCache()``).
 
-    ``clean_checkpoints=True`` (opt-in) also deletes the tracked
-    reliable-checkpoint directories — for batch sessions that know the
-    previous query's checkpoints are dead; the default leaves them to
-    the deployment's retention policy."""
+    Checkpoint files: ``True`` deletes every tracked rdd-N dir (for
+    batch sessions that know the previous query's checkpoints are
+    dead); ``False`` leaves all of them to the deployment's retention
+    policy. The default (``None``) deletes only dirs under the
+    checkpoint root the ENGINE itself installed
+    (:func:`ensure_checkpoint_dir`) — engine-installed means
+    engine-owned, so a long gate/bench session doesn't pile rdd-N
+    dirs into tmp between queries, while a deployment-configured
+    dir is never auto-touched."""
     for df in _LIVE:
         try:
             df.unpersist()
         except Exception:  # pragma: no cover
             pass
     _LIVE.clear()
-    # checkpointed frames stay tracked until a clean_checkpoints=True
-    # sweep actually deletes them — a per-query release_all() must not
-    # forget files a session-end cleanup still wants to remove (the
-    # handles are tiny logical plans, not blocks)
-    if clean_checkpoints:
-        for df in _LIVE_CKPT:
-            path = _checkpoint_file(df)
-            if path is not None:
-                _delete_fs_path(df, path)
-        _LIVE_CKPT.clear()
+    # checkpointed frames stay tracked until a sweep actually deletes
+    # their files — a per-query release_all() must not forget files a
+    # session-end cleanup still wants to remove (the handles are tiny
+    # logical plans, not blocks)
+    keep: list[DataFrame] = []
+    for df in _LIVE_CKPT:
+        path = _checkpoint_file(df)
+        if path is None:  # lazy checkpoint that never executed
+            continue
+        sweep = (
+            clean_checkpoints
+            if clean_checkpoints is not None
+            else (
+                _ENGINE_CKPT_DIR is not None
+                # strip any scheme (file:/...) before the prefix test
+                and path.split(":", 1)[-1].lstrip("/").startswith(
+                    _ENGINE_CKPT_DIR.lstrip("/")
+                )
+            )
+        )
+        if sweep:
+            _delete_fs_path(df, path)
+        else:
+            keep.append(df)
+    _LIVE_CKPT[:] = keep

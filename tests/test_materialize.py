@@ -80,6 +80,38 @@ def test_release_single_checkpointed_frame(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(spark._jvm.scala.Option.empty())
 
 
+def test_engine_owned_checkpoints_autosweep_between_queries(spark):
+    """The default release_all() (what every registry query runs on
+    entry) must delete finished frames' rdd-N dirs when the engine
+    itself installed the checkpoint dir — a long gate/bench session
+    previously accumulated one dir per iterative query until process
+    exit. A deployment-configured dir (the tests above) still
+    survives the default sweep."""
+    import glob
+
+    from sparkstreaming_realtime_spark.materialize import (
+        ensure_checkpoint_dir,
+    )
+
+    release_all(clean_checkpoints=True)
+    _unset_checkpoint_dir(spark)
+    ensure_checkpoint_dir(spark)
+    root = _local(spark.sparkContext.getCheckpointDir())
+    try:
+        # a 3-query sequence: each query checkpoints an intermediate,
+        # the next query's entry release_all() sweeps the previous one
+        for i in range(3):
+            release_all()  # what _released() runs on query entry
+            materialize(spark.range(10 + i).selectExpr("id"), eager=True)
+        release_all()  # the sequence ends (next query enters)
+        orphans = glob.glob(os.path.join(root, "**", "rdd-*"),
+                            recursive=True)
+        assert orphans == []
+        assert _LIVE_CKPT == []
+    finally:
+        _unset_checkpoint_dir(spark)
+
+
 def test_ensure_checkpoint_dir_installs_and_respects(spark, tmp_path):
     """ensure_checkpoint_dir: installs a dir when none is set (so
     iterative loops always cut lineage), and NEVER overrides a

@@ -78,6 +78,9 @@ HEADLINE = [
     "cdc_scd2_asof_enrich",
     "doc_exact_k_sample",
     "corpus_curation_funnel_v2",
+    # r5: the N-derived-band SemDeDup (the 100 TB scale path; its
+    # pinned-width twin above stays for oracle comparability)
+    "emb_semantic_dedup_auto",
 ]
 
 

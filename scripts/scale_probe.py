@@ -42,6 +42,12 @@ PROBE = [
     "doc_lm_perplexity",
     "doc_heavy_hitters_sketch",
     "clustered_point_lookup",
+    # r5-session: the skew-safe quota sampler (pre-filter must hold
+    # the window's input ~constant per stratum → ratio ≤ ~2) and the
+    # N-derived-band SemDeDup (the pinned-width twin goes quadratic
+    # by construction; this is the variant a 100 TB caller gets)
+    "doc_exact_k_sample",
+    "emb_semantic_dedup_auto",
 ]
 
 

@@ -1049,12 +1049,17 @@ def doc_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _rh_ctes() -> str:
+def _rh_ctes(n_bands: int | None = None, n_rows: int | None = None) -> str:
     """``buckets``/``cand``/``verified`` CTE chain replicating
     rh_near_dup_pairs: identical plane literals, band keys, bucket
     self-join, cosine verify. Shared by the pair query and the
-    semantic-dedup cluster query."""
-    planes = sim.random_hyperplanes(sim.RH_PLANES, _EMB_DIM)
+    semantic-dedup cluster query; the band geometry is parameterized
+    so tests can mirror the AUTO-banded operator at whatever width
+    the fixture's corpus count derives (the registry oracles pin the
+    4×4 defaults)."""
+    n_bands = sim.RH_BANDS if n_bands is None else n_bands
+    n_rows = sim.RH_ROWS if n_rows is None else n_rows
+    planes = sim.random_hyperplanes(n_bands * n_rows, _EMB_DIM)
 
     def dot_lit(plane: list[float]) -> str:
         arr = "[" + ", ".join(repr(x) for x in plane) + "]"
@@ -1067,10 +1072,10 @@ def _rh_ctes() -> str:
     bands = ", ".join(
         "'{b}'".format(b=b)
         + "".join(
-            f" || ':' || {bits[b * sim.RH_ROWS + r]}::VARCHAR"
-            for r in range(sim.RH_ROWS)
+            f" || ':' || {bits[b * n_rows + r]}::VARCHAR"
+            for r in range(n_rows)
         )
-        for b in range(sim.RH_BANDS)
+        for b in range(n_bands)
     )
     return f"""buckets AS (
   SELECT vec_id, unnest([{bands}]) AS bucket FROM embeddings),
@@ -1108,13 +1113,15 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semantic_dedup_oracle() -> str:
+def _semantic_dedup_oracle(
+    n_bands: int | None = None, n_rows: int | None = None
+) -> str:
     """Connected components over the verified embedding-pair graph as
     a recursive transitive closure — algorithm-independent cross-check
     of the min-label-propagation loop (same protocol as
     doc_dup_clusters' oracle)."""
     return f"""
-WITH RECURSIVE {_rh_ctes()},
+WITH RECURSIVE {_rh_ctes(n_bands, n_rows)},
 pairs AS (SELECT vec_a, vec_b FROM verified WHERE cos >= 0.4),
 edges AS (SELECT vec_a AS node, vec_b AS nbr FROM pairs
           UNION ALL
@@ -1147,6 +1154,29 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4,
         bands=sim.RH_BANDS, rows_per_band=sim.RH_ROWS,
+    )
+
+
+@register(
+    "emb_semantic_dedup_auto",
+    oracle=None,
+    tags=("LLM", "similarity", "dedup", "auto-scale"),
+)
+def emb_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup with the N-DERIVED band width — the 100 TB
+    path: rows_per_band grows with log₂(corpus) so buckets (and the
+    candidate self-join) stay constant per row, where the pinned-4×4
+    twin above goes quadratic by construction (probed ×17 at ×10
+    rows; this variant probes ~linear). No static SQL oracle is
+    possible — the band literals depend on the corpus count — so the
+    driver records a rows-only check here while the value-level
+    verification lives in two other gates: the pinned twin's
+    recursive-closure oracle (same code path, fixed width), and
+    tests/test_llm_operators.py::test_semantic_dedup_auto_matches_dynamic_oracle,
+    which rebuilds the DuckDB oracle at the width the fixture's count
+    derives and compares full values."""
+    return sim.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4
     )
 
 

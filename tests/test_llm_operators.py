@@ -340,6 +340,33 @@ def test_auto_lsh_banding_keeps_candidate_growth_subquadratic(spark):
     assert c_big <= 30 * max(c_small, 1), (c_small, c_big)
 
 
+def test_semantic_dedup_auto_matches_dynamic_oracle(spark, duck, sf_dir):
+    """The auto-banded semantic dedup has no static registry oracle
+    (band literals depend on the corpus count), so verify it here
+    against a DuckDB oracle REBUILT at the width the fixture's count
+    derives — full value-level parity, same recursive-closure
+    protocol as the pinned twin's gate."""
+    from sparkstreaming_realtime_spark.plans import REGISTRY
+    from sparkstreaming_realtime_spark.plans.llm_queries import (
+        _semantic_dedup_oracle,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    bands, rows = sim.auto_lsh_params(n)
+    assert (bands, rows) != (sim.RH_BANDS, sim.RH_ROWS)  # non-vacuous
+    got = sorted(
+        (r["vec_id"], r["cluster_id"], r["is_keep"])
+        for r in REGISTRY["emb_semantic_dedup_auto"].fn(spark, sf_dir).collect()
+    )
+    want = sorted(
+        (int(a), int(b), int(c))
+        for a, b, c in duck.execute(
+            _semantic_dedup_oracle(bands, rows)
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_tfidf_rare_term_outranks_common(spark):
     docs = _docs(
         spark,

@@ -78,6 +78,45 @@ def dau_realtime(
     }
 
 
+def dau_realtime_from_store(
+    spark: SparkSession, store_path: str, td: str
+) -> dict:
+    """``GET /dauRealtime`` served from the STREAMING-maintained DAU
+    store instead of re-scanning the fact table — the reference's
+    actual architecture end-to-end: DwdDauApp keeps the deduped
+    per-day actives in ES and the controller only queries that index
+    (PublishDaoImpl.java:104-176); here the streaming dedup pipeline
+    (``streaming_dau_dedup`` → ``idempotent_parquet_sink``) maintains
+    the store and this function serves it. At 100 TB this is the
+    serving path that matters: the endpoint aggregates one row per
+    (user, day) — already deduped, dt-partitioned — never the raw
+    event stream."""
+    from .streaming.sinks import read_sink
+
+    yd = str(
+        spark.range(1)
+        .select(F.date_sub(F.lit(td).cast("date"), 1).cast("string"))
+        .collect()[0][0]
+    )
+    rows = read_sink(spark, store_path).select(
+        F.col("dt").cast("string").alias("dt"),
+        F.date_format("event_time", "HH").alias("hr"),
+    )
+    agg = (
+        rows.filter(F.col("dt").isin(td, yd))
+        .groupBy("dt", "hr")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+        .collect()
+    )
+    td_hr = {r["hr"]: r["ct"] for r in agg if r["dt"] == td}
+    yd_hr = {r["hr"]: r["ct"] for r in agg if r["dt"] == yd}
+    return {
+        "dauTotal": int(sum(td_hr.values())),
+        "dauTd": td_hr,
+        "dauYd": yd_hr,
+    }
+
+
 def stats_by_item(
     spark: SparkSession, sf_dir: str, item_name: str, t: str = "segment"
 ) -> list[dict]:
@@ -121,10 +160,14 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
         url = urlparse(self.path)
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
-        spark, sf_dir = self.server.engine  # type: ignore[attr-defined]
+        spark, sf_dir, dau_store = self.server.engine  # type: ignore[attr-defined]
         try:
             if url.path == "/dauRealtime":
-                body = dau_realtime(spark, sf_dir, q["td"])
+                body = (
+                    dau_realtime_from_store(spark, dau_store, q["td"])
+                    if dau_store is not None
+                    else dau_realtime(spark, sf_dir, q["td"])
+                )
             elif url.path == "/statsByItem":
                 body = stats_by_item(
                     spark, sf_dir, q["itemName"], q.get("t", "segment")
@@ -150,14 +193,20 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(
-    spark: SparkSession, sf_dir: str, port: int = 0
+    spark: SparkSession,
+    sf_dir: str,
+    port: int = 0,
+    dau_store: str | None = None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the endpoint server on ``port`` (0 = ephemeral; read the
     bound port from ``server.server_address[1]``). Runs on a daemon
     thread so the Spark driver stays interactive; ``shutdown()`` the
-    returned server to stop."""
+    returned server to stop. ``dau_store`` switches /dauRealtime to
+    the streaming-maintained store (the reference's controller-reads-
+    the-index architecture); without it the endpoint aggregates the
+    facts directly."""
     srv = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
-    srv.engine = (spark, sf_dir)  # type: ignore[attr-defined]
+    srv.engine = (spark, sf_dir, dau_store)  # type: ignore[attr-defined]
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     return srv, thread

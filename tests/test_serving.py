@@ -63,6 +63,82 @@ def test_stats_by_item_endpoint_matches_registry(endpoint, spark, sf_dir):
     )
 
 
+def test_dau_endpoint_served_from_streaming_store(spark, sf_dir, tmp_path):
+    """The reference's architecture end-to-end: the streaming dedup
+    pipeline maintains the DAU store (DwdDauApp → ES index) and the
+    controller serves ONLY that store (PublishDaoImpl). Run the real
+    pipeline (file source → watermarked dropDuplicates → idempotent
+    sink), point the server at the store, and check the served
+    day-level counts against the batch fact scan. Which physical row
+    wins per (mid, dt) is arrival-order dependent, so hour buckets
+    are checked at the membership-deterministic level: they must sum
+    to the day totals."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.serving import serve
+    from sparkstreaming_realtime_spark.sources.files import (
+        events_with_ts,
+        read_table,
+    )
+    from sparkstreaming_realtime_spark.streaming import (
+        idempotent_parquet_sink,
+        streaming_dau_dedup,
+    )
+    from sparkstreaming_realtime_spark.streaming.pipelines import (
+        run_available_now,
+    )
+
+    batch_ev = read_table(spark, sf_dir, "events")  # sets temporal confs
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    page_log = events_with_ts(
+        raw.filter(F.col("event_type") == "view")
+    ).select(
+        F.col("user_id").cast("string").alias("mid"),
+        F.lit(None).cast("string").alias("last_page_id"),
+        F.col("ts").cast("timestamp").alias("event_time"),
+    )
+    store = str(tmp_path / "dau_store")
+    q = run_available_now(
+        streaming_dau_dedup(page_log),
+        idempotent_parquet_sink(store, key_cols=("mid", "dt"),
+                                partition_col="dt"),
+        str(tmp_path / "ckpt"),
+        query_name="dau_store_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    srv, _ = serve(spark, sf_dir, port=0, dau_store=store)
+    try:
+        port = srv.server_address[1]
+        _, got = _get(f"http://127.0.0.1:{port}/dauRealtime?td={TD}")
+    finally:
+        srv.shutdown()
+
+    days = {
+        r["dt"]: r["n"]
+        for r in batch_ev.filter(F.col("event_type") == "view")
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("dt"), "user_id")
+        .distinct()
+        .groupBy("dt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    yd = "2024-01-14"
+    assert got["dauTotal"] == days[TD]
+    assert sum(got["dauTd"].values()) == days[TD]
+    assert sum(got["dauYd"].values()) == days.get(yd, 0)
+
+
 def test_endpoint_errors_are_4xx_not_500(endpoint):
     import urllib.error
 

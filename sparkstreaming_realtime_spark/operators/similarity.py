@@ -215,6 +215,64 @@ def build_ivf_index(
     )
 
 
+def load_centroids(spark, index_path: str) -> list[tuple[int, list[float]]]:
+    """The persisted centroid table as the Python literal
+    :func:`assign_cell` consumes (n_cells·dim doubles — tiny by
+    construction)."""
+    rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    return sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows
+    )
+
+
+def ivf_append(
+    new_vectors: DataFrame,
+    index_path: str,
+    batch_id: int,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: route NEW vectors to the FIXED
+    learned centroids (standard IVF practice — appends join existing
+    inverted lists; re-training is a separate offline job) and land
+    them under ``<path>/delta/batch=<id>/cell=<c>``.
+
+    The per-batch directory is a deterministic function of the batch
+    id, so a replayed batch OVERWRITES its previous attempt —
+    at-least-once delivery composes to exactly-once index content
+    (the same T5 move as idempotent_parquet_sink). Assignment is the
+    same in-row codegen argmax as the build (zero corpus shuffle;
+    only the new batch moves), and ``cell`` stays a partition column,
+    so :func:`ivf_search`'s pruned scan prunes deltas exactly like
+    the base corpus."""
+    spark = new_vectors.sparkSession
+    cents = load_centroids(spark, index_path)
+    (
+        new_vectors.withColumn("cell", assign_cell(vec_col, cents))
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{index_path}/delta/batch={batch_id}")
+    )
+
+
+def read_ivf_corpus(spark, index_path: str) -> DataFrame:
+    """The index's full corpus: the base build plus every appended
+    delta batch. Both layers carry ``cell`` as a partition column, so
+    a cell-routed join prunes the scan on each layer."""
+    import os
+
+    base = spark.read.parquet(f"{index_path}/corpus")
+    delta_dir = f"{index_path}/delta"
+    if os.path.exists(delta_dir):
+        delta = (
+            spark.read.option("basePath", delta_dir)
+            .parquet(f"{delta_dir}/batch=*")
+            .drop("batch")
+        )
+        base = base.unionByName(delta.select(*base.columns))
+    return base
+
+
 def ivf_search(
     spark,
     index_path: str,
@@ -246,7 +304,7 @@ def ivf_search(
         .limit(probes)
         .select("cell")
     )
-    corpus = spark.read.parquet(f"{index_path}/corpus")
+    corpus = read_ivf_corpus(spark, index_path)
     members = corpus.join(F.broadcast(best_cells), "cell")
     return cosine_topk(members, query, k, id_col, exclude_id)
 
@@ -681,7 +739,7 @@ def ivf_knn_join(
     from ..functions.vectors import cosine_similarity
 
     cents = spark.read.parquet(f"{index_path}/centroids")
-    corpus = spark.read.parquet(f"{index_path}/corpus")
+    corpus = read_ivf_corpus(spark, index_path)
     queries = corpus.filter(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("query_id"), F.col("embedding").alias("__qv")
     )

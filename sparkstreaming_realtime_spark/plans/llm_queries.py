@@ -261,7 +261,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, q, k=10, exclude_id=_QUERY_VEC_ID)
 
 
-def _kmeans_ctes() -> str:
+def _kmeans_ctes(train_src: str = "embeddings") -> str:
     """DuckDB replica of the engine's IVF index build
     (operators/similarity.py:train_kmeans_cells + build_ivf_index):
     the same Knuth-hash seed ranking, the same Lloyd rounds with
@@ -270,7 +270,10 @@ def _kmeans_ctes() -> str:
     (IVF_CELLS, IVF_ITERS, the seed multiplier), so Spark and DuckDB
     run the identical algorithm — the gate checks the engine, not a
     lookalike. Produces CTEs ``c{{it}}`` (final centroids) and
-    ``afin`` (final cell assignment of the whole corpus)."""
+    ``afin`` (final cell assignment of the whole corpus).
+    ``train_src`` narrows the TRAINING corpus (seeds + Lloyd rounds)
+    while ``afin`` always assigns the full table — the incremental-
+    append contract, where late vectors route to fixed centroids."""
     n_cells, iters = sim.IVF_CELLS, sim.IVF_ITERS
     seed_h = oracle_hash60_sql(f"'{sim._SEED_PREFIX}' || vec_id::VARCHAR")
     parts = [
@@ -279,7 +282,7 @@ def _kmeans_ctes() -> str:
          row_number() OVER (
            ORDER BY {seed_h}, vec_id
          ) - 1 AS cell
-  FROM embeddings),
+  FROM {train_src}),
 c0 AS (SELECT cell, list_transform(embedding, x -> x::DOUBLE) AS centroid
        FROM seedrank WHERE cell < {n_cells})"""
     ]
@@ -290,7 +293,7 @@ c0 AS (SELECT cell, list_transform(embedding, x -> x::DOUBLE) AS centroid
          row_number() OVER (PARTITION BY e.vec_id
              ORDER BY round({_cos_sql("e.embedding", "c.centroid")}, 6)
                       DESC, c.cell) AS rn
-  FROM embeddings e CROSS JOIN c{k} c) WHERE rn = 1),
+  FROM {train_src} e CROSS JOIN c{k} c) WHERE rn = 1),
 m{k} AS (SELECT cell, i, round(avg(v), 6) AS av FROM (
            SELECT cell, generate_subscripts(embedding, 1) AS i,
                   unnest(embedding)::DOUBLE AS v FROM a{k})
@@ -310,10 +313,10 @@ c{k + 1} AS (SELECT p.cell, coalesce(l.centroid, p.centroid) AS centroid
     return ",\n".join(parts)
 
 
-def _ivf_oracle(probes: int) -> str:
+def _ivf_oracle(probes: int, train_src: str = "embeddings") -> str:
     it = sim.IVF_ITERS
     return f"""
-WITH {_kmeans_ctes()},
+WITH {_kmeans_ctes(train_src)},
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
 best AS (SELECT c.cell FROM c{it} c, q
          ORDER BY round({_cos_sql("c.centroid", "q.qv")}, 6) DESC, c.cell
@@ -335,7 +338,7 @@ assert _ivf_oracle(1) != _ivf_oracle(3)
 #: one persisted IVF index per (session, sf_dir): built on first use
 #: (the offline indexing job), reused by every subsequent IVF query in
 #: the session — the query path never re-aggregates the corpus.
-_IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
+_IVF_INDEX_CACHE: dict[tuple[str, ...], str] = {}
 
 
 def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
@@ -384,6 +387,52 @@ def emb_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ivf_index_path(spark, sf_dir)
     return sim.ivf_search(
         spark, idx, q, k=10, exclude_id=_QUERY_VEC_ID, probes=3
+    )
+
+
+_IVF_APPEND_SRC = "(SELECT * FROM embeddings WHERE vec_id % 5 <> 0)"
+
+
+@register(
+    "emb_ivf_append_topk",
+    oracle=_ivf_oracle(2, train_src=_IVF_APPEND_SRC),
+    tags=("LLM", "similarity", "streaming"),
+)
+def emb_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over a GROWING corpus: the index trains on 80% of the
+    vectors (vec_id % 5 <> 0), the remaining 20% arrive later as two
+    idempotent delta batches through the streaming append sink
+    (operators/similarity.py:ivf_append — route to FIXED centroids,
+    land under delta/batch=<id>/cell=<c>), and the search serves
+    base + deltas with the same cell-pruned scan. The oracle trains
+    its k-means on the same 80% and assigns the full table to the
+    final centroids — exactly the append contract — so routing of
+    late vectors is value-checked end to end. The query vector
+    itself (vec_id 0) is one of the appended rows: the search must
+    find neighbors for a vector that arrived via the stream."""
+    import os
+    import re
+    import tempfile
+
+    from ..streaming.sinks import ivf_append_sink
+
+    key = (spark.sparkContext.applicationId, sf_dir, "append")
+    if key not in _IVF_INDEX_CACHE:
+        tag = re.sub(r"[^A-Za-z0-9_]", "_", "_".join(key))
+        path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
+        emb = _t(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % 5 != 0)
+        sim.build_ivf_index(base, _EMB_DIM, path)
+        late = emb.filter(F.col("vec_id") % 5 == 0)
+        append = ivf_append_sink(path)
+        append(late.filter(F.col("vec_id") % 2 == 0), 0)
+        append(late.filter(F.col("vec_id") % 2 != 0), 1)
+        _IVF_INDEX_CACHE[key] = path
+    idx = _IVF_INDEX_CACHE[key]
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim.query_vector(emb, _QUERY_VEC_ID)
+    return sim.ivf_search(
+        spark, idx, q, k=10, exclude_id=_QUERY_VEC_ID, probes=2
     )
 
 

@@ -290,6 +290,24 @@ def count_min_sink(path: str, item_col: str = "item",
     return write
 
 
+def ivf_append_sink(index_path: str, vec_col: str = "embedding"):
+    """Streaming IVF index maintenance: each micro-batch of new
+    vectors routes to the FIXED learned centroids and lands in its
+    own ``delta/batch=<id>`` layer (operators/similarity.py:
+    ivf_append) — the deterministic per-batch location makes replays
+    overwrite their previous attempt (T5 idempotence), and
+    ``ivf_search`` serves the base + all deltas with the same
+    cell-pruned scan. Centroid re-training stays a separate offline
+    job, exactly how production IVF deployments absorb a continuous
+    ingest stream."""
+    from ..operators.similarity import ivf_append
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        ivf_append(batch_df, index_path, batch_id, vec_col=vec_col)
+
+    return write
+
+
 def read_count_min(spark, path: str) -> DataFrame:
     """Merge the per-batch sketches: cell-wise addition over the
     batch directories (the count-min merge)."""

@@ -208,6 +208,54 @@ def test_ivf_search_plan_has_no_corpus_aggregate(spark, tmp_path):
     assert "dynamicpruning" in plan
 
 
+def test_ivf_append_replay_is_idempotent_and_served(spark, tmp_path):
+    """Incremental IVF maintenance (T5 for the index): appended
+    vectors must be served by the same cell-pruned search, and a
+    REPLAYED delta batch (at-least-once delivery) must leave the
+    index content — and every search result — identical."""
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        ivf_append_sink,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+            (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, dim=2, path=path, n_cells=2, iters=1)
+    # two new vectors arrive later, one per cluster
+    late = spark.createDataFrame(
+        [(10, [0.95, 0.05], 0), (11, [0.05, 0.95], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    append = ivf_append_sink(path)
+    append(late, 0)
+    q = sim.query_vector(base, 1)
+    first = sorted(
+        (r["vec_id"], r["cos"])
+        for r in sim.ivf_search(spark, path, q, k=10, exclude_id=1).collect()
+    )
+    # the appended x-cluster vector must be served from the x cell
+    assert [v for v, _ in first] == [2, 10]
+    append(late, 0)  # replay of the same epoch
+    second = sorted(
+        (r["vec_id"], r["cos"])
+        for r in sim.ivf_search(spark, path, q, k=10, exclude_id=1).collect()
+    )
+    assert first == second
+    # probes=2 reaches the appended y-cluster vector too
+    wide = sorted(
+        r["vec_id"]
+        for r in sim.ivf_search(
+            spark, path, q, k=10, exclude_id=1, probes=2
+        ).collect()
+    )
+    assert wide == [2, 3, 4, 10, 11]
+
+
 def test_predict_lang_markers(spark):
     docs = _docs(
         spark,

@@ -275,6 +275,59 @@ def clustered_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zordered_two_dim_lookup",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(floor("value" * 100)::BIGINT)::BIGINT AS cents
+    FROM events
+    WHERE user_id BETWEEN (SELECT min(user_id) FROM events)
+                      AND (SELECT min(user_id) + 50 FROM events)
+      AND "value" BETWEEN 10 AND 50
+    GROUP BY event_type
+    """,
+    tags=("extension", "warehouse", "zorder"),
+)
+def zordered_two_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping END-TO-END: events written
+    Z-ORDERED on (user_id, value) — bit-interleaved Morton key, one
+    range exchange (``sources.warehouse.write_zordered``) — then a
+    TWO-dimension selective predicate served out of the layout. With
+    lexicographic clustering only the leading column's file stats are
+    tight; the Morton order keeps every file a tile in BOTH
+    dimensions, so the parquet reader's min/max stats prune on each
+    predicate independently (what OPTIMIZE ... ZORDER BY buys on a
+    table format). Stats tightness on the second dimension is pinned
+    by tests/test_warehouse.py::
+    test_zordered_write_tightens_stats_on_both_dims; the oracle (the
+    plain filter on the unclustered table) proves the re-layout
+    changes bytes, not answers. Bounds are data-derived (min user_id)
+    so the check is non-vacuous at every SF."""
+    import tempfile
+
+    from ..sources.warehouse import write_zordered
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("value"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="ev_zorder_")
+    write_zordered(ev, path, cluster_by=("user_id", "value"), n_files=8)
+    lo = ev.agg(F.min("user_id")).collect()[0][0]
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("user_id").between(lo, lo + 50))
+        .filter(F.col("value").between(10, 50))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+
+
+@register(
     "bucketed_colocated_join",
     oracle=f"""
     SELECT o_orderstatus,

@@ -134,3 +134,81 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+#: z-order resolution: bits per dimension. 16 bits ⇒ 65k distinct
+#: cells per dim — far finer than any realistic file count, so the
+#: interleave never quantizes two distant values into one cell.
+ZORDER_BITS = 16
+
+
+def zorder_key(
+    cols: tuple[str, ...],
+    mins: dict[str, float],
+    maxs: dict[str, float],
+    bits: int = ZORDER_BITS,
+):
+    """Bit-interleaved (Morton) sort key over ``cols``.
+
+    Each column min/max-normalizes to an unsigned ``bits``-bit int,
+    then the ints interleave bit-by-bit — so sorting by the key keeps
+    rows close in EVERY dimension close in the file order, giving
+    every file a tight min/max on every clustered column at once
+    (lexicographic multi-column clustering only tightens the first).
+    Pure codegen arithmetic (shift/and/or terms, ``bits × n_cols`` of
+    them) — no UDF, no shuffle beyond the range exchange that
+    consumes the key."""
+    top = (1 << bits) - 1
+    normed = []
+    for c in cols:
+        mn, mx = float(mins[c]), float(maxs[c])
+        spread = (mx - mn) or 1.0
+        n = F.floor((F.col(c).cast("double") - mn) / spread * top)
+        normed.append(
+            F.least(F.lit(top), F.greatest(F.lit(0), n)).cast("bigint")
+        )
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, n in enumerate(normed):
+            bit = F.shiftright(n, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cluster_by: tuple[str, ...],
+    n_files: int = 8,
+    bits: int = ZORDER_BITS,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-cluster a table on ``cluster_by`` so parquet min/max
+    statistics skip data on EVERY clustered column, not just the
+    first — the multi-dimensional upgrade of :func:`write_clustered`
+    for tables queried by more than one selective predicate (the
+    point-lookup-by-user AND range-scan-by-time shape).
+
+    Cost model: one column-pruned min/max scan to calibrate the
+    normalization, then the same single range exchange + in-file sort
+    as the 1-D layout — a one-time layout job amortized over every
+    subsequent multi-dimension read, exactly how table formats
+    implement OPTIMIZE ... ZORDER BY. Stats tightness on the second
+    dimension (what lexicographic clustering cannot give) is pinned
+    by tests/test_warehouse.py."""
+    aggs = []
+    for c in cluster_by:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"__mx_{c}"))
+    row = df.agg(*aggs).collect()[0]
+    mins = {c: row[f"__mn_{c}"] for c in cluster_by}
+    maxs = {c: row[f"__mx_{c}"] for c in cluster_by}
+    z = zorder_key(cluster_by, mins, maxs, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .select(*df.columns)
+        .write.mode(mode)
+        .parquet(path)
+    )

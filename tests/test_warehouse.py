@@ -170,3 +170,48 @@ def test_clustered_point_lookup_is_nonvacuous_at_smoke_sf(spark, sf_dir):
 
     out = REGISTRY["clustered_point_lookup"].fn(spark, sf_dir)
     assert out.count() > 0
+
+
+def test_zordered_write_tightens_stats_on_both_dims(spark, tmp_path):
+    """write_zordered's contract: file min/max spans are a fraction
+    of the global range on EVERY clustered dimension, where
+    lexicographic clustering tightens only the first (the second
+    dim's span is ~full range in every file). Grid data (x, y
+    independent) makes the contrast exact."""
+    import pyarrow.parquet as pq
+
+    from sparkstreaming_realtime_spark.sources.warehouse import (
+        write_clustered,
+        write_zordered,
+    )
+
+    df = spark.range(0, 16_384).selectExpr(
+        "CAST(id % 128 AS BIGINT) AS x", "CAST(id DIV 128 AS BIGINT) AS y"
+    )
+    zpath = str(tmp_path / "zord")
+    write_zordered(df, zpath, cluster_by=("x", "y"), n_files=16)
+    lexpath = str(tmp_path / "lex")
+    write_clustered(df, lexpath, cluster_by=("x", "y"), n_files=16)
+
+    def spans(path, col_idx):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            lo = min(md.row_group(i).column(col_idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(col_idx).statistics.max
+                     for i in range(md.num_row_groups))
+            out.append(hi - lo)
+        return out
+
+    # z-order: BOTH dims' average per-file span well under the global
+    # 127 range (16 files over a 128x128 grid → ~32x32 tiles)
+    zx, zy = spans(zpath, 0), spans(zpath, 1)
+    assert sum(zx) / len(zx) <= 64 and sum(zy) / len(zy) <= 64
+    # lexicographic on (x, y): x tightens, y spans ~everything
+    ly = spans(lexpath, 1)
+    assert sum(ly) / len(ly) > 100
+    # layout changes bytes, not rows
+    assert spark.read.parquet(zpath).count() == 16_384

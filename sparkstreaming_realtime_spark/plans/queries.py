@@ -275,6 +275,56 @@ def clustered_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "warehouse_compaction_roundtrip",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*)::BIGINT AS n,
+           {_money_sum_sql("value", 2)} AS sum_value
+    FROM events WHERE ts < TIMESTAMP '2024-01-08'
+    GROUP BY 1
+    """,
+    tags=("extension", "warehouse", "maintenance"),
+)
+def warehouse_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction END-TO-END: events land in a
+    dt-partitioned warehouse as many tiny files (a day of
+    micro-batch sink output), ``compact_partitions`` bin-packs every
+    fragmented day to its byte-target file count via the crash-safe
+    staged swap, and the day-level aggregate over the compacted
+    table must equal the oracle over the raw facts — compaction
+    changes bytes and file counts, never rows. File-count reduction
+    and cold-partition no-churn are pinned by tests/test_warehouse.py::
+    test_compact_partitions_binpacks_hot_days_only."""
+    import tempfile
+
+    from ..sources.warehouse import compact_partitions
+
+    # one week of days: each fragmented day costs a rewrite job, and
+    # 7 days exercise the loop as well as 30 would
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") < F.lit("2024-01-08").cast("timestamp"))
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
+            "user_id",
+            "value",
+        )
+    )
+    path = tempfile.mkdtemp(prefix="ev_compact_")
+    # fragment: many small files per day, the streaming-sink shape
+    ev.repartition(16).write.mode("overwrite").partitionBy("dt").parquet(path)
+    compacted = compact_partitions(spark, path, target_bytes=256 * 1024 * 1024)
+    assert compacted, "fixture days should all be fragmented"
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.col("dt").cast("string").alias("dt"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            _money_sum(F.col("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "zordered_two_dim_lookup",
     oracle="""
     SELECT event_type, count(*)::BIGINT AS n,

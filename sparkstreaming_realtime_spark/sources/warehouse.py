@@ -136,6 +136,74 @@ def write_clustered(
     )
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "dt",
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict[str, tuple[int, int]]:
+    """Small-file compaction — the maintenance job every streaming
+    warehouse needs: micro-batch sinks write a few files per trigger,
+    and after a day a hot partition holds thousands of KB-sized files
+    whose open/footer costs dominate scans at 100 TB.
+
+    Per partition directory (pure FileStatus metadata — no data scan
+    to decide): if it holds ≥ ``min_files`` files AND more than
+    ⌈bytes/target_bytes⌉ of them, rewrite it to that file count in a
+    STAGED directory, then swap directories with the rename-aside
+    protocol (write ``.next``; old dir → ``.old``; ``.next`` into
+    place; drop ``.old``) — never an in-place overwrite of a path
+    being read, and every crash point leaves a complete file set for
+    the day on disk, so a crashed compaction simply reruns.
+    Untouched partitions are never rewritten (compaction must not
+    churn cold data). Returns ``{partition_value:
+    (files_before, files_after)}`` for the partitions it rewrote."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{partition_col}="
+    done: dict[str, tuple[int, int]] = {}
+
+    def _parquet_files(p):
+        return [
+            f
+            for f in fs.listStatus(p)
+            if f.getPath().getName().endswith(".parquet")
+        ]
+
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        # staging/aside names are dot-prefixed: Spark's file index
+        # ignores hidden dirs, so readers never parse them as
+        # partition values mid-swap (or after a crash)
+        # crash recovery: a previous run died between renames
+        old_dir = Path(root, "." + name + ".old")
+        if not fs.exists(st.getPath()) and fs.exists(old_dir):
+            fs.rename(old_dir, st.getPath())
+        files = _parquet_files(st.getPath())
+        total = sum(f.getLen() for f in files)
+        want = max(1, -(-total // target_bytes))  # ceil
+        if len(files) < min_files or len(files) <= want:
+            continue
+        part = spark.read.parquet(str(st.getPath()))
+        nxt = Path(root, "." + name + ".next")
+        part.repartition(want).write.mode("overwrite").parquet(str(nxt))
+        if fs.exists(old_dir):
+            fs.delete(old_dir, True)
+        fs.rename(st.getPath(), old_dir)
+        fs.rename(nxt, st.getPath())
+        fs.delete(old_dir, True)
+        done[name[len(prefix):]] = (
+            len(files),
+            len(_parquet_files(st.getPath())),
+        )
+    return done
+
+
 #: z-order resolution: bits per dimension. 16 bits ⇒ 65k distinct
 #: cells per dim — far finer than any realistic file count, so the
 #: interleave never quantizes two distant values into one cell.

@@ -215,3 +215,44 @@ def test_zordered_write_tightens_stats_on_both_dims(spark, tmp_path):
     assert sum(ly) / len(ly) > 100
     # layout changes bytes, not rows
     assert spark.read.parquet(zpath).count() == 16_384
+
+
+def test_compact_partitions_binpacks_hot_days_only(spark, tmp_path):
+    """Compaction contract: a partition fragmented by micro-batch
+    writes rewrites down to the byte-target file count; an
+    already-compact partition is NOT churned; rows and values are
+    unchanged; and the staged/aside dirs are gone afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.sources.warehouse import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "wh")
+    hot = spark.range(0, 5000).select(
+        F.lit("2024-01-01").alias("dt"), F.col("id")
+    )
+    # 20 tiny files for the hot day (a day of micro-batches)
+    hot.repartition(20).write.partitionBy("dt").parquet(path)
+    cold = spark.range(5000, 5100).select(
+        F.lit("2024-01-02").alias("dt"), F.col("id")
+    )
+    cold.coalesce(1).write.mode("append").partitionBy("dt").parquet(path)
+
+    before = sorted(
+        r["id"] for r in spark.read.parquet(path).collect()
+    )
+    done = compact_partitions(
+        spark, path, target_bytes=50 * 1024 * 1024
+    )
+    assert set(done) == {"2024-01-01"}
+    b, a = done["2024-01-01"]
+    assert b == 20 and a == 1
+    after = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after == before
+    leftovers = [d for d in os.listdir(path) if ".next" in d or ".old" in d]
+    assert leftovers == []
+    # idempotent: a second run finds nothing to do
+    assert compact_partitions(spark, path, target_bytes=50 * 1024 * 1024) == {}

@@ -275,6 +275,87 @@ def clustered_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_quality_expectations",
+    oracle="""
+    SELECT 'not_null:user_id' AS check,
+           round(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS metric,
+           0.0::DOUBLE AS threshold,
+           (sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+            / count(*)::DOUBLE <= 0.0)::INT AS passed
+    FROM events
+    UNION ALL
+    SELECT 'unique:event_id',
+           round((count(event_id) - count(DISTINCT event_id))::DOUBLE, 6),
+           0.0::DOUBLE,
+           (count(event_id) - count(DISTINCT event_id) <= 0)::INT
+    FROM events
+    UNION ALL
+    SELECT 'accepted_values:event_type',
+           round(sum(CASE WHEN event_type IN
+                     ('view','click','purchase','signup','error')
+                     THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6),
+           0.99::DOUBLE,
+           (sum(CASE WHEN event_type IN
+                ('view','click','purchase','signup','error')
+                THEN 1 ELSE 0 END) / count(*)::DOUBLE >= 0.99)::INT
+    FROM events
+    UNION ALL
+    SELECT 'between:value',
+           round(sum(CASE WHEN "value" IS NOT NULL
+                     AND NOT ("value" BETWEEN 0 AND 1000000)
+                     THEN 1 ELSE 0 END)::DOUBLE, 6),
+           0.0::DOUBLE,
+           (sum(CASE WHEN "value" IS NOT NULL
+                AND NOT ("value" BETWEEN 0 AND 1000000)
+                THEN 1 ELSE 0 END) <= 0)::INT
+    FROM events
+    UNION ALL
+    SELECT 'row_count', round(count(*)::DOUBLE, 6), 100.0::DOUBLE,
+           (count(*) BETWEEN 100 AND 1000000000)::INT
+    FROM events
+    UNION ALL
+    SELECT 'fk:user_id', round(count(*)::DOUBLE, 6), 0.0::DOUBLE,
+           (count(*) <= 0)::INT
+    FROM (SELECT e.user_id FROM events e
+          WHERE e.user_id IS NOT NULL
+            AND e.user_id NOT IN (SELECT c_custkey FROM customer))
+    """,
+    tags=("extension", "quality", "expectations"),
+)
+def events_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/expectations.py —
+    the Deequ/Great-Expectations shape): five expectations compiled
+    into ONE conditional-aggregate scan plus a broadcast anti-join
+    referential check, returned as the (check, metric, threshold,
+    passed) verdict frame a pipeline gates on before training."""
+    from ..operators.expectations import (
+        check_expectations,
+        check_foreign_key,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    suite = check_expectations(
+        ev,
+        [
+            ("not_null", "user_id", 0.0),
+            ("unique", "event_id"),
+            (
+                "accepted_values",
+                "event_type",
+                ("view", "click", "purchase", "signup", "error"),
+                0.99,
+            ),
+            ("between", "value", 0, 1_000_000),
+            ("row_count", 100, 1_000_000_000),
+        ],
+    )
+    fk = check_foreign_key(ev, "user_id", c, "c_custkey")
+    return suite.unionByName(fk)
+
+
+@register(
     "warehouse_compaction_roundtrip",
     oracle=f"""
     SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*)::BIGINT AS n,

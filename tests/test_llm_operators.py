@@ -977,6 +977,56 @@ def test_remove_dup_chunks_cuts_all_but_first_and_reassembles(spark):
     assert out[3]["n_removed"] == 0
 
 
+def test_expectations_detect_violations_in_one_scan(spark):
+    """The quality gate must FAIL the right checks (a suite that only
+    ever passes tests nothing): planted nulls, a duplicate key, an
+    off-vocabulary value, an out-of-range measure — each flags its
+    own row while healthy checks still pass, and the whole suite is
+    one aggregate scan."""
+    from sparkstreaming_realtime_spark.operators.expectations import (
+        check_expectations,
+        check_foreign_key,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0), (2, "a", 7.0), (2, "b", -1.0),
+            (None, "zz", 8.0),
+        ],
+        "id long, cat string, v double",
+    )
+    got = {
+        r["check"]: (r["metric"], r["passed"])
+        for r in check_expectations(
+            df,
+            [
+                ("not_null", "id", 0.0),
+                ("unique", "id"),
+                ("accepted_values", "cat", ("a", "b"), 0.9),
+                ("between", "v", 0, 100),
+                ("row_count", 1, 10),
+            ],
+        ).collect()
+    }
+    assert got["not_null:id"] == (0.25, 0)      # 1 of 4 null
+    assert got["unique:id"] == (1.0, 0)         # one duplicated id
+    assert got["accepted_values:cat"] == (0.75, 0)
+    assert got["between:v"] == (1.0, 0)         # the -1.0
+    assert got["row_count"] == (4.0, 1)
+    # the suite is ONE scan: exactly one Aggregate over the source
+    plan = check_expectations(df, [("not_null", "id", 0.0),
+                                   ("unique", "id")])
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Scan ExistingRDD") <= 2  # reused agg, per-branch
+
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    fk = check_foreign_key(df, "id", dim, "k").collect()[0]
+    assert fk["passed"] == 1  # nulls don't count as orphans
+    dim2 = spark.createDataFrame([(1,)], "k long")
+    fk2 = check_foreign_key(df, "id", dim2, "k").collect()[0]
+    assert (fk2["metric"], fk2["passed"]) == (2.0, 0)
+
+
 def test_table_profile_counts_nulls_and_distincts(spark):
     from sparkstreaming_realtime_spark.operators.profiling import (
         table_profile,

@@ -16,13 +16,16 @@ from . import cdc_queries  # noqa: F401 — populates REGISTRY on import
 #: warehouse, and the end-to-end streaming parities — lands inside the
 #: first 50; the remainder (verified equally, just later) follows.
 #: r5 rotation — the FINAL visibility rotation. The union of
-#: CORRECTNESS_r01–r04 covers 105 of the 125 registry queries; the 20
-#: never-driver-checked names (text-stats family, quality/repetition
-#: bands, dup_clusters, the sampling/export family, frame sampling,
-#: feature extraction, the IVF recall curve, and two streaming
-#: parities) all sit inside the top-50 this round, so CORRECTNESS_r05
+#: CORRECTNESS_r01–r04 covers 105 of the 125 pre-r5 registry queries;
+#: ALL 25 never-driver-checked names sit inside the top-50 this
+#: round — the 20 backlog queries (text-stats family,
+#: quality/repetition bands, dup_clusters, the sampling/export
+#: family, frame sampling, feature extraction, the IVF recall curve,
+#: two streaming parities) plus the FIVE queries new in r5 (quality
+#: expectations, warehouse compaction, z-order lookup, auto-banded
+#: semantic dedup, incremental-IVF append) — so CORRECTNESS_r05
 #: completes driver verification of every registered query at least
-#: once. The other 30 slots are one already-green sentinel per
+#: once. The other 25 slots are one already-green sentinel per
 #: operator family (a family-wide regression still flags inside the
 #: cap), preferring queries whose code was touched THIS round
 #: (clustered_point_lookup's derived key, table_profile's empty-frame
@@ -39,7 +42,11 @@ _PRIORITY = [
     "stats_by_item_segment",
     # joins / rollups / TPC-H / extension sentinels
     "order_wide_join", "hourly_window_rollup", "shipping_priority",
-    "min_cost_supplier", "events_asof_last_order",
+    "events_asof_last_order",
+    # NEW this round (never driver-checked): warehouse maintenance +
+    # quality gate + z-order skipping
+    "events_quality_expectations", "warehouse_compaction_roundtrip",
+    "zordered_two_dim_lookup",
     # never-driver-checked: text-stats / quality family
     "doc_gopher_filters", "doc_tfidf_top_terms", "doc_top_bigrams",
     "doc_bpe_token_stats", "doc_lexical_commonness",
@@ -52,11 +59,12 @@ _PRIORITY = [
     # never-driver-checked: multimodal / embedding family
     "doc_frame_sample", "emb_feature_extract", "emb_ivf_recall_curve",
     # LLM dedup/similarity sentinels (emb_semantic_dedup + emb_knn_join
-    # re-verify this round's LSH auto-banding and collect-cap edits)
+    # re-verify this round's LSH auto-banding and collect-cap edits),
+    # plus the NEW auto-banded twin and incremental-IVF queries
     "doc_exact_dedup", "doc_minhash_near_dup",
-    "doc_incremental_near_dup", "doc_binary_meta",
-    "corpus_curation_funnel_v2", "emb_semantic_dedup", "emb_knn_join",
-    "emb_ivf_topk", "doc_quality_adaptive", "doc_importance_resample",
+    "corpus_curation_funnel_v2", "emb_semantic_dedup",
+    "emb_semantic_dedup_auto", "emb_knn_join",
+    "emb_ivf_append_topk", "doc_quality_adaptive",
     "doc_lm_perplexity", "doc_pii_scrub",
     # warehouse sentinels (clustered_point_lookup + events_table_profile
     # re-verify this round's derived-key and empty-frame edits)
@@ -70,7 +78,9 @@ _PRIORITY = [
     "streaming_dau_dedup_parity", "streaming_scd2_parity",
     "streaming_heavy_hitters_parity", "streaming_state_profile_parity",
     # tail (51+): green in r2–r4 driver artifacts, still verified every
-    # session by scripts/check_oracle.py (full 125) and pytest
+    # session by scripts/check_oracle.py (full registry) and pytest
+    "min_cost_supplier", "doc_incremental_near_dup", "doc_binary_meta",
+    "emb_ivf_topk", "doc_importance_resample",
     "doc_heavy_hitters_sketch", "cdc_scd2_asof_enrich",
     "value_percentiles",
     "orders_events_range_join", "product_profit_by_nation_year",

@@ -79,8 +79,14 @@ HEADLINE = [
     "doc_exact_k_sample",
     "corpus_curation_funnel_v2",
     # r5: the N-derived-band SemDeDup (the 100 TB scale path; its
-    # pinned-width twin above stays for oracle comparability)
+    # pinned-width twin above stays for oracle comparability), the
+    # incremental-IVF append serve, and the warehouse ops trio
+    # (z-order skipping, compaction round-trip, quality gate)
     "emb_semantic_dedup_auto",
+    "emb_ivf_append_topk",
+    "zordered_two_dim_lookup",
+    "warehouse_compaction_roundtrip",
+    "events_quality_expectations",
 ]
 
 

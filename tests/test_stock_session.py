@@ -48,6 +48,12 @@ SMOKE = [
     "emb_ivf_multiprobe_topk",
     # warehouse round-trip on a stock session
     "dau_warehouse_day_slice",
+    # r5 additions: maintenance/layout/gate paths run FS + swap +
+    # bit-arithmetic code that must not depend on get_spark confs
+    "events_quality_expectations",
+    "zordered_two_dim_lookup",
+    "warehouse_compaction_roundtrip",
+    "emb_ivf_append_topk",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_STOCK_SF", "/root/testdata/sf0.001")

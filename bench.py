@@ -87,6 +87,7 @@ HEADLINE = [
     "zordered_two_dim_lookup",
     "warehouse_compaction_roundtrip",
     "events_quality_expectations",
+    "doc_audio_windows",
 ]
 
 

@@ -134,6 +134,69 @@ def frame_sample(
     return df.mapInPandas(sample, FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("win_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    sample_rate: int = 16_000,
+    window_ms: int = 250,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio feature extraction over PCM16 payloads — REAL, not a
+    stub: 16-bit little-endian PCM "decoding" is ``np.frombuffer``,
+    so the windowed features (RMS energy, zero-crossing count — the
+    classic speech/silence discriminators a curation pipeline gates
+    clips on) need no external audio library at all.
+
+    1→N fan-out inside Arrow ``mapInPandas``: each payload splits
+    into fixed-duration windows (``sample_rate × window_ms``), one
+    output row per window. A trailing odd byte (truncated sample) is
+    dropped; empty payloads yield no rows. RMS rounds to 6dp for
+    engine comparability."""
+    import numpy as np
+    import pandas as pd
+
+    win = max(1, sample_rate * window_ms // 1000)
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "win_idx": [], "n_samples": [],
+                "rms": [], "zero_crossings": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                usable = len(payload) // 2 * 2
+                if usable == 0:
+                    continue
+                samples = np.frombuffer(
+                    payload[:usable], dtype="<i2"
+                ).astype(np.float64)
+                for i, start in enumerate(range(0, len(samples), win)):
+                    w = samples[start:start + win]
+                    out["doc_id"].append(doc_id)
+                    out["win_idx"].append(i)
+                    out["n_samples"].append(len(w))
+                    out["rms"].append(
+                        round(float(np.sqrt(np.mean(w * w))), 6)
+                    )
+                    out["zero_crossings"].append(
+                        int(((w[:-1] * w[1:]) < 0).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(feats, AUDIO_SCHEMA)
+
+
 EMB_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),

@@ -36,8 +36,12 @@ _PRIORITY = [
     "dau_total_by_day", "dau_realtime_endpoint",
     # log-split sentinels (P4/P5 projection, P9 multiplex)
     "log_split_page", "multiplex_route_counts",
-    # CDC sentinels (P10/P11 routing, K4 upsert, SCD2)
-    "cdc_route_counts", "cdc_dim_snapshot", "cdc_scd2_history",
+    # CDC sentinels (P10/P11 routing, K4 upsert; the SCD2 family's
+    # sentinel is streaming_scd2_parity below, which compares against
+    # the batch operator and so covers both)
+    "cdc_route_counts", "cdc_dim_snapshot",
+    # NEW this round: byte-exact PCM16 audio features
+    "doc_audio_windows",
     # ES query-surface sentinel (A3)
     "stats_by_item_segment",
     # joins / rollups / TPC-H / extension sentinels
@@ -80,7 +84,7 @@ _PRIORITY = [
     # tail (51+): green in r2–r4 driver artifacts, still verified every
     # session by scripts/check_oracle.py (full registry) and pytest
     "min_cost_supplier", "doc_incremental_near_dup", "doc_binary_meta",
-    "emb_ivf_topk", "doc_importance_resample",
+    "emb_ivf_topk", "doc_importance_resample", "cdc_scd2_history",
     "doc_heavy_hitters_sketch", "cdc_scd2_asof_enrich",
     "value_percentiles",
     "orders_events_range_join", "product_profit_by_nation_year",

@@ -1162,6 +1162,65 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIO_RATE = 4000
+_AUDIO_MS = 32  # -> 128-sample windows
+
+
+def _audio_oracle() -> str:
+    """DuckDB replica of the PCM16 window features — the blob decodes
+    via one hex() pass and 4-hex-char folds (the same hex-fold
+    technique as oracle_hash60_sql), so sample values are BYTE-exact
+    vs numpy's frombuffer; RMS uses the identical
+    sqrt(sum_sq/n) formula and zero crossings count sign flips of
+    in-window adjacent pairs."""
+    win = max(1, _AUDIO_RATE * _AUDIO_MS // 1000)
+    hx = "substr(hx, 4*k+{o}, 1)"
+    digit = "strpos('0123456789ABCDEF', {c})-1"
+    b0 = f"({digit.format(c=hx.format(o=1))})*16 + ({digit.format(c=hx.format(o=2))})"
+    b1 = f"({digit.format(c=hx.format(o=3))})*16 + ({digit.format(c=hx.format(o=4))})"
+    return f"""
+WITH b AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+s AS (SELECT doc_id, unnest(range(length(hx) // 4)) AS k, hx FROM b),
+v AS (
+  SELECT doc_id, k,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS sample
+  FROM (SELECT doc_id, k, ({b0}) + 256*({b1}) AS u FROM s)),
+p AS (
+  SELECT doc_id, k, sample,
+         lead(sample) OVER (PARTITION BY doc_id ORDER BY k) AS nxt
+  FROM v)
+SELECT doc_id, (k // {win})::BIGINT AS win_idx,
+       count(*)::BIGINT AS n_samples,
+       round(sqrt(sum(sample*sample) / count(*)::DOUBLE), 6) AS rms,
+       sum(CASE WHEN (k + 1) % {win} <> 0 AND nxt IS NOT NULL
+                AND sample * nxt < 0 THEN 1 ELSE 0 END)::BIGINT
+         AS zero_crossings
+FROM p GROUP BY doc_id, k // {win}
+"""
+
+
+@register(
+    "doc_audio_windows",
+    oracle=_audio_oracle(),
+    tags=("LLM", "multimodal", "audio"),
+)
+def doc_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature extraction
+    (operators/multimodal.py:audio_windows): document bytes stand in
+    for PCM16 clips (TESTDATA has no audio table), and unlike the
+    image decode stub this path is REAL end to end — PCM decoding is
+    np.frombuffer, and the DuckDB oracle re-derives every 16-bit
+    sample from the blob's hex, so windowed RMS energy and
+    zero-crossing counts (the speech/silence gates an audio curation
+    pipeline filters clips on) are value-checked byte-exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return mm.audio_windows(
+        mm.documents_as_binary(docs),
+        sample_rate=_AUDIO_RATE,
+        window_ms=_AUDIO_MS,
+    )
+
+
 def _semantic_dedup_oracle(
     n_bands: int | None = None, n_rows: int | None = None
 ) -> str:

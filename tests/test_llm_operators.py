@@ -977,6 +977,37 @@ def test_remove_dup_chunks_cuts_all_but_first_and_reassembles(spark):
     assert out[3]["n_removed"] == 0
 
 
+def test_audio_windows_computes_real_pcm_features(spark):
+    """PCM16 windowing is REAL decode (np.frombuffer), so the
+    features are checked against exact hand-computed values: a
+    square wave alternating +1000/-1000 every sample has RMS 1000
+    and a zero crossing at every adjacent pair; a silent payload has
+    RMS 0 and none; a trailing odd byte is dropped."""
+    import struct
+
+    from sparkstreaming_realtime_spark.operators.multimodal import (
+        audio_windows,
+    )
+
+    square = struct.pack("<8h", *([1000, -1000] * 4))  # 8 samples
+    silent = struct.pack("<4h", 0, 0, 0, 0)
+    df = spark.createDataFrame(
+        [(1, square), (2, silent), (3, b"\x01")],  # 3: one odd byte
+        "doc_id long, payload binary",
+    )
+    # window of 4 samples: sample_rate 16 with 250ms windows
+    out = {
+        (r["doc_id"], r["win_idx"]): (
+            r["n_samples"], r["rms"], r["zero_crossings"]
+        )
+        for r in audio_windows(df, sample_rate=16, window_ms=250).collect()
+    }
+    assert out[(1, 0)] == (4, 1000.0, 3)
+    assert out[(1, 1)] == (4, 1000.0, 3)
+    assert out[(2, 0)] == (4, 0.0, 0)
+    assert not any(k[0] == 3 for k in out)  # odd byte → no samples
+
+
 def test_expectations_detect_violations_in_one_scan(spark):
     """The quality gate must FAIL the right checks (a suite that only
     ever passes tests nothing): planted nulls, a duplicate key, an

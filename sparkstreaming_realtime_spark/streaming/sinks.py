@@ -290,6 +290,44 @@ def count_min_sink(path: str, item_col: str = "item",
     return write
 
 
+def quality_gate_sink(
+    path: str,
+    expectations: list[tuple],
+):
+    """Streaming data-quality gate: every micro-batch runs the
+    declarative expectation suite (operators/expectations.py — ONE
+    conditional-aggregate scan) and routes WHOLE batches by verdict:
+    passing batches land under ``accepted/batch=<id>``, failing ones
+    under ``quarantine/batch=<id>`` with the verdict frame written
+    beside them (``verdicts/batch=<id>``) so an operator can see
+    exactly which check broke and replay the quarantined batch after
+    a fix.
+
+    This is the reference's error-routing pattern (OdsBaseLogApp's
+    malformed-JSON side channel, P3) promoted to the semantic level:
+    parse errors route rows, quality errors route BATCHES — a broken
+    upstream extract poisons everything it shipped, and admitting
+    the "good" rows of a bad batch silently shifts the training
+    distribution. Deterministic per-batch directories make replays
+    overwrite (T5); read the accepted stream with
+    ``read_sink(f"{{path}}/accepted")``."""
+    from ..operators.expectations import check_expectations
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        verdict = check_expectations(batch_df, expectations)
+        rows = verdict.collect()  # suite-sized: one row per check
+        ok = all(r["passed"] == 1 for r in rows)
+        dest = "accepted" if ok else "quarantine"
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, dest, f"batch={batch_id}")
+        )
+        verdict.write.mode("overwrite").parquet(
+            os.path.join(path, "verdicts", f"batch={batch_id}")
+        )
+
+    return write
+
+
 def ivf_append_sink(index_path: str, vec_col: str = "embedding"):
     """Streaming IVF index maintenance: each micro-batch of new
     vectors routes to the FIXED learned centroids and lands in its

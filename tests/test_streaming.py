@@ -575,6 +575,53 @@ def test_snapshot_swap_survives_crash_between_renames(spark, tmp_path):
     assert not os.path.exists(hist + ".next")
 
 
+def test_quality_gate_sink_routes_batches_by_verdict(spark, tmp_path):
+    """Streaming quality gate: a clean micro-batch lands in accepted,
+    a batch with a planted violation lands WHOLE in quarantine (no
+    partial admission), the verdict frame records which check broke,
+    and a replayed batch overwrites its previous attempt (T5)."""
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        quality_gate_sink,
+    )
+
+    src = str(tmp_path / "src")
+    good = [{"id": 1, "v": 5.0}, {"id": 2, "v": 7.0}]
+    bad = [{"id": 3, "v": 50.0}, {"id": 3, "v": -2.0}]  # dup id + range
+    _write_jsonl(f"{src}/b1.json", seq=1, rows=good)
+    _write_jsonl(f"{src}/b2.json", seq=2, rows=bad)
+    gate = str(tmp_path / "gate")
+    suite = [("unique", "id"), ("between", "v", 0, 100)]
+    stream = file_stream(spark, src, "id long, v double",
+                         max_files_per_trigger=1)
+    _drain(stream, quality_gate_sink(gate, suite), str(tmp_path / "ckpt"))
+
+    accepted = sorted(
+        r["id"] for r in spark.read.parquet(f"{gate}/accepted").collect()
+    )
+    quarantined = sorted(
+        r["id"] for r in spark.read.parquet(f"{gate}/quarantine").collect()
+    )
+    assert accepted == [1, 2]
+    assert quarantined == [3, 3]  # the WHOLE bad batch, not a subset
+    verdicts = {
+        (r["batch"], r["check"]): r["passed"]
+        for r in spark.read.option("basePath", f"{gate}/verdicts")
+        .parquet(f"{gate}/verdicts/batch=*").collect()
+    }
+    bad_batch = max(b for b, _ in verdicts)
+    good_batch = min(b for b, _ in verdicts)
+    assert verdicts[(good_batch, "unique:id")] == 1
+    assert verdicts[(bad_batch, "unique:id")] == 0
+    assert verdicts[(bad_batch, "between:v")] == 0
+    # replay: re-deliver the bad batch, state unchanged
+    sink = quality_gate_sink(gate, suite)
+    bad_df = spark.createDataFrame([(3, 50.0), (3, -2.0)], "id long, v double")
+    sink(bad_df, bad_batch)
+    assert sorted(
+        r["id"] for r in spark.read.parquet(f"{gate}/quarantine").collect()
+    ) == [3, 3]
+
+
 def test_count_min_sink_merges_batches_and_replays_idempotently(
     spark, tmp_path
 ):

@@ -144,6 +144,83 @@ def test_money_sum_spark_equals_duckdb(spark, ths_list):
     assert got_spark == cents / 100.0
 
 
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        # exact 6-decimal amounts (the three-factor charge contract)
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_money_sum_six_decimals_spark_equals_duckdb(spark, units):
+    """The 6-decimal money scale (TPC-H charge = price·(1-d)·(1+t))
+    must agree across engines and equal the definitional integer
+    half-away rounding of the micro-unit total — including totals
+    exactly ON the half-cent boundary (unit 5000)."""
+    import duckdb as ddb
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.functions.money import (
+        money_sum,
+        oracle_money_sum_sql,
+    )
+
+    amounts = [u / 1_000_000.0 for u in units]
+    sdf = spark.createDataFrame([(a,) for a in amounts], "amount double")
+    got_spark = sdf.agg(
+        money_sum(F.col("amount"), 6).alias("m")
+    ).collect()[0]["m"]
+    con = ddb.connect()
+    con.execute("CREATE TABLE t (amount DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(a,) for a in amounts])
+    got_duck = con.execute(
+        f"SELECT {oracle_money_sum_sql('amount', 6)} FROM t"
+    ).fetchone()[0]
+    assert got_spark == got_duck
+    total = sum(units)
+    cents = (abs(total) + 5000) // 10000 * (1 if total >= 0 else -1)
+    assert got_spark == cents / 100.0
+    # the wide (decimal-accumulator) path computes the identical value
+    got_wide = sdf.agg(
+        money_sum(F.col("amount"), 6, wide=True).alias("m")
+    ).collect()[0]["m"]
+    assert got_wide == got_spark
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99_999),  # key
+            st.sampled_from(["a", "b", "c"]),            # stratum
+        ),
+        min_size=1,
+        max_size=300,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_exact_k_prefilter_property(spark, rows, k):
+    """For ANY strata layout and quota, the hash-prefix pre-filter
+    must select the identical rows as the plain full-stratum window
+    (the Chernoff margin makes misses astronomically unlikely; this
+    hammers the composition across random shapes)."""
+    from sparkstreaming_realtime_spark.operators.sampling import (
+        exact_k_sample,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plain = sorted(
+        map(tuple, exact_k_sample(df, "source", k, "doc_id",
+                                  prefilter=False).collect())
+    )
+    fast = sorted(
+        map(tuple, exact_k_sample(df, "source", k, "doc_id").collect())
+    )
+    assert plain == fast
+
+
 PII_FRAGMENTS = st.one_of(
     TEXT,
     st.just("bob.smith+x@mail-host.co"),

@@ -48,6 +48,12 @@ PROBE = [
     # by construction; this is the variant a 100 TB caller gets)
     "doc_exact_k_sample",
     "emb_semantic_dedup_auto",
+    # r5-session: index append serve, layout jobs, quality gate, audio
+    "emb_ivf_append_topk",
+    "zordered_two_dim_lookup",
+    "warehouse_compaction_roundtrip",
+    "events_quality_expectations",
+    "doc_audio_windows",
 ]
 
 

@@ -255,12 +255,70 @@ def ivf_append(
     )
 
 
+def ivf_compact(spark, index_path: str) -> int:
+    """Fold accumulated delta batches into the base inverted lists —
+    the maintenance companion of :func:`ivf_append`: every appended
+    batch adds a delta layer the search must union, so after N
+    batches each probe opens N+1 file sets per cell. Compaction
+    rewrites base+deltas as one ``partitionBy(cell)`` corpus (same
+    layout the original build produced) via the rename-aside swap
+    (stage ``.corpus.next``; base → ``.corpus.old``; into place;
+    drop), then removes the delta dir — a crash at any point leaves
+    a complete, servable index, and a rerun finishes the job.
+    Returns the number of delta batches folded (0 = nothing to do).
+    Centroids are untouched: re-training is the separate offline
+    job it always was."""
+    import os
+    import shutil
+
+    _recover_ivf_corpus(index_path)
+    delta_dir = f"{index_path}/delta"
+    if not os.path.exists(delta_dir):
+        return 0
+    n_batches = len(
+        [d for d in os.listdir(delta_dir) if d.startswith("batch=")]
+    )
+    if n_batches == 0:
+        return 0
+    merged = read_ivf_corpus(spark, index_path)
+    base, nxt, old = (
+        f"{index_path}/corpus",
+        f"{index_path}/.corpus.next",
+        f"{index_path}/.corpus.old",
+    )
+    (
+        merged.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(nxt)
+    )
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(base, old)
+    os.rename(nxt, base)
+    shutil.rmtree(delta_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_batches
+
+
+def _recover_ivf_corpus(index_path: str) -> None:
+    """Restore the aside copy if a compaction crashed between its two
+    renames (deltas are only removed after the swap completes, so the
+    restored state is exactly pre-compaction)."""
+    import os
+
+    base, old = f"{index_path}/corpus", f"{index_path}/.corpus.old"
+    if not os.path.exists(base) and os.path.exists(old):
+        os.rename(old, base)
+
+
 def read_ivf_corpus(spark, index_path: str) -> DataFrame:
     """The index's full corpus: the base build plus every appended
     delta batch. Both layers carry ``cell`` as a partition column, so
     a cell-routed join prunes the scan on each layer."""
     import os
 
+    _recover_ivf_corpus(index_path)
     base = spark.read.parquet(f"{index_path}/corpus")
     delta_dir = f"{index_path}/delta"
     if os.path.exists(delta_dir):

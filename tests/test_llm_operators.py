@@ -256,6 +256,53 @@ def test_ivf_append_replay_is_idempotent_and_served(spark, tmp_path):
     assert wide == [2, 3, 4, 10, 11]
 
 
+def test_ivf_compact_folds_deltas_and_preserves_search(spark, tmp_path):
+    """Delta compaction: folding appended batches into the base
+    inverted lists must change layout only — every search result is
+    identical before and after, the delta dir is gone, a second run
+    is a no-op, and a simulated crash between the two renames
+    recovers to a servable index."""
+    import os
+
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        ivf_append_sink,
+    )
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+         (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, dim=2, path=path, n_cells=2, iters=1)
+    append = ivf_append_sink(path)
+    append(spark.createDataFrame(
+        [(10, [0.95, 0.05], 0)], "vec_id long, embedding array<float>, label int"
+    ), 0)
+    append(spark.createDataFrame(
+        [(11, [0.05, 0.95], 1)], "vec_id long, embedding array<float>, label int"
+    ), 1)
+    q = sim.query_vector(base, 1)
+
+    def search():
+        return sorted(
+            (r["vec_id"], r["cos"])
+            for r in sim.ivf_search(
+                spark, path, q, k=10, exclude_id=1, probes=2
+            ).collect()
+        )
+
+    before = search()
+    assert sim.ivf_compact(spark, path) == 2
+    assert not os.path.exists(f"{path}/delta")
+    assert search() == before
+    assert sim.ivf_compact(spark, path) == 0  # idempotent
+    # crash window: base renamed aside, replacement missing
+    os.rename(f"{path}/corpus", f"{path}/.corpus.old")
+    assert search() == before  # read path self-recovers
+    assert not os.path.exists(f"{path}/.corpus.old")
+
+
 def test_predict_lang_markers(spark):
     docs = _docs(
         spark,

@@ -87,10 +87,15 @@ def check_expectations(
     for i, spec in enumerate(expectations):
         name, metric, threshold, mode = _metric(df, spec)
         aggs.append(F.round(metric, 6).alias(f"__m_{i}"))
-        rows.append((i, name, threshold, mode, spec))
+        rows.append((i, name, threshold, mode))
     one = df.agg(*aggs)
-    parts = []
-    for i, name, threshold, mode, spec in rows:
+    # verdict columns computed on the single stats row, then
+    # unpivoted with stack() — a UNION of per-check selects would
+    # re-execute the aggregate (one source scan PER CHECK in the
+    # physical plan; Catalyst has no cross-branch agg reuse here),
+    # exactly the multi-pass this operator exists to avoid. Same
+    # barrier technique as profiling.table_profile.
+    for i, name, threshold, mode in rows:
         m = F.col(f"__m_{i}")
         if mode == "ge":
             ok = m >= threshold
@@ -98,18 +103,19 @@ def check_expectations(
             ok = m.between(mode[1], mode[2])
         else:
             ok = m <= threshold
-        parts.append(
-            one.select(
-                F.lit(name).alias("check"),
-                m.alias("metric"),
-                F.lit(float(threshold)).alias("threshold"),
-                ok.cast("int").alias("passed"),
-            )
+        one = one.withColumn(f"__p_{i}", ok.cast("int"))
+    stack = F.expr(
+        "stack({n}, {args}) AS (check, metric, threshold, passed)".format(
+            n=len(rows),
+            args=", ".join(
+                "'{name}', __m_{i}, CAST({th} AS DOUBLE), __p_{i}".format(
+                    name=name.replace("'", "\\'"), i=i, th=float(threshold)
+                )
+                for i, name, threshold, _ in rows
+            ),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
+    return one.select(stack)
 
 
 def check_foreign_key(

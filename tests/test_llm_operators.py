@@ -1091,11 +1091,13 @@ def test_expectations_detect_violations_in_one_scan(spark):
     assert got["accepted_values:cat"] == (0.75, 0)
     assert got["between:v"] == (1.0, 0)         # the -1.0
     assert got["row_count"] == (4.0, 1)
-    # the suite is ONE scan: exactly one Aggregate over the source
+    # the suite is ONE scan: a single source read feeding a single
+    # aggregate, unpivoted — never one scan per check
     plan = check_expectations(df, [("not_null", "id", 0.0),
-                                   ("unique", "id")])
+                                   ("unique", "id"),
+                                   ("between", "v", 0, 100)])
     phys = plan._jdf.queryExecution().executedPlan().toString()
-    assert phys.count("Scan ExistingRDD") <= 2  # reused agg, per-branch
+    assert phys.count("Scan ExistingRDD") == 1
 
     dim = spark.createDataFrame([(1,), (2,)], "k long")
     fk = check_foreign_key(df, "id", dim, "k").collect()[0]

@@ -476,25 +476,27 @@ def dau_realtime_endpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
     d = dedup_first_daily(ev, key="user_id", ts="ts", tiebreak="event_id")
     base = d.select("dt", "user_id", hr_col("ts", d).alias("hr"))
-    total = (
-        base.filter(F.col("dt") == _TD)
+    # ONE scan for all three legs: a union of three filtered
+    # aggregates re-executes the dedup window per branch (3 full
+    # scans at 100 TB); ROLLUP(dt, hr) emits the hour rows AND the
+    # per-day totals from a single aggregate, and the labels project
+    # out of the grouping shape.
+    rolled = (
+        base.filter(F.col("dt").isin(_TD, _YD))
+        .rollup("dt", "hr")
         .agg(F.count("*").cast("bigint").alias("ct"))
-        .select(F.lit("dauTotal").alias("metric"),
-                F.lit(None).cast("string").alias("hr"), "ct")
     )
-    td_hr = (
-        base.filter(F.col("dt") == _TD)
-        .groupBy("hr")
-        .agg(F.count("*").cast("bigint").alias("ct"))
-        .select(F.lit("dauTd").alias("metric"), "hr", "ct")
+    metric = (
+        F.when(F.col("hr").isNull() & (F.col("dt") == _TD), "dauTotal")
+        .when(F.col("dt") == _TD, "dauTd")
+        .when(F.col("hr").isNotNull() & (F.col("dt") == _YD), "dauYd")
     )
-    yd_hr = (
-        base.filter(F.col("dt") == _YD)
-        .groupBy("hr")
-        .agg(F.count("*").cast("bigint").alias("ct"))
-        .select(F.lit("dauYd").alias("metric"), "hr", "ct")
+    return (
+        rolled.filter(F.col("dt").isNotNull())  # drop the grand total
+        .withColumn("metric", metric)
+        .filter(F.col("metric").isNotNull())  # drop yd's day total
+        .select("metric", "hr", "ct")
     )
-    return total.unionAll(td_hr).unionAll(yd_hr)
 
 
 _AS_OF = "2024-06-30"

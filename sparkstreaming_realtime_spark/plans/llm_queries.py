@@ -524,15 +524,24 @@ def emb_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the persisted IVF index vs the brute-force oracle
     at probes ∈ {1, 2, 4} — the curve an ANN deployment tunes nprobe
     with. Each point is |IVF∩BF|/10; all three probes reuse the same
-    persisted index and the brute-force baseline is the same
-    TakeOrdered scan as emb_cosine_topk — one plan, no collect."""
+    persisted index. The brute-force baseline is MATERIALIZED before
+    the three per-probe branches consume it: it is the one
+    full-corpus scan in the plan, and as a plain union subtree it
+    would re-execute once per probe (3 corpus scans at 100 TB; the
+    probe branches themselves stay cheap — each is a cell-pruned
+    read). The knob's recall behavior itself is pinned on clustered
+    data by test_ivf_recall_strictly_improves_with_probes."""
     from functools import reduce
+
+    from ..materialize import materialize
 
     emb = _t(spark, sf_dir, "embeddings")
     q = sim.query_vector(emb, _QUERY_VEC_ID)
     idx = _ivf_index_path(spark, sf_dir)
-    bf = sim.cosine_topk(emb, q, k=10, exclude_id=_QUERY_VEC_ID).select(
-        "vec_id"
+    bf = materialize(
+        sim.cosine_topk(emb, q, k=10, exclude_id=_QUERY_VEC_ID).select(
+            "vec_id"
+        )
     )
     parts = []
     for p in (1, 2, 4):

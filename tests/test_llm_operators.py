@@ -256,6 +256,39 @@ def test_ivf_append_replay_is_idempotent_and_served(spark, tmp_path):
     assert wide == [2, 3, 4, 10, 11]
 
 
+def test_ivf_append_serving_prunes_both_layers(spark, tmp_path):
+    """Plan pin for the append-serving path: after a delta append the
+    search reads TWO corpus layers (base + delta), and BOTH scans
+    must carry dynamic partition pruning on the routed cells — an
+    unpruned delta would silently re-introduce the full-scan cost
+    the inverted lists exist to avoid."""
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        ivf_append_sink,
+    )
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0], 0) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, dim=2, path=path, n_cells=2, iters=1)
+    ivf_append_sink(path)(
+        spark.createDataFrame(
+            [(100, [1.0, 1.0], 0)],
+            "vec_id long, embedding array<float>, label int",
+        ),
+        0,
+    )
+    q = sim.query_vector(base, 1)
+    plan = (
+        sim.ivf_search(spark, path, q, k=5, exclude_id=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one pruned scan per corpus layer (each FileScan's partition
+    # filter references the dynamicpruning subquery)
+    assert plan.count("dynamicpruning") >= 2
+
+
 def test_ivf_compact_folds_deltas_and_preserves_search(spark, tmp_path):
     """Delta compaction: folding appended batches into the base
     inverted lists must change layout only — every search result is

@@ -575,6 +575,71 @@ def rh_near_dup_pairs(
     )
 
 
+def truncated_overlap_curve(
+    emb: DataFrame,
+    query_id: int,
+    dims_list: tuple[int, ...] = (8, 16, 32),
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka-style dimension truncation, with the quality trade
+    MEASURED: retrieval over only the first ``d`` embedding
+    dimensions (the MRL deployment move — Kusupati et al. 2022,
+    "Matryoshka Representation Learning" — cutting index bytes and
+    dot-product cost d/D) scored
+    as top-``k`` overlap against full-dimension search. The
+    embedding-space analog of ``quantize_int8``'s roundtrip gate:
+    one decides bytes-per-dim, this decides number-of-dims.
+
+    Plan shape: every per-dimension cosine computes in ONE corpus
+    scan (a single projection emits cos_full and every truncated
+    cos — slicing a prefix is free relative to the fold), the scored
+    narrow frame is materialized, and each top-k is a TakeOrdered
+    over it — per-ordering cost is k·partitions rows, never a
+    re-scan. Returns (dims, overlap) rows, overlap ∈ [0, 1]."""
+    from functools import reduce
+
+    from ..functions.vectors import cosine_similarity
+    from ..materialize import materialize
+
+    query = query_vector(emb, query_id, id_col)
+    cols = [
+        F.col(id_col),
+        F.round(cosine_similarity("embedding", "__qv"), 6).alias("cos_full"),
+    ]
+    for d in dims_list:
+        cols.append(
+            F.round(
+                cosine_similarity(
+                    F.slice(F.col("embedding"), 1, d),
+                    F.slice(F.col("__qv"), 1, d),
+                ),
+                6,
+            ).alias(f"cos_{d}")
+        )
+    scored = materialize(
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(query))
+        .select(*cols)
+    )
+    full = scored.orderBy(F.desc("cos_full"), F.asc(id_col)).limit(k).select(
+        id_col
+    )
+    parts = []
+    for d in dims_list:
+        top_d = (
+            scored.orderBy(F.desc(f"cos_{d}"), F.asc(id_col))
+            .limit(k)
+            .select(id_col)
+        )
+        parts.append(
+            top_d.join(full, id_col)
+            .agg(F.round(F.count("*") / float(k), 6).alias("overlap"))
+            .select(F.lit(d).alias("dims"), "overlap")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts).orderBy("dims")
+
+
 def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Symmetric per-vector int8 quantization — the standard ANN
     memory/bandwidth move (4 bytes → 1 byte per dim; FAISS's SQ8

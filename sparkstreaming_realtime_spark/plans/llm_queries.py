@@ -390,6 +390,60 @@ def emb_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRUNC_DIMS = (8, 16, 32)
+
+
+def _trunc_overlap_oracle() -> str:
+    ctes = ["""scored AS (
+  SELECT e.vec_id, e.embedding, q.qv FROM embeddings e,
+       (SELECT embedding AS qv FROM embeddings
+        WHERE vec_id = {qid}) q
+  WHERE e.vec_id <> {qid})""".format(qid=_QUERY_VEC_ID)]
+    ctes.append(
+        f"""full10 AS (
+  SELECT vec_id FROM scored
+  ORDER BY round({_cos_sql("embedding", "qv")}, 6) DESC, vec_id
+  LIMIT 10)"""
+    )
+    unions = []
+    for d in _TRUNC_DIMS:
+        ctes.append(
+            f"""t{d} AS (
+  SELECT vec_id FROM scored
+  ORDER BY round({_cos_sql(f"embedding[1:{d}]", f"qv[1:{d}]")}, 6)
+           DESC, vec_id
+  LIMIT 10)"""
+        )
+        unions.append(
+            f"SELECT {d} AS dims, round((SELECT count(*) FROM t{d} "
+            f"JOIN full10 USING (vec_id)) / 10.0, 6) AS overlap"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT dims, overlap FROM ("
+        + "\nUNION ALL\n".join(unions) + ") ORDER BY dims"
+    )
+
+
+@register(
+    "emb_truncated_overlap",
+    oracle=_trunc_overlap_oracle(),
+    tags=("LLM", "similarity"),
+)
+def emb_truncated_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval quality
+    (operators/similarity.py:truncated_overlap_curve): top-10
+    overlap of first-d-dimensions search vs full 64-dim search at
+    d ∈ {8, 16, 32} — the dims-per-vector knob measured the same way
+    the recall curve measures nprobe. One corpus scan computes every
+    per-dimension cosine; the oracle replays the slices with DuckDB
+    list slicing."""
+    return sim.truncated_overlap_curve(
+        _t(spark, sf_dir, "embeddings"),
+        query_id=_QUERY_VEC_ID,
+        dims_list=_TRUNC_DIMS,
+    )
+
+
 _IVF_APPEND_SRC = "(SELECT * FROM embeddings WHERE vec_id % 5 <> 0)"
 
 

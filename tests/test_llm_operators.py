@@ -175,6 +175,46 @@ def test_ivf_recall_strictly_improves_with_probes_on_clustered_data(
     assert recalls == [0.3, 0.6, 0.9], recalls
 
 
+def test_truncated_overlap_improves_with_dims_on_clustered_data(spark):
+    """The dims knob must demonstrably trade cost for quality (the
+    registry query checks engine/oracle parity on near-uniform
+    vectors, where the curve is noise). On the clustered fixture —
+    cluster centers on basis dims 0,2,...,14, query a decreasing
+    blend — truncating to d dims can only separate clusters whose
+    center dim < d, so top-10 overlap vs full search must increase
+    with d and reach 1.0 at full width."""
+    import hashlib
+
+    DIM, C, PER = 16, 8, 3
+
+    def noise(i, j, scale=0.05):
+        h = int(hashlib.md5(f"n:{i}:{j}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0 * scale
+
+    rows = []
+    for vid in range(C * PER):
+        c = vid // PER
+        v = [noise(vid, j) for j in range(DIM)]
+        v[2 * c] += 1.0
+        rows.append((vid, v, c))
+    q_vec = [0.0] * DIM
+    for c in range(C):
+        q_vec[2 * c] = 1.0 / (c + 1.0)
+    rows.append((1000, q_vec, 99))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["dims"]: r["overlap"]
+        for r in sim.truncated_overlap_curve(
+            emb, query_id=1000, dims_list=(2, 4, 12, 16), k=10
+        ).collect()
+    }
+    # pinned deterministic curve: non-decreasing, strictly better
+    # than the narrowest cut, exact at full width
+    assert got == {2: 0.5, 4: 0.6, 12: 0.8, 16: 1.0}, got
+
+
 def test_kmeans_training_is_deterministic(spark):
     emb = spark.createDataFrame(
         [(i, [float(i % 3), float(i % 5)], 0) for i in range(30)],

@@ -68,7 +68,7 @@ _PRIORITY = [
     "doc_exact_dedup", "doc_minhash_near_dup",
     "corpus_curation_funnel_v2", "emb_semantic_dedup",
     "emb_semantic_dedup_auto", "emb_knn_join",
-    "emb_ivf_append_topk", "doc_quality_adaptive",
+    "emb_ivf_append_topk", "emb_truncated_overlap",
     "doc_lm_perplexity", "doc_pii_scrub",
     # warehouse sentinels (clustered_point_lookup + events_table_profile
     # re-verify this round's derived-key and empty-frame edits)
@@ -85,6 +85,7 @@ _PRIORITY = [
     # session by scripts/check_oracle.py (full registry) and pytest
     "min_cost_supplier", "doc_incremental_near_dup", "doc_binary_meta",
     "emb_ivf_topk", "doc_importance_resample", "cdc_scd2_history",
+    "doc_quality_adaptive",
     "doc_heavy_hitters_sketch", "cdc_scd2_asof_enrich",
     "value_percentiles",
     "orders_events_range_join", "product_profit_by_nation_year",

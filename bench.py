@@ -88,6 +88,7 @@ HEADLINE = [
     "warehouse_compaction_roundtrip",
     "events_quality_expectations",
     "doc_audio_windows",
+    "emb_truncated_overlap",
 ]
 
 

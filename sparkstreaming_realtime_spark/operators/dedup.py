@@ -235,12 +235,33 @@ def near_dup_pairs(
     cands = lsh_candidate_pairs(
         lsh_buckets(minhash_signature(sh), id_col), id_col, max_bucket
     )
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("__sa"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("__sb"))
+    # set sizes hoisted into the per-side projections: the shingle
+    # arrays are distinct by construction, so |a ∪ b| = |a|+|b|-|a ∩ b|
+    # and the per-pair work is ONE array_intersect instead of
+    # intersect + union (array_union also materializes the combined
+    # array per pair — pure allocation). Integer-derived either way,
+    # so the 6dp Jaccard — and the oracle hash — are bit-identical.
+    sa = sh.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("shingles").alias("__sa"),
+        F.size("shingles").alias("__na"),
+    )
+    sb = sh.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shingles").alias("__sb"),
+        F.size("shingles").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jaccard("__sa", "__sb"), 6))
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter.cast("double")
+                / (F.col("__na") + F.col("__nb") - inter), 6
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -679,14 +700,29 @@ def near_dup_join(
         .select("new_id", "corpus_id")
         .distinct()
     )
-    sa = sh_new.select(F.col(id_col).alias("new_id"), F.col("shingles").alias("__sa"))
-    sb = sh_old.select(
-        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("__sb")
+    # same hoisted-size verify as near_dup_pairs: distinct shingle
+    # arrays make |a ∪ b| = |a|+|b|-|a ∩ b|, one intersect per pair
+    sa = sh_new.select(
+        F.col(id_col).alias("new_id"),
+        F.col("shingles").alias("__sa"),
+        F.size("shingles").alias("__na"),
     )
+    sb = sh_old.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("shingles").alias("__sb"),
+        F.size("shingles").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
     return (
         cands.join(sa, "new_id")
         .join(sb, "corpus_id")
-        .withColumn("jaccard", F.round(jaccard("__sa", "__sb"), 6))
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter.cast("double")
+                / (F.col("__na") + F.col("__nb") - inter), 6
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )

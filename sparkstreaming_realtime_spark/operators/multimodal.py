@@ -134,6 +134,65 @@ def frame_sample(
     return df.mapInPandas(sample, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.LongType()),
+        T.StructField("target_w", T.LongType()),
+        T.StructField("target_h", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    bin_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Image resize plumbing. A real implementation is::
+
+        img = PIL.Image.open(io.BytesIO(payload))
+        out = img.resize((target_w, target_h)).tobytes()
+
+    — no imaging libs in this environment, so the STAND-IN produces a
+    deterministic ``target_w·target_h``-byte payload by
+    nearest-neighbor byte sampling (downsampling long payloads,
+    stretching short ones — the 1-D analog of NN image resize),
+    keeping everything the Spark side owns real: Arrow batches in,
+    binary column out with a declared schema, size contract (every
+    output payload is exactly the target size — what a training
+    loader requires), and the batch-size/memory notes at module top
+    apply unchanged."""
+    import pandas as pd
+
+    n_out = target_w * target_h
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "orig_bytes": [], "target_w": [],
+                "target_h": [], "resized": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if len(payload) == 0:
+                    continue
+                data = bytes(
+                    payload[(i * len(payload) // n_out) % len(payload)]
+                    for i in range(n_out)
+                )
+                out["doc_id"].append(doc_id)
+                out["orig_bytes"].append(len(payload))
+                out["target_w"].append(target_w)
+                out["target_h"].append(target_h)
+                out["resized"].append(data)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(resize, RESIZE_SCHEMA)
+
+
 AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

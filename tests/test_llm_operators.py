@@ -1097,6 +1097,34 @@ def test_remove_dup_chunks_cuts_all_but_first_and_reassembles(spark):
     assert out[3]["n_removed"] == 0
 
 
+def test_resize_images_size_contract_and_determinism(spark):
+    """Resize plumbing: every output payload is exactly the target
+    byte size regardless of input length (the loader contract) —
+    long payloads downsample, short ones stretch (nearest-neighbor)
+    — empty payloads yield no row, and the stand-in is
+    deterministic."""
+    from sparkstreaming_realtime_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(200))), (2, b"ab"), (3, b"")],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in
+            resize_images(df, target_w=4, target_h=4).collect()}
+    assert set(rows) == {1, 2}  # empty payload dropped
+    assert all(len(r["resized"]) == 16 for r in rows.values())
+    assert rows[1]["orig_bytes"] == 200
+    # even-stride sampling of a 200-byte ramp: bytes 0,12,25,...
+    assert rows[1]["resized"][0] == 0 and rows[1]["resized"][8] == 100
+    # short payloads stretch nearest-neighbor: first half 'a', then 'b'
+    assert rows[2]["resized"] == b"a" * 8 + b"b" * 8
+    again = {r["doc_id"]: r["resized"] for r in
+             resize_images(df, target_w=4, target_h=4).collect()}
+    assert again == {k: r["resized"] for k, r in rows.items()}
+
+
 def test_audio_windows_computes_real_pcm_features(spark):
     """PCM16 windowing is REAL decode (np.frombuffer), so the
     features are checked against exact hand-computed values: a

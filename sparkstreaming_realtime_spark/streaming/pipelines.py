@@ -356,3 +356,30 @@ def corpus_dedup_sink(corpus_path: str, rejected_path: str, threshold: float = 0
             batch_df.unpersist()
 
     return write
+
+
+def with_batch_metrics(
+    df: DataFrame,
+    name: str = "batch_metrics",
+    extra: dict[str, "F.Column"] | None = None,
+):
+    """Per-micro-batch observability via ``Dataset.observe`` — the
+    monitoring surface the reference lacks entirely (its apps log
+    nothing per batch; an operator watches Redis key counts by hand).
+
+    ``observe`` attaches ACCUMULATOR-backed aggregates to the stream:
+    metrics ride with the batch execution itself (zero extra scans,
+    zero extra jobs) and surface in every ``StreamingQueryProgress``
+    under ``observedMetrics[name]`` — exactly what a production
+    deployment exports to its metrics system to alert on stalled
+    sources, null floods, or event-time lag. Defaults: row count,
+    null-key-free count, min/max event time when the frame has
+    ``event_time``. Pass ``extra`` for pipeline-specific aggregates
+    (e.g. quarantine counts)."""
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if "event_time" in df.columns:
+        metrics.append(F.min("event_time").alias("min_event_time"))
+        metrics.append(F.max("event_time").alias("max_event_time"))
+    for alias, col in (extra or {}).items():
+        metrics.append(col.alias(alias))
+    return df.observe(name, *metrics)

@@ -653,3 +653,54 @@ def test_count_min_sink_merges_batches_and_replays_idempotently(
     replayed = {(r["row"], r["col"]): r["c"]
                 for r in read_count_min(spark, path).collect()}
     assert replayed == oneshot
+
+
+def test_observe_metrics_surface_per_batch(spark, tmp_path):
+    """with_batch_metrics: every micro-batch's progress must carry
+    the observed row count and event-time bounds — accumulator-backed,
+    so no extra scan runs — and the counts must equal what the sink
+    actually received."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.streaming.pipelines import (
+        with_batch_metrics,
+    )
+
+    src = str(tmp_path / "src")
+    _write_jsonl(f"{src}/b1.json", seq=1, rows=[
+        {"mid": "m1", "last_page_id": None, "page_id": "home",
+         "event_time": "2024-01-01 08:00:00"},
+        {"mid": "m2", "last_page_id": None, "page_id": "home",
+         "event_time": "2024-01-01 09:00:00"},
+    ])
+    _write_jsonl(f"{src}/b2.json", seq=2, rows=[
+        {"mid": "m3", "last_page_id": None, "page_id": "home",
+         "event_time": "2024-01-02 07:00:00"},
+    ])
+    stream = with_batch_metrics(
+        file_stream(spark, src, PAGE_SCHEMA, max_files_per_trigger=1),
+        extra={"n_entries": F.sum(
+            F.col("last_page_id").isNull().cast("bigint"))},
+    )
+    seen: list[dict] = []
+
+    def sink(batch_df, batch_id):
+        batch_df.count()
+
+    q = run_available_now(stream, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    for p in q.recentProgress:
+        om = p.observedMetrics.get("batch_metrics")
+        if om is not None and om["n_rows"]:
+            seen.append({
+                "n": om["n_rows"],
+                "lo": str(om["min_event_time"]),
+                "hi": str(om["max_event_time"]),
+                "entries": om["n_entries"],
+            })
+    by_n = {d["n"]: d for d in seen}
+    assert set(by_n) == {2, 1}
+    assert by_n[2]["lo"].startswith("2024-01-01 08:00")
+    assert by_n[2]["hi"].startswith("2024-01-01 09:00")
+    assert by_n[2]["entries"] == 2
+    assert by_n[1]["lo"].startswith("2024-01-02 07:00")

@@ -25,17 +25,31 @@ from .pipelines import (
     run_processing_time,
     streaming_dau_dedup,
     streaming_order_wide,
+    with_batch_metrics,
 )
-from .sinks import idempotent_parquet_sink, kafka_sink_options
-from .sources import file_stream, kafka_stream_options
+from .sinks import (
+    dim_upsert_sink,
+    idempotent_parquet_sink,
+    ivf_append_sink,
+    kafka_sink_options,
+    quality_gate_sink,
+    scd2_sink,
+)
+from .sources import file_stream, kafka_stream, kafka_stream_options
 
 __all__ = [
     "streaming_dau_dedup",
     "streaming_order_wide",
+    "with_batch_metrics",
     "run_available_now",
     "run_processing_time",
     "idempotent_parquet_sink",
+    "dim_upsert_sink",
+    "scd2_sink",
+    "ivf_append_sink",
+    "quality_gate_sink",
     "kafka_sink_options",
     "file_stream",
+    "kafka_stream",
     "kafka_stream_options",
 ]

@@ -12,6 +12,7 @@ from .text import (
     normalize_text,
     tokenize,
 )
+from .money import money_sum, oracle_money_sum_sql
 from .skew import salted_join
 from .vectors import cosine_similarity, dot, l2_norm
 
@@ -23,6 +24,8 @@ __all__ = [
     "ts_to_dt_hr",
     "hash60",
     "oracle_hash60_sql",
+    "money_sum",
+    "oracle_money_sum_sql",
     "match_all_terms",
     "ngram_shingles",
     "normalize_text",

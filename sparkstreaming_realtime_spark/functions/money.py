@@ -46,8 +46,17 @@ def money_sum(expr: Column, decimals: int = 4, wide: bool = False) -> Column:
     if unit == 1:
         signed = ths
     else:
-        mag = F.floor(
-            F.abs(ths + F.when(ths >= 0, half).otherwise(-half)) / unit
+        # Integral `div`, never `floor(x / unit)`: BIGINT/int promotes
+        # to double, and past 2^53 a floored double quotient can cross
+        # an integer boundary the exact ``//`` would not — breaking
+        # bit-for-bit oracle parity inside the int64 headroom. `div`
+        # is exact on both BIGINT and DECIMAL operands (returns
+        # BIGINT, ample: cents beyond int64 are beyond the DOUBLE
+        # output's meaning anyway).
+        mag = F.call_function(
+            "div",
+            F.abs(ths + F.when(ths >= 0, half).otherwise(-half)),
+            F.lit(unit),
         )
         signed = F.when(ths >= 0, mag).otherwise(-mag)
     return signed.cast("double") / 100.0

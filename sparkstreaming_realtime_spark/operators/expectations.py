@@ -37,10 +37,19 @@ def _metric(df: DataFrame, spec: tuple) -> tuple[str, Column, float, Column]:
     applied to the metric alias)."""
     kind = spec[0]
     n = F.count(F.lit(1)).cast("double")
+    # Zero-row inputs (a routine empty micro-batch): sum() over no
+    # rows is NULL and NULL/0 stays NULL, which would make `passed`
+    # NULL — an undefined verdict that quarantines empty triggers.
+    # Ratio metrics therefore coalesce to their vacuous value (no
+    # violations seen / full coverage); only row_count keeps teeth on
+    # empty input, which is exactly the check that should.
     if kind == "not_null":
         _, col, max_frac = spec
         name = f"not_null:{col}"
-        metric = F.sum(df[col].isNull().cast("bigint")).cast("double") / n
+        metric = F.coalesce(
+            F.sum(df[col].isNull().cast("bigint")).cast("double") / n,
+            F.lit(0.0),
+        )
         return name, metric, float(max_frac), None
     if kind == "unique":
         _, col = spec
@@ -53,18 +62,22 @@ def _metric(df: DataFrame, spec: tuple) -> tuple[str, Column, float, Column]:
     if kind == "accepted_values":
         _, col, values, min_frac = spec
         name = f"accepted_values:{col}"
-        metric = (
+        metric = F.coalesce(
             F.sum(df[col].isin(list(values)).cast("bigint")).cast("double")
-            / n
+            / n,
+            F.lit(1.0),  # vacuous full coverage on an empty batch
         )
         return name, metric, float(min_frac), "ge"
     if kind == "between":
         _, col, lo, hi = spec
         name = f"between:{col}"
         bad = ~df[col].between(lo, hi)
-        metric = F.sum(
-            F.when(df[col].isNotNull() & bad, 1).otherwise(0)
-        ).cast("double")
+        metric = F.coalesce(
+            F.sum(
+                F.when(df[col].isNotNull() & bad, 1).otherwise(0)
+            ).cast("double"),
+            F.lit(0.0),
+        )
         return name, metric, 0.0, None
     if kind == "row_count":
         _, lo, hi = spec

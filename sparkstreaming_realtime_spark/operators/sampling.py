@@ -174,9 +174,17 @@ def exact_k_sample(
             )
             .alias("__cut")
         )
+        # eqNullSafe, not an equi-join on the column name: a NULL
+        # stratum is a real window partition (up to k rows of it come
+        # back), so the pre-filter must not silently drop those rows.
         base = (
             df.join(
-                F.broadcast(counts.select(strata_col, cutoff)), strata_col
+                F.broadcast(
+                    counts.select(
+                        F.col(strata_col).alias("__strat"), cutoff
+                    )
+                ),
+                F.col(strata_col).eqNullSafe(F.col("__strat")),
             )
             .filter(rank_key < F.col("__cut"))
             .select(*df.columns)  # restore caller column order

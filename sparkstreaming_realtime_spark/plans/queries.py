@@ -1061,6 +1061,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (1 - F.col("l_discount"))
                 * (1 + F.col("l_tax")),
                 6,
+                # decimals=6 means ~1e11 units/row: a bigint
+                # accumulator crosses int64 near 1e7-1e8 rows per
+                # group (SF>=10) and would fail under ANSI — the
+                # charge sum alone pays the decimal accumulator.
+                wide=True,
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),

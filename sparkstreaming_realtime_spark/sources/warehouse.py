@@ -142,6 +142,7 @@ def compact_partitions(
     partition_col: str = "dt",
     target_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
+    max_workers: int = 8,
 ) -> dict[str, tuple[int, int]]:
     """Small-file compaction — the maintenance job every streaming
     warehouse needs: micro-batch sinks write a few files per trigger,
@@ -157,14 +158,19 @@ def compact_partitions(
     being read, and every crash point leaves a complete file set for
     the day on disk, so a crashed compaction simply reruns.
     Untouched partitions are never rewritten (compaction must not
-    churn cold data). Returns ``{partition_value:
-    (files_before, files_after)}`` for the partitions it rewrote."""
+    churn cold data). Hot-partition rewrites are submitted from a
+    small driver thread pool (the Spark scheduler is thread-safe), so
+    a day with hundreds of hot partitions runs in the wall-clock of
+    its LARGEST rewrite, not the partition count. Returns
+    ``{partition_value: (files_before, files_after)}`` for the
+    partitions it rewrote."""
+    from concurrent.futures import ThreadPoolExecutor
+
     jvm = spark._jvm
     Path = jvm.org.apache.hadoop.fs.Path
     root = Path(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     prefix = f"{partition_col}="
-    done: dict[str, tuple[int, int]] = {}
 
     def _parquet_files(p):
         return [
@@ -173,35 +179,53 @@ def compact_partitions(
             if f.getPath().getName().endswith(".parquet")
         ]
 
+    # Crash recovery FIRST, from the aside dirs themselves: a run
+    # that died between rename(partition → .old) and
+    # rename(.next → partition) left NO visible partition dir, so a
+    # loop over visible `dt=` names can never see the casualty — the
+    # hidden `.dt=X.old` entry is the only evidence. Rename it back
+    # when its visible dir is missing; when the visible dir exists
+    # the swap completed and the aside is stale — drop it.
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (name.startswith("." + prefix) and name.endswith(".old")):
+            continue
+        visible = Path(root, name[1:-len(".old")])
+        if not fs.exists(visible):
+            fs.rename(st.getPath(), visible)
+        else:
+            fs.delete(st.getPath(), True)
+
+    todo: list[tuple[str, object, int, int]] = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if not name.startswith(prefix):
             continue
-        # staging/aside names are dot-prefixed: Spark's file index
-        # ignores hidden dirs, so readers never parse them as
-        # partition values mid-swap (or after a crash)
-        # crash recovery: a previous run died between renames
-        old_dir = Path(root, "." + name + ".old")
-        if not fs.exists(st.getPath()) and fs.exists(old_dir):
-            fs.rename(old_dir, st.getPath())
         files = _parquet_files(st.getPath())
         total = sum(f.getLen() for f in files)
         want = max(1, -(-total // target_bytes))  # ceil
         if len(files) < min_files or len(files) <= want:
             continue
-        part = spark.read.parquet(str(st.getPath()))
+        todo.append((name, st.getPath(), want, len(files)))
+
+    def _rewrite(job):
+        # staging/aside names are dot-prefixed: Spark's file index
+        # ignores hidden dirs, so readers never parse them as
+        # partition values mid-swap (or after a crash)
+        name, p, want, n_before = job
+        part = spark.read.parquet(str(p))
         nxt = Path(root, "." + name + ".next")
+        old_dir = Path(root, "." + name + ".old")
         part.repartition(want).write.mode("overwrite").parquet(str(nxt))
-        if fs.exists(old_dir):
-            fs.delete(old_dir, True)
-        fs.rename(st.getPath(), old_dir)
-        fs.rename(nxt, st.getPath())
+        fs.rename(p, old_dir)
+        fs.rename(nxt, p)
         fs.delete(old_dir, True)
-        done[name[len(prefix):]] = (
-            len(files),
-            len(_parquet_files(st.getPath())),
-        )
-    return done
+        return name[len(prefix):], (n_before, len(_parquet_files(p)))
+
+    if not todo:
+        return {}
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(todo))) as ex:
+        return dict(ex.map(_rewrite, todo))
 
 
 #: z-order resolution: bits per dimension. 16 bits ⇒ 65k distinct

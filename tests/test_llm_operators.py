@@ -1322,7 +1322,16 @@ def test_exact_k_prefilter_matches_unfiltered(spark):
     )
 
     df = spark.createDataFrame(
-        [(i, "hot" if i % 10 else "cold") for i in range(5000)],
+        [
+            (
+                i,
+                # NULL stratum rows: its own window partition, must
+                # survive the eqNullSafe pre-filter join (5000 of
+                # them, so the hash cutoff genuinely engages there).
+                None if i % 3 == 0 else ("hot" if i % 10 else "cold"),
+            )
+            for i in range(15000)
+        ],
         "doc_id long, source string",
     )
     plain = sorted(
@@ -1334,6 +1343,7 @@ def test_exact_k_prefilter_matches_unfiltered(spark):
     )
     assert plain == fast
     assert len([t for t in fast if t[1] == "hot"]) == 9
+    assert len([t for t in fast if t[1] is None]) == 9
 
 
 def test_exact_k_prefilter_precedes_window(spark):

@@ -622,6 +622,39 @@ def test_quality_gate_sink_routes_batches_by_verdict(spark, tmp_path):
     ) == [3, 3]
 
 
+def test_quality_gate_sink_accepts_empty_batch_with_defined_verdicts(
+    spark, tmp_path
+):
+    """A routine EMPTY micro-batch must not be quarantined: ratio
+    expectations coalesce their 0/0 to the vacuous value (no
+    violations / full coverage), so the verdict rows are defined
+    (never NULL) and the batch routes to accepted — while a
+    row_count floor still fails an empty batch, which is the one
+    check that should."""
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        quality_gate_sink,
+    )
+
+    gate = str(tmp_path / "gate")
+    suite = [
+        ("not_null", "id", 0.0),
+        ("accepted_values", "cat", ("a", "b"), 0.9),
+        ("between", "v", 0, 100),
+        ("unique", "id"),
+    ]
+    empty = spark.createDataFrame([], "id long, cat string, v double")
+    quality_gate_sink(gate, suite)(empty, 0)
+    verdicts = spark.read.parquet(f"{gate}/verdicts/batch=0").collect()
+    assert len(verdicts) == 4
+    assert all(r["passed"] == 1 for r in verdicts)  # defined, not NULL
+    assert spark.read.parquet(f"{gate}/accepted/batch=0").count() == 0
+    assert not os.path.exists(f"{gate}/quarantine")
+    # a row-count floor is the check that SHOULD fail empty input
+    gate2 = str(tmp_path / "gate2")
+    quality_gate_sink(gate2, [("row_count", 1, 10)])(empty, 0)
+    assert os.path.exists(f"{gate2}/quarantine/batch=0")
+
+
 def test_count_min_sink_merges_batches_and_replays_idempotently(
     spark, tmp_path
 ):

@@ -256,3 +256,54 @@ def test_compact_partitions_binpacks_hot_days_only(spark, tmp_path):
     assert leftovers == []
     # idempotent: a second run finds nothing to do
     assert compact_partitions(spark, path, target_bytes=50 * 1024 * 1024) == {}
+
+
+def test_compact_survives_crash_between_renames(spark, tmp_path):
+    """The rename-aside protocol's worst crash window: the run died
+    AFTER rename(partition → .old) but BEFORE rename(.next →
+    partition) — the visible partition dir is gone, only the hidden
+    aside holds the day's data. The recovery pre-scan (which iterates
+    asides, not visible names — a visible-name loop can never see
+    this state) must restore the partition before deciding work, so a
+    rerun both heals and compacts. The post-swap window (stale .old
+    beside a swapped-in partition) must be cleaned without data
+    loss."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.sources.warehouse import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "wh")
+    day = spark.range(0, 4000).select(
+        F.lit("2024-01-01").alias("dt"), F.col("id")
+    )
+    day.repartition(16).write.partitionBy("dt").parquet(path)
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    # simulate the mid-swap crash: .next staged, partition renamed
+    # aside, swap-in never happened
+    spark.read.parquet(f"{path}/dt=2024-01-01").repartition(1).write.parquet(
+        f"{path}/.dt=2024-01-01.next"
+    )
+    os.rename(f"{path}/dt=2024-01-01", f"{path}/.dt=2024-01-01.old")
+    assert not os.path.exists(f"{path}/dt=2024-01-01")
+
+    done = compact_partitions(spark, path, target_bytes=50 * 1024 * 1024)
+    assert set(done) == {"2024-01-01"}
+    after = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert not any(
+        ".next" in d or ".old" in d for d in os.listdir(path)
+    )
+
+    # post-swap crash window: stale .old beside the live partition
+    os.makedirs(f"{path}/.dt=2024-01-01.old")
+    done2 = compact_partitions(spark, path, target_bytes=50 * 1024 * 1024)
+    assert done2 == {}  # already compact — not churned
+    assert not os.path.exists(f"{path}/.dt=2024-01-01.old")
+    assert sorted(
+        r["id"] for r in spark.read.parquet(path).collect()
+    ) == before

@@ -275,76 +275,174 @@ def ivf_append(
     )
 
 
+#: Name of the folded-batch manifest a compaction stages INSIDE its
+#: new corpus: underscore-prefixed, so Spark's file index ignores it
+#: (like ``_SUCCESS``) while every reader/rerun can see exactly which
+#: delta batches the corpus already contains.
+IVF_FOLDED_MARKER = "_FOLDED"
+
+
+def _ivf_fs(spark, index_path: str):
+    """(jvm, FileSystem, Path-class) for the index location — the
+    Hadoop FS API, never os/shutil: the only home of a 100 TB index
+    is HDFS/S3, where local-file calls silently no-op. Local paths
+    resolve to the local FS through the same interface."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(index_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, Path
+
+
+def _read_folded_ids(jvm, fs, Path, corpus: str) -> list[str]:
+    """Batch-dir names recorded in the corpus's folded manifest
+    (empty when no manifest — the steady state)."""
+    marker = Path(f"{corpus}/{IVF_FOLDED_MARKER}")
+    if not fs.exists(marker):
+        return []
+    stream = fs.open(marker)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return [ln for ln in text.splitlines() if ln.strip()]
+
+
+def _delta_batches(fs, Path, delta_dir: str) -> list[str]:
+    if not fs.exists(Path(delta_dir)):
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(Path(delta_dir))
+        if st.getPath().getName().startswith("batch=")
+    )
+
+
+def _sweep_empty_delta_dir(fs, Path, delta_dir: str) -> None:
+    """Drop ``delta/`` once its last batch is folded — with a
+    non-recursive delete, so a batch appended concurrently makes the
+    call fail harmlessly instead of destroying new data."""
+    p = Path(delta_dir)
+    try:
+        if fs.exists(p) and len(fs.listStatus(p)) == 0:
+            fs.delete(p, False)
+    except Exception:
+        pass  # a concurrent append landed — leave it for next cycle
+
+
 def ivf_compact(spark, index_path: str) -> int:
     """Fold accumulated delta batches into the base inverted lists —
     the maintenance companion of :func:`ivf_append`: every appended
     batch adds a delta layer the search must union, so after N
     batches each probe opens N+1 file sets per cell. Compaction
     rewrites base+deltas as one ``partitionBy(cell)`` corpus (same
-    layout the original build produced) via the rename-aside swap
-    (stage ``.corpus.next``; base → ``.corpus.old``; into place;
-    drop), then removes the delta dir — a crash at any point leaves
-    a complete, servable index, and a rerun finishes the job.
-    Returns the number of delta batches folded (0 = nothing to do).
-    Centroids are untouched: re-training is the separate offline
-    job it always was."""
-    import os
-    import shutil
+    layout the original build produced) and swaps it in with the
+    rename-aside protocol, all through the Hadoop FileSystem API (so
+    it runs where a 100 TB index actually lives — HDFS/S3 — not just
+    a local disk).
 
-    _recover_ivf_corpus(index_path)
+    Crash safety is manifest-based: the staged corpus carries a
+    ``_FOLDED`` file naming exactly the delta batches it absorbed
+    (written AFTER the stage completes — its presence certifies a
+    complete stage). After the swap, precisely those batch dirs are
+    deleted; a crash in between leaves a corpus whose manifest tells
+    both :func:`read_ivf_corpus` and the recovery pre-scan which
+    deltas are already inside, so the rows are never double-served
+    and a rerun never re-folds them — while batches appended DURING
+    the compaction survive untouched for the next cycle. Returns the
+    number of delta batches folded (0 = nothing to do). Centroids
+    are untouched: re-training is the separate offline job it always
+    was."""
+    jvm, fs, Path = _ivf_fs(spark, index_path)
+    _recover_ivf_corpus(spark, index_path)
     delta_dir = f"{index_path}/delta"
-    if not os.path.exists(delta_dir):
+    batches = _delta_batches(fs, Path, delta_dir)
+    if not batches:
         return 0
-    n_batches = len(
-        [d for d in os.listdir(delta_dir) if d.startswith("batch=")]
-    )
-    if n_batches == 0:
-        return 0
-    merged = read_ivf_corpus(spark, index_path)
     base, nxt, old = (
         f"{index_path}/corpus",
         f"{index_path}/.corpus.next",
         f"{index_path}/.corpus.old",
     )
+    # merge base + EXACTLY the snapshot the manifest will name — a
+    # batch appended while this job runs must NOT be baked into the
+    # corpus unlisted (it would stay in delta/ and be served twice)
+    base_df = spark.read.parquet(base)
+    delta = (
+        spark.read.option("basePath", delta_dir)
+        .parquet(*[f"{delta_dir}/{b}" for b in batches])
+        .drop("batch")
+    )
+    merged = base_df.unionByName(delta.select(*base_df.columns))
     (
         merged.repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(nxt)
     )
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(base, old)
-    os.rename(nxt, base)
-    shutil.rmtree(delta_dir)
-    shutil.rmtree(old, ignore_errors=True)
-    return n_batches
+    # manifest last: only a COMPLETE stage carries one (atomic
+    # create-then-rename so a half-written manifest never certifies)
+    tmp = Path(f"{nxt}/.{IVF_FOLDED_MARKER}.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(("\n".join(batches) + "\n").encode("utf-8"))
+    finally:
+        out.close()
+    fs.rename(tmp, Path(f"{nxt}/{IVF_FOLDED_MARKER}"))
+    if fs.exists(Path(old)):
+        fs.delete(Path(old), True)
+    fs.rename(Path(base), Path(old))
+    fs.rename(Path(nxt), Path(base))
+    for b in batches:
+        fs.delete(Path(f"{delta_dir}/{b}"), True)
+    fs.delete(Path(old), True)
+    fs.delete(Path(f"{base}/{IVF_FOLDED_MARKER}"), False)
+    _sweep_empty_delta_dir(fs, Path, delta_dir)
+    return len(batches)
 
 
-def _recover_ivf_corpus(index_path: str) -> None:
-    """Restore the aside copy if a compaction crashed between its two
-    renames (deltas are only removed after the swap completes, so the
-    restored state is exactly pre-compaction)."""
-    import os
-
+def _recover_ivf_corpus(spark, index_path: str) -> None:
+    """Finish whatever a crashed compaction left half-done, from
+    evidence on disk: a missing base with an aside copy (crash
+    between the two renames) restores the aside; a base carrying a
+    ``_FOLDED`` manifest (crash after the swap, before cleanup)
+    deletes exactly the delta batches the manifest names — they are
+    already inside the corpus — then the stale aside and the
+    manifest itself. Every path is idempotent, so recovery composes
+    with concurrent appends and repeated reruns."""
+    jvm, fs, Path = _ivf_fs(spark, index_path)
     base, old = f"{index_path}/corpus", f"{index_path}/.corpus.old"
-    if not os.path.exists(base) and os.path.exists(old):
-        os.rename(old, base)
+    if not fs.exists(Path(base)) and fs.exists(Path(old)):
+        fs.rename(Path(old), Path(base))
+    folded = _read_folded_ids(jvm, fs, Path, base)
+    if folded:
+        for b in folded:
+            fs.delete(Path(f"{index_path}/delta/{b}"), True)
+        fs.delete(Path(old), True)
+        fs.delete(Path(f"{base}/{IVF_FOLDED_MARKER}"), False)
+        _sweep_empty_delta_dir(fs, Path, f"{index_path}/delta")
 
 
 def read_ivf_corpus(spark, index_path: str) -> DataFrame:
     """The index's full corpus: the base build plus every appended
-    delta batch. Both layers carry ``cell`` as a partition column, so
-    a cell-routed join prunes the scan on each layer."""
-    import os
-
-    _recover_ivf_corpus(index_path)
-    base = spark.read.parquet(f"{index_path}/corpus")
+    delta batch NOT already folded into the base (the ``_FOLDED``
+    manifest is authoritative during a compaction's cleanup window,
+    so a crash mid-cleanup never double-serves a vector). Both
+    layers carry ``cell`` as a partition column, so a cell-routed
+    join prunes the scan on each layer."""
+    jvm, fs, Path = _ivf_fs(spark, index_path)
+    corpus = f"{index_path}/corpus"
+    if not fs.exists(Path(corpus)) and fs.exists(
+        Path(f"{index_path}/.corpus.old")
+    ):
+        _recover_ivf_corpus(spark, index_path)
+    base = spark.read.parquet(corpus)
     delta_dir = f"{index_path}/delta"
-    if os.path.exists(delta_dir):
+    folded = set(_read_folded_ids(jvm, fs, Path, corpus))
+    pending = [b for b in _delta_batches(fs, Path, delta_dir) if b not in folded]
+    if pending:
         delta = (
             spark.read.option("basePath", delta_dir)
-            .parquet(f"{delta_dir}/batch=*")
+            .parquet(*[f"{delta_dir}/{b}" for b in pending])
             .drop("batch")
         )
         base = base.unionByName(delta.select(*base.columns))

@@ -376,6 +376,71 @@ def test_ivf_compact_folds_deltas_and_preserves_search(spark, tmp_path):
     assert not os.path.exists(f"{path}/.corpus.old")
 
 
+def test_ivf_compact_crash_after_swap_never_double_serves(spark, tmp_path):
+    """The OTHER compaction crash window: the new corpus (which
+    already contains the delta rows) swapped in, but the job died
+    before deleting the delta dirs. The corpus's _FOLDED manifest
+    names exactly the absorbed batches, so (a) reads skip them —
+    no vector is ever served twice, (b) a rerun deletes them without
+    re-folding — duplicates never persist into the corpus, and (c) a
+    batch appended DURING the crashed compaction (absent from the
+    manifest) still serves and still folds."""
+    import os
+
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        ivf_append_sink,
+    )
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+         (3, [0.0, 1.0], 1), (4, [0.1, 0.9], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, dim=2, path=path, n_cells=2, iters=1)
+    append = ivf_append_sink(path)
+    ten = spark.createDataFrame(
+        [(10, [0.95, 0.05], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    append(ten, 0)
+    q = sim.query_vector(base, 1)
+
+    def search():
+        return sorted(
+            (r["vec_id"], r["cos"])
+            for r in sim.ivf_search(
+                spark, path, q, k=10, exclude_id=1, probes=2
+            ).collect()
+        )
+
+    assert sim.ivf_compact(spark, path) == 1
+    expect = search()
+    # reconstruct the crash state: corpus already holds batch=0's
+    # rows (it was just folded), the delta dir reappears with the
+    # SAME batch (as if cleanup never ran), the manifest names it —
+    # plus batch=7, appended mid-compaction, NOT in the manifest
+    append(ten, 0)
+    eleven = spark.createDataFrame(
+        [(11, [0.05, 0.95], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    append(eleven, 7)
+    with open(f"{path}/corpus/_FOLDED", "w") as fh:
+        fh.write("batch=0\n")
+    with_new = search()
+    assert [v for v, _ in with_new].count(10) == 1  # never double-served
+    assert 11 in [v for v, _ in with_new]           # unfolded batch serves
+    # rerun: recovery drops batch=0 without re-folding, folds batch=7
+    assert sim.ivf_compact(spark, path) == 1
+    assert not os.path.exists(f"{path}/delta")
+    assert not os.path.exists(f"{path}/corpus/_FOLDED")
+    assert search() == with_new
+    assert sorted(v for v, _ in search()) == sorted(
+        v for v, _ in expect
+    ) + [11]
+
+
 def test_predict_lang_markers(spark):
     docs = _docs(
         spark,

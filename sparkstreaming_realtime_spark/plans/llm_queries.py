@@ -1161,14 +1161,19 @@ def doc_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _rh_ctes(n_bands: int | None = None, n_rows: int | None = None) -> str:
+def _rh_ctes(
+    n_bands: int | None = None,
+    n_rows: int | None = None,
+    suffix: str = "",
+) -> str:
     """``buckets``/``cand``/``verified`` CTE chain replicating
     rh_near_dup_pairs: identical plane literals, band keys, bucket
     self-join, cosine verify. Shared by the pair query and the
-    semantic-dedup cluster query; the band geometry is parameterized
-    so tests can mirror the AUTO-banded operator at whatever width
-    the fixture's corpus count derives (the registry oracles pin the
-    4×4 defaults)."""
+    semantic-dedup cluster queries; the band geometry is
+    parameterized so oracles can mirror the AUTO-banded operator at
+    whatever width a corpus count derives, and ``suffix`` uniquifies
+    the CTE names so several widths coexist in one statement (the
+    width-adaptive auto oracle)."""
     n_bands = sim.RH_BANDS if n_bands is None else n_bands
     n_rows = sim.RH_ROWS if n_rows is None else n_rows
     planes = sim.random_hyperplanes(n_bands * n_rows, _EMB_DIM)
@@ -1189,16 +1194,17 @@ def _rh_ctes(n_bands: int | None = None, n_rows: int | None = None) -> str:
         )
         for b in range(n_bands)
     )
-    return f"""buckets AS (
+    s = suffix
+    return f"""buckets{s} AS (
   SELECT vec_id, unnest([{bands}]) AS bucket FROM embeddings),
-cand AS (
+cand{s} AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM buckets a JOIN buckets b
+  FROM buckets{s} a JOIN buckets{s} b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-verified AS (
+verified{s} AS (
   SELECT c.vec_a, c.vec_b,
          round({_cos_sql("x.embedding", "y.embedding")}, 6) AS cos
-  FROM cand c JOIN embeddings x ON c.vec_a = x.vec_id
+  FROM cand{s} c JOIN embeddings x ON c.vec_a = x.vec_id
               JOIN embeddings y ON c.vec_b = y.vec_id)"""
 
 
@@ -1284,33 +1290,90 @@ def doc_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_chain(
+    n_bands: int, n_rows: int, suffix: str
+) -> str:
+    """The full per-width CTE chain for one semantic-dedup oracle:
+    LSH buckets → candidates → cosine verify → recursive transitive
+    closure (``reach{suffix}``) — algorithm-independent cross-check
+    of the min-label-propagation loop (same protocol as
+    doc_dup_clusters' oracle)."""
+    s = suffix
+    return f"""{_rh_ctes(n_bands, n_rows, suffix=s)},
+pairs{s} AS (SELECT vec_a, vec_b FROM verified{s} WHERE cos >= 0.4),
+edges{s} AS (SELECT vec_a AS node, vec_b AS nbr FROM pairs{s}
+          UNION ALL
+          SELECT vec_b, vec_a FROM pairs{s}),
+reach{s}(node, r) AS (
+  SELECT DISTINCT node, node FROM edges{s}
+  UNION
+  SELECT e.node, reach{s}.r FROM edges{s} e
+  JOIN reach{s} ON reach{s}.node = e.nbr
+)"""
+
+
+def _semantic_dedup_select(suffix: str, gate: str = "") -> str:
+    return f"""SELECT node AS vec_id, min(r) AS cluster_id,
+       (node = min(r))::INT AS is_keep
+FROM reach{suffix} {gate} GROUP BY node"""
+
+
 def _semantic_dedup_oracle(
     n_bands: int | None = None, n_rows: int | None = None
 ) -> str:
-    """Connected components over the verified embedding-pair graph as
-    a recursive transitive closure — algorithm-independent cross-check
-    of the min-label-propagation loop (same protocol as
-    doc_dup_clusters' oracle)."""
+    n_bands = sim.RH_BANDS if n_bands is None else n_bands
+    n_rows = sim.RH_ROWS if n_rows is None else n_rows
     return f"""
-WITH RECURSIVE {_rh_ctes(n_bands, n_rows)},
-pairs AS (SELECT vec_a, vec_b FROM verified WHERE cos >= 0.4),
-edges AS (SELECT vec_a AS node, vec_b AS nbr FROM pairs
-          UNION ALL
-          SELECT vec_b, vec_a FROM pairs),
-reach(node, r) AS (
-  SELECT DISTINCT node, node FROM edges
-  UNION
-  SELECT e.node, reach.r FROM edges e JOIN reach ON reach.node = e.nbr
-)
-SELECT node AS vec_id, min(r) AS cluster_id,
-       (node = min(r))::INT AS is_keep
-FROM reach GROUP BY node
+WITH RECURSIVE {_semantic_dedup_chain(n_bands, n_rows, "")}
+{_semantic_dedup_select("")}
 """
+
+
+def _semantic_dedup_auto_oracle(widths=(4, 5, 6, 7, 8, 9)) -> str:
+    """Width-ADAPTIVE oracle for the N-derived semantic dedup: SQL
+    re-derives ``rows_per_band`` from ``count(*)`` with the exact
+    :func:`operators.similarity.auto_lsh_params` formula
+    (``max(base, ceil(log2 n) - target)``, bands growing one per
+    extra bit), then a pre-baked chain per candidate width feeds a
+    UNION ALL in which only the derived width's branch is non-empty.
+    Covers corpora up to 2^(max_width+target) vectors (8k at the
+    default widths) — beyond that every branch is empty and the
+    row-count check fails LOUDLY rather than silently passing. This
+    closes the one rows-only driver row: the query keeps deriving N
+    at runtime, while the oracle derives the same N from the same
+    table at check time."""
+    params = (
+        "params AS (SELECT greatest({base}, "
+        "cast(ceil(log2(greatest(c, 2))) AS INT) - {target}) AS rows_pb "
+        "FROM (SELECT count(*) AS c FROM embeddings))"
+    ).format(base=sim.RH_ROWS, target=sim.RH_TARGET_LOG_BUCKET)
+    chains = ",\n".join(
+        _semantic_dedup_chain(
+            sim.RH_BANDS + (w - sim.RH_ROWS), w, f"_w{w}"
+        )
+        for w in widths
+    )
+    selects = "\nUNION ALL\n".join(
+        _semantic_dedup_select(
+            f"_w{w}", f"WHERE (SELECT rows_pb FROM params) = {w}"
+        )
+        for w in widths
+    )
+    return f"WITH RECURSIVE {params},\n{chains}\n{selects}"
+
+
+#: Pinned band width for the fixed-width semantic-dedup twin: 6 bits
+#: in 6 bands (the auto formula's answer for a ~4k corpus). The twin
+#: exists to pin ONE width with a static oracle; 6 keeps its
+#: candidate set sub-quadratic at bench SFs where the old 4-bit pin
+#: was the bench's last quadratic plan (r5 verdict: ×11 at the ×10
+#: probe; the 2-bit-wider buckets cut expected bucket size 4×).
+_SEMDEDUP_PIN = 6
 
 
 @register(
     "emb_semantic_dedup",
-    oracle=_semantic_dedup_oracle(),
+    oracle=_semantic_dedup_oracle(_SEMDEDUP_PIN, _SEMDEDUP_PIN),
     tags=("LLM", "similarity", "dedup"),
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1321,31 +1384,32 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the components as a recursive transitive closure, so the iterative
     Spark loop is checked by a different algorithm. Bands are passed
     EXPLICITLY (the library default is N-derived via auto_lsh_params)
-    because the oracle bakes the same plane/band literals."""
+    because the oracle bakes the same plane/band literals — pinned at
+    6×6 (_SEMDEDUP_PIN), not the quadratic-by-construction 4×4 the
+    registry carried through r5."""
     return sim.semantic_dedup(
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4,
-        bands=sim.RH_BANDS, rows_per_band=sim.RH_ROWS,
+        bands=_SEMDEDUP_PIN, rows_per_band=_SEMDEDUP_PIN,
     )
 
 
 @register(
     "emb_semantic_dedup_auto",
-    oracle=None,
+    oracle=_semantic_dedup_auto_oracle(),
     tags=("LLM", "similarity", "dedup", "auto-scale"),
 )
 def emb_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup with the N-DERIVED band width — the 100 TB
     path: rows_per_band grows with log₂(corpus) so buckets (and the
-    candidate self-join) stay constant per row, where the pinned-4×4
-    twin above goes quadratic by construction (probed ×17 at ×10
-    rows; this variant probes ~linear). No static SQL oracle is
-    possible — the band literals depend on the corpus count — so the
-    driver records a rows-only check here while the value-level
-    verification lives in two other gates: the pinned twin's
-    recursive-closure oracle (same code path, fixed width), and
-    tests/test_llm_operators.py::test_semantic_dedup_auto_matches_dynamic_oracle,
-    which rebuilds the DuckDB oracle at the width the fixture's count
-    derives and compares full values."""
+    candidate self-join) stay constant per row, where a pinned band
+    width goes quadratic by construction (probed ×17 at ×10 rows
+    with 4 bits; this variant probes ~linear). The oracle is
+    width-ADAPTIVE (_semantic_dedup_auto_oracle): it re-derives the
+    band width from count(*) with the auto_lsh_params formula and
+    evaluates the matching pre-baked plane set, so the driver gets a
+    full rows+schema+hash check at every SF up to 8k vectors;
+    tests/test_llm_operators.py::test_semantic_dedup_auto_matches_dynamic_oracle
+    additionally pins the multi-N behavior on synthetic corpora."""
     return sim.semantic_dedup(
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4
     )

@@ -89,6 +89,12 @@ HEADLINE = [
     "events_quality_expectations",
     "doc_audio_windows",
     "emb_truncated_overlap",
+    # r6: compacted-IVF serving (one file set per cell vs append's
+    # three), the byte-exact resize path, and the streaming
+    # quality-gate routing parity
+    "emb_ivf_compact_topk",
+    "doc_resize_images",
+    "streaming_quality_gate_parity",
 ]
 
 

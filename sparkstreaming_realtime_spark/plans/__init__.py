@@ -15,22 +15,23 @@ from . import cdc_queries  # noqa: F401 — populates REGISTRY on import
 #: TPC-H, log split, CDC, LLM dedup/similarity/text, multimodal,
 #: warehouse, and the end-to-end streaming parities — lands inside the
 #: first 50; the remainder (verified equally, just later) follows.
-#: r5 rotation — the FINAL visibility rotation. The union of
-#: CORRECTNESS_r01–r04 covers 105 of the 125 pre-r5 registry queries;
-#: ALL 25 never-driver-checked names sit inside the top-50 this
-#: round — the 20 backlog queries (text-stats family,
-#: quality/repetition bands, dup_clusters, the sampling/export
-#: family, frame sampling, feature extraction, the IVF recall curve,
-#: two streaming parities) plus the FIVE queries new in r5 (quality
-#: expectations, warehouse compaction, z-order lookup, auto-banded
-#: semantic dedup, incremental-IVF append) — so CORRECTNESS_r05
-#: completes driver verification of every registered query at least
-#: once. The other 25 slots are one already-green sentinel per
-#: operator family (a family-wide regression still flags inside the
-#: cap), preferring queries whose code was touched THIS round
-#: (clustered_point_lookup's derived key, table_profile's empty-frame
-#: coalesce, the scd2_sink crash-safe swap, knn_join's collect cap) so
-#: the driver re-verifies the edits, not just the replica.
+#: r6 rotation. After r5 every registry query has a driver-green row
+#: (union r1–r5: 131 full-oracle + 1 rows-only), so the top-50 now
+#: holds (a) the THREE queries new in r6 — the compacted-IVF search,
+#: the byte-exact resize parity, and the streaming quality-gate
+#: parity; (b) every query whose CODE changed in r6, so the driver
+#: re-verifies the edits: pricing_summary (exact-div cents + wide
+#: charge accumulator), doc_exact_k_sample (null-safe pre-filter),
+#: events_quality_expectations (empty-input coalesce),
+#: warehouse_compaction_roundtrip (aside-scan recovery + threaded
+#: rewrites), emb_semantic_dedup (6×6 re-pin), emb_semantic_dedup_auto
+#: (width-adaptive oracle — first hash-checked row),
+#: emb_ivf_append_topk (Hadoop-FS index maintenance); and (c) one
+#: already-green sentinel per operator family (a family-wide
+#: regression still flags inside the cap). Displaced to the tail for
+#: room: doc_top_bigrams, doc_bpe_token_stats, doc_lexical_commonness,
+#: doc_training_shards — each r5-green with a same-family sentinel
+#: still inside the window.
 _PRIORITY = [
     # serving / DAU sentinels (A1, endpoint)
     "dau_total_by_day", "dau_realtime_endpoint",
@@ -51,38 +52,43 @@ _PRIORITY = [
     # quality gate + z-order skipping
     "events_quality_expectations", "warehouse_compaction_roundtrip",
     "zordered_two_dim_lookup",
-    # never-driver-checked: text-stats / quality family
-    "doc_gopher_filters", "doc_tfidf_top_terms", "doc_top_bigrams",
-    "doc_bpe_token_stats", "doc_lexical_commonness",
+    # text-stats / quality family (sentinels + r6-edited)
+    "doc_gopher_filters", "doc_tfidf_top_terms",
     "doc_quality_bands", "doc_repetition_bands",
-    # never-driver-checked: dedup / cluster / split family
+    # r6 money-path edit: exact-div cents + wide charge accumulator
+    "pricing_summary",
+    # dedup / cluster / split family
     "doc_dup_clusters", "doc_hash_split", "doc_chunk_dedup_stride",
-    # never-driver-checked: sampling / export family
+    # sampling / export family (exact_k re-verifies the null-safe
+    # pre-filter edit)
     "doc_stratified_sample", "doc_temperature_resample",
-    "doc_exact_k_sample", "doc_training_shards", "doc_source_mix",
-    # never-driver-checked: multimodal / embedding family
-    "doc_frame_sample", "emb_feature_extract", "emb_ivf_recall_curve",
-    # LLM dedup/similarity sentinels (emb_semantic_dedup + emb_knn_join
-    # re-verify this round's LSH auto-banding and collect-cap edits),
-    # plus the NEW auto-banded twin and incremental-IVF queries
+    "doc_exact_k_sample", "doc_source_mix",
+    # multimodal / embedding family (+ NEW r6: byte-exact resize)
+    "doc_frame_sample", "doc_resize_images", "emb_feature_extract",
+    "emb_ivf_recall_curve",
+    # LLM dedup/similarity (re-verify the r6 width edits: the 6×6
+    # re-pin, the width-adaptive auto oracle's first hash row, and the
+    # Hadoop-FS index maintenance behind append + NEW compact)
     "doc_exact_dedup", "doc_minhash_near_dup",
     "corpus_curation_funnel_v2", "emb_semantic_dedup",
     "emb_semantic_dedup_auto", "emb_knn_join",
-    "emb_ivf_append_topk", "emb_truncated_overlap",
+    "emb_ivf_append_topk", "emb_ivf_compact_topk",
+    "emb_truncated_overlap",
     "doc_lm_perplexity", "doc_pii_scrub",
-    # warehouse sentinels (clustered_point_lookup + events_table_profile
-    # re-verify this round's derived-key and empty-frame edits)
+    # warehouse sentinels
     "bucketed_colocated_join", "clustered_point_lookup",
     "events_table_profile",
-    # streaming parities — the two never-driver-checked ones plus the
-    # dedup sentinel and the scd2 parity (re-verifies the crash-safe
-    # snapshot swap); last in the top-50 block: if the cap is a count
-    # they're inside it, if a time budget the cheap queries above have
-    # already banked rows
+    # streaming parities (+ NEW r6: the quality-gate routing parity);
+    # last in the top-50 block: if the cap is a count they're inside
+    # it, if a time budget the cheap queries above have already banked
+    # rows
     "streaming_dau_dedup_parity", "streaming_scd2_parity",
-    "streaming_heavy_hitters_parity", "streaming_state_profile_parity",
-    # tail (51+): green in r2–r4 driver artifacts, still verified every
+    "streaming_quality_gate_parity",
+    # tail (51+): green in r1–r5 driver artifacts, still verified every
     # session by scripts/check_oracle.py (full registry) and pytest
+    "streaming_heavy_hitters_parity", "streaming_state_profile_parity",
+    "doc_top_bigrams", "doc_bpe_token_stats", "doc_lexical_commonness",
+    "doc_training_shards",
     "min_cost_supplier", "doc_incremental_near_dup", "doc_binary_meta",
     "emb_ivf_topk", "doc_importance_resample", "cdc_scd2_history",
     "doc_quality_adaptive",
@@ -99,7 +105,7 @@ _PRIORITY = [
     "user_sessions",
     "dau_enriched", "log_split_actions", "term_exact_update_view",
     "highlight_match", "json_props_extract", "doc_simhash",
-    "emb_int8_quantize", "pricing_summary", "revenue_by_nation",
+    "emb_int8_quantize", "revenue_by_nation",
     "doc_lang_id", "filtered_sorted_paginated", "doc_token_stats",
     "emb_cosine_topk",
     "dau_by_hour", "session_entry_first_daily", "get_by_id",

@@ -464,13 +464,28 @@ def emb_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     late vectors is value-checked end to end. The query vector
     itself (vec_id 0) is one of the appended rows: the search must
     find neighbors for a vector that arrived via the stream."""
+    idx = _ivf_appended_index_path(spark, sf_dir, "append")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim.query_vector(emb, _QUERY_VEC_ID)
+    return sim.ivf_search(
+        spark, idx, q, k=10, exclude_id=_QUERY_VEC_ID, probes=2
+    )
+
+
+def _ivf_appended_index_path(
+    spark: SparkSession, sf_dir: str, variant: str
+) -> str:
+    """Base index trained on 80% of the vectors + the other 20%
+    appended as two delta batches — the shared fixture of the append
+    and compact registry queries (built once per app+sf+variant; the
+    deterministic k-means makes every build identical)."""
     import os
     import re
     import tempfile
 
     from ..streaming.sinks import ivf_append_sink
 
-    key = (spark.sparkContext.applicationId, sf_dir, "append")
+    key = (spark.sparkContext.applicationId, sf_dir, variant)
     if key not in _IVF_INDEX_CACHE:
         tag = re.sub(r"[^A-Za-z0-9_]", "_", "_".join(key))
         path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
@@ -482,11 +497,35 @@ def emb_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         append(late.filter(F.col("vec_id") % 2 == 0), 0)
         append(late.filter(F.col("vec_id") % 2 != 0), 1)
         _IVF_INDEX_CACHE[key] = path
-    idx = _IVF_INDEX_CACHE[key]
+    return _IVF_INDEX_CACHE[key]
+
+
+@register(
+    "emb_ivf_compact_topk",
+    oracle=_ivf_oracle(2, train_src=_IVF_APPEND_SRC),
+    tags=("LLM", "similarity", "maintenance"),
+)
+def emb_ivf_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over a COMPACTED index: the same 80%-base + two-delta
+    fixture as emb_ivf_append_topk, but ivf_compact folds the delta
+    layers into the base inverted lists before the search
+    (operators/similarity.py:ivf_compact — Hadoop-FS rename-aside
+    swap with a folded-batch manifest). Compaction is layout-only by
+    contract, so this query shares the append query's oracle
+    literally: identical routing, identical top-k, from one file set
+    per cell instead of three. Both the fold (returns 2 batches the
+    first time) and the served results are therefore under the
+    driver's hash gate."""
+    key = (spark.sparkContext.applicationId, sf_dir, "compacted")
+    if key not in _IVF_INDEX_CACHE:
+        idx = _ivf_appended_index_path(spark, sf_dir, "compact")
+        sim.ivf_compact(spark, idx)
+        _IVF_INDEX_CACHE[key] = idx
     emb = _t(spark, sf_dir, "embeddings")
     q = sim.query_vector(emb, _QUERY_VEC_ID)
     return sim.ivf_search(
-        spark, idx, q, k=10, exclude_id=_QUERY_VEC_ID, probes=2
+        spark, _IVF_INDEX_CACHE[key], q, k=10,
+        exclude_id=_QUERY_VEC_ID, probes=2,
     )
 
 
@@ -1287,6 +1326,57 @@ def doc_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         mm.documents_as_binary(docs),
         sample_rate=_AUDIO_RATE,
         window_ms=_AUDIO_MS,
+    )
+
+
+_RESIZE_W, _RESIZE_H = 8, 8
+
+
+def _resize_oracle() -> str:
+    """DuckDB replica of the deterministic NN byte-sampling resize:
+    output byte ``i`` is input byte ``(i·n // out) % n`` (0-based),
+    rebuilt here as hex-pair slices of the payload's hex dump — the
+    same technique the audio oracle proved byte-exact."""
+    n_out = _RESIZE_W * _RESIZE_H
+    return f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text))::BIGINT AS n
+  FROM documents WHERE octet_length(encode(text)) > 0),
+s AS (SELECT doc_id, n, unnest(range({n_out})) AS i, hx FROM b)
+SELECT doc_id, n AS orig_bytes,
+       {_RESIZE_W}::BIGINT AS target_w, {_RESIZE_H}::BIGINT AS target_h,
+       string_agg(substr(hx, 2 * ((i * n // {n_out}) % n) + 1, 2),
+                  '' ORDER BY i) AS resized_hex
+FROM s GROUP BY doc_id, n
+"""
+
+
+@register(
+    "doc_resize_images",
+    oracle=_resize_oracle(),
+    tags=("LLM", "multimodal", "image"),
+)
+def doc_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing under the value gate
+    (operators/multimodal.py:resize_images): the deterministic
+    nearest-neighbor byte sampling (the 1-D analog of NN image
+    resize; the PIL decode is the documented stand-in) runs through
+    the REAL Arrow mapInPandas path — schema, batching, size
+    contract — and every output byte is checked against a DuckDB
+    blob-slicing oracle. The binary payload leaves as its hex dump
+    because the hash compare needs an engine-portable cell
+    representation (same move as doc_audio_windows' sample
+    decoding)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = mm.resize_images(
+        mm.documents_as_binary(docs),
+        target_w=_RESIZE_W,
+        target_h=_RESIZE_H,
+    )
+    return out.select(
+        "doc_id", "orig_bytes", "target_w", "target_h",
+        F.hex(F.col("resized")).alias("resized_hex"),
     )
 
 

@@ -356,6 +356,72 @@ def events_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_quality_gate_parity",
+    oracle="""
+    SELECT 'accepted' AS side, event_type, count(*)::BIGINT AS ct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'quarantined', event_type, count(*)::BIGINT
+    FROM events GROUP BY event_type
+    """,
+    tags=("extension", "quality", "streaming"),
+)
+def streaming_quality_gate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming quality gate end-to-end under the batch oracle
+    (streaming/sinks.py:quality_gate_sink): the events table streams
+    through TWO gates — one whose suite every micro-batch passes
+    (event_id is never null), one whose suite every non-empty batch
+    fails (a row_count window of [0, 0]) — so regardless of how the
+    source batches, gate one must land EVERY row in accepted/ and
+    gate two must quarantine EVERY row whole. The returned frame is
+    both destinations re-aggregated by event type; losing, splitting,
+    or misrouting any batch shifts a count and breaks the hash. The
+    per-check verdict values are separately under the driver gate via
+    events_quality_expectations (same compiler), and quarantine
+    replay/empty-batch behavior is pytest-pinned."""
+    import tempfile
+    import uuid
+
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import quality_gate_sink
+
+    _t(spark, sf_dir, "events")  # sets the temporal read confs
+    root = tempfile.mkdtemp(prefix="qgate_parity_")
+    for tag, suite in (
+        ("pass", [("not_null", "event_id", 0.0)]),
+        ("fail", [("row_count", 0, 0)]),
+    ):
+        raw = (
+            spark.readStream.schema(
+                spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            )
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        q = run_available_now(
+            raw,
+            quality_gate_sink(f"{root}/{tag}", suite),
+            checkpoint=f"{root}/ckpt_{tag}",
+            query_name="qgate_" + uuid.uuid4().hex[:8],
+        )
+        q.awaitTermination()
+    accepted = (
+        spark.read.parquet(f"{root}/pass/accepted")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+        .select(F.lit("accepted").alias("side"), "event_type", "ct")
+    )
+    quarantined = (
+        spark.read.parquet(f"{root}/fail/quarantine")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+        .select(F.lit("quarantined").alias("side"), "event_type", "ct")
+    )
+    return accepted.unionByName(quarantined)
+
+
+@register(
     "warehouse_compaction_roundtrip",
     oracle=f"""
     SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*)::BIGINT AS n,

@@ -54,6 +54,12 @@ SMOKE = [
     "zordered_two_dim_lookup",
     "warehouse_compaction_roundtrip",
     "emb_ivf_append_topk",
+    # r6 additions: compacted-index serving (Hadoop-FS fold + swap),
+    # the resize mapInPandas path, and the streaming gate's
+    # foreachBatch routing — all stock-session-sensitive surfaces
+    "emb_ivf_compact_topk",
+    "doc_resize_images",
+    "streaming_quality_gate_parity",
 ]
 
 SF_DIR = os.environ.get("SPARK_GRAFT_STOCK_SF", "/root/testdata/sf0.001")

@@ -488,14 +488,16 @@ def dup_clusters(
     neighbors' labels; stop when no label changed. Near-dup components
     are near-cliques (tiny diameter), so this converges in 2–4 rounds.
     At 100 TB the same loop holds — each round is one shuffle join on
-    the edge list — but a pathological long-chain graph would want the
+    the edge list — and if a pathological long-chain graph hasn't
+    converged by half the round budget, the loop hands off to the
     two-phase large-star/small-star contraction (Kiveris et al.,
-    "Connected Components in MapReduce"); near-dup graphs are not that
-    shape. Edges are materialized once; labels are re-materialized per
-    round (reliable checkpoint when a checkpoint dir is configured —
-    true lineage cut; else DISK_ONLY persist, recomputable on executor
-    loss) so each round's work is bounded. See ``materialize.py`` for
-    the cluster-durability story.
+    "Connected Components in MapReduce and Beyond"), which is bounded
+    by component structure, not diameter (see
+    :func:`_star_contraction_labels`). Edges are materialized once;
+    labels are re-materialized per round (reliable checkpoint when a
+    checkpoint dir is configured — true lineage cut; else DISK_ONLY
+    persist, recomputable on executor loss) so each round's work is
+    bounded. See ``materialize.py`` for the cluster-durability story.
 
     Returns (doc_id, cluster_id, is_keep) for every doc that appears
     in at least one verified pair; is_keep=1 marks the canonical doc.
@@ -565,7 +567,15 @@ def connected_components(
     edges = materialize(edges, eager=True)
     release(pairs)
     labels = edges.select("node").distinct().withColumn("label", F.col("node"))
-    for _ in range(max_iters):
+    # propagation budget: the front half of max_iters. Pointer
+    # jumping covers diameter ~2^rounds, so near-clique dedup graphs
+    # converge in 2-4 rounds and never see the cutover; a pathological
+    # long-chain graph (diameter >> 2^(max_iters/2)) hands the
+    # remaining work to large-star/small-star contraction, which is
+    # round-bounded in the COMPONENT COUNT's log, not the diameter.
+    prop_budget = max(1, max_iters // 2)
+    converged = False
+    for _ in range(prop_budget):
         nbr_min = (
             edges.join(
                 labels.select(F.col("node").alias("nbr"), F.col("label")), "nbr"
@@ -602,12 +612,97 @@ def connected_components(
         release(labels)  # new_labels is materialized; prior round's blocks can go
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # long-chain fallback (Kiveris et al., "Connected Components
+        # in MapReduce and Beyond"): alternate large-star/small-star
+        # until the edge set is a fixpoint star forest centered at
+        # component minima. The half-done labels ride along as extra
+        # same-component shortcut edges, so propagation's progress is
+        # kept, not discarded.
+        shortcut = labels.filter(F.col("label") != F.col("node")).select(
+            F.col("node"), F.col("label").alias("nbr")
+        )
+        star_edges = edges.union(shortcut).union(
+            shortcut.select(
+                F.col("nbr").alias("node"), F.col("node").alias("nbr")
+            )
+        )
+        release(labels)
+        labels = _star_contraction_labels(star_edges, max_iters)
     return labels.select(
         F.col("node").alias(id_out),
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).cast("int").alias("is_keep"),
     )
+
+
+def _star_contraction_labels(
+    edges_sym: DataFrame, max_rounds: int
+) -> DataFrame:
+    """Large-star/small-star contraction to a star forest, returning
+    (node, label) with label = component min — the diameter-proof
+    half of :func:`connected_components`.
+
+    Each round applies, on the symmetric edge set E:
+
+    - **large-star** (per center u): every neighbor v > u re-attaches
+      to m = min(Γ(u) ∪ {u});
+    - **small-star** (per center u): every neighbor v ≤ u (and u
+      itself) attaches to that same m.
+
+    Both halves are one groupBy + one join on E — the same shuffle
+    shape as a propagation round — and the edge set provably
+    contracts toward stars centered at component minima in O(log²)
+    rounds worst-case, O(log) in practice, INDEPENDENT of diameter
+    (each round at least halves every path's height, where min-label
+    propagation walks a chain one hop per round and pointer jumping
+    one doubling per round). Fixpoint = the round changed nothing;
+    labels then read directly off the stars."""
+
+    def half(E: DataFrame, large: bool) -> DataFrame:
+        mins = E.groupBy("node").agg(F.min("nbr").alias("mn"))
+        m = mins.select(
+            "node", F.least(F.col("node"), F.col("mn")).alias("m")
+        )
+        j = E.join(m, "node")
+        if large:
+            out = j.filter(F.col("nbr") > F.col("node")).select(
+                F.col("nbr").alias("node"), F.col("m").alias("nbr")
+            )
+        else:
+            out = (
+                j.filter(F.col("nbr") <= F.col("node"))
+                .select(F.col("nbr").alias("node"), F.col("m").alias("nbr"))
+                .union(m.select("node", F.col("m").alias("nbr")))
+            )
+        out = out.filter(F.col("node") != F.col("nbr"))
+        # re-symmetrize + dedup: every contraction step reasons from
+        # both endpoints next round
+        return out.union(
+            out.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
+        ).distinct()
+
+    E = materialize(
+        edges_sym.filter(F.col("node") != F.col("nbr")).distinct(),
+        eager=True,
+    )
+    for _ in range(max_rounds):
+        nxt = materialize(half(half(E, large=True), large=False), eager=True)
+        # fixpoint test on the canonical (undirected) edge set
+        grew = nxt.subtract(E).count()
+        same_size = nxt.count() == E.count()
+        release(E)
+        E = nxt
+        if grew == 0 and same_size:
+            break
+    labels = E.groupBy("node").agg(
+        F.least(F.col("node"), F.min("nbr")).alias("label")
+    )
+    out = materialize(labels, eager=True)
+    release(E)
+    return out
 
 
 def _local_components(spark, edges: DataFrame, id_out: str) -> DataFrame:

@@ -1060,6 +1060,29 @@ def test_connected_components_strategies_agree(spark):
     assert all(clusters[n] == 20 for n in (20, 21))
 
 
+def test_connected_components_long_chain_star_contraction(spark):
+    """The diameter pathology (PERF.md known limit, closed r6): a
+    10k-node PATH graph has diameter 9999, so min-label propagation
+    with pointer jumping needs ~log2(10k) ≈ 14 rounds — and with
+    max_iters=10 the old loop burned its whole budget and returned
+    silently WRONG partial labels. The large-star/small-star
+    fallback (Kiveris et al.) that now takes over at max_iters/2
+    contracts by component structure instead of walking the
+    diameter, so the same budget must yield the exact single
+    component with min-id 0 keeping."""
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = dd.connected_components(
+        pairs, max_iters=10, local_threshold=0
+    ).collect()
+    assert len(out) == n
+    assert all(r["cluster_id"] == 0 for r in out)
+    keeps = [r["doc_id"] for r in out if r["is_keep"] == 1]
+    assert keeps == [0]
+
+
 def test_knn_join_candidate_stage_has_no_shuffle(spark):
     """The kNN join's scale contract: candidate generation (scan →
     mapInPandas partial top-k) must plan WITHOUT any Exchange — the

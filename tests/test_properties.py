@@ -181,11 +181,45 @@ def test_money_sum_six_decimals_spark_equals_duckdb(spark, units):
     total = sum(units)
     cents = (abs(total) + 5000) // 10000 * (1 if total >= 0 else -1)
     assert got_spark == cents / 100.0
-    # the wide (decimal-accumulator) path computes the identical value
+    # the wide (split-accumulator) path computes the identical value
     got_wide = sdf.agg(
         money_sum(F.col("amount"), 6, wide=True).alias("m")
     ).collect()[0]["m"]
     assert got_wide == got_spark
+
+
+def test_money_sum_exact_past_double_precision(spark):
+    """Cent rounding must use exact integral division: a unit total
+    past 2^53 divided as a DOUBLE can floor across an integer
+    boundary the exact ``//`` would not. 30 rows of 9e9 dollars put
+    the 6-decimal unit total at 2.7e17 (>> 2^53), with a 5-unit
+    dust row landing the total ON the half-cent boundary — both
+    engines and both accumulator widths must produce the exact
+    definitional cents."""
+    import duckdb as ddb
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.functions.money import (
+        money_sum,
+        oracle_money_sum_sql,
+    )
+
+    amounts = [9_000_000_000.0] * 30 + [0.000005]
+    total_units = 9_000_000_000 * 1_000_000 * 30 + 5
+    expect = ((total_units + 5000) // 10000) / 100.0
+    sdf = spark.createDataFrame([(a,) for a in amounts], "amount double")
+    got = {
+        w: sdf.agg(money_sum(F.col("amount"), 6, wide=w).alias("m"))
+        .collect()[0]["m"]
+        for w in (False, True)
+    }
+    con = ddb.connect()
+    con.execute("CREATE TABLE t (amount DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(a,) for a in amounts])
+    got_duck = con.execute(
+        f"SELECT {oracle_money_sum_sql('amount', 6)} FROM t"
+    ).fetchone()[0]
+    assert got[False] == got[True] == got_duck == expect
 
 
 @settings(max_examples=10, deadline=None)

@@ -54,6 +54,12 @@ PROBE = [
     "warehouse_compaction_roundtrip",
     "events_quality_expectations",
     "doc_audio_windows",
+    # r6-session: the 6×6 re-pinned twin (must stop probing
+    # quadratic), compacted-index serving, byte-sampling resize, and
+    # the streaming gate (linear in routed bytes by construction)
+    "emb_ivf_compact_topk",
+    "doc_resize_images",
+    "streaming_quality_gate_parity",
 ]
 
 

@@ -1247,26 +1247,36 @@ verified{s} AS (
               JOIN embeddings y ON c.vec_b = y.vec_id)"""
 
 
+#: Pinned band geometry for the fixed-width sign-LSH registry
+#: queries (the pair query and the semantic-dedup twin): 6 bits in 6
+#: bands — the auto_lsh_params answer for a ~4k corpus. A fixed pin
+#: exists so a static oracle can bake the plane/band literals; 6
+#: keeps the candidate self-join sub-quadratic at bench SFs, where
+#: the 4×4 pin the registry carried through r5 was the bench's last
+#: quadratic-by-construction plan (r5 verdict: ×11 at the ×10 probe).
+_LSH_PIN = 6
+
+
 def _rh_oracle() -> str:
     return f"""
-WITH {_rh_ctes()}
+WITH {_rh_ctes(_LSH_PIN, _LSH_PIN)}
 SELECT vec_a, vec_b, cos FROM verified WHERE cos >= 0.4
 """
 
 
 @register("emb_near_dup_lsh", oracle=_rh_oracle(), tags=("LLM", "similarity", "dedup"))
 def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs via sign-LSH (Charikar 2002): 16
-    deterministic hyperplane bits in 4 bands of 4, bucket-local
-    candidate join, exact cosine >= 0.4 verify
+    """Embedding near-dup pairs via sign-LSH (Charikar 2002): 36
+    deterministic hyperplane bits in 6 bands of 6 (_LSH_PIN),
+    bucket-local candidate join, exact cosine >= 0.4 verify
     (operators/similarity.py:rh_near_dup_pairs). Candidate recall at
-    a given cosine follows 1-(1-(1-θ/π)^4)^4 — the banding constants
+    a given cosine follows 1-(1-(1-θ/π)^6)^6 — the banding constants
     are the tunable, never an all-pairs fallback. Bands are passed
     EXPLICITLY (the library default is N-derived via auto_lsh_params)
     because the DuckDB oracle bakes the same plane/band literals."""
     return sim.rh_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4,
-        bands=sim.RH_BANDS, rows_per_band=sim.RH_ROWS,
+        bands=_LSH_PIN, rows_per_band=_LSH_PIN,
     )
 
 
@@ -1452,18 +1462,9 @@ def _semantic_dedup_auto_oracle(widths=(4, 5, 6, 7, 8, 9)) -> str:
     return f"WITH RECURSIVE {params},\n{chains}\n{selects}"
 
 
-#: Pinned band width for the fixed-width semantic-dedup twin: 6 bits
-#: in 6 bands (the auto formula's answer for a ~4k corpus). The twin
-#: exists to pin ONE width with a static oracle; 6 keeps its
-#: candidate set sub-quadratic at bench SFs where the old 4-bit pin
-#: was the bench's last quadratic plan (r5 verdict: ×11 at the ×10
-#: probe; the 2-bit-wider buckets cut expected bucket size 4×).
-_SEMDEDUP_PIN = 6
-
-
 @register(
     "emb_semantic_dedup",
-    oracle=_semantic_dedup_oracle(_SEMDEDUP_PIN, _SEMDEDUP_PIN),
+    oracle=_semantic_dedup_oracle(_LSH_PIN, _LSH_PIN),
     tags=("LLM", "similarity", "dedup"),
 )
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1475,11 +1476,11 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark loop is checked by a different algorithm. Bands are passed
     EXPLICITLY (the library default is N-derived via auto_lsh_params)
     because the oracle bakes the same plane/band literals — pinned at
-    6×6 (_SEMDEDUP_PIN), not the quadratic-by-construction 4×4 the
+    6×6 (_LSH_PIN), not the quadratic-by-construction 4×4 the
     registry carried through r5."""
     return sim.semantic_dedup(
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4,
-        bands=_SEMDEDUP_PIN, rows_per_band=_SEMDEDUP_PIN,
+        bands=_LSH_PIN, rows_per_band=_LSH_PIN,
     )
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..operators import cdc
 from ..operators.dau import dedup_first_daily
 from ..functions.datetimes import hr_col
-from .queries import _money_sum_sql, _t, register
+from .queries import _money_sum_sql, _stream_t, _t, register
 
 #: synthesis mapping (keep in lockstep with _synthesize_cdc)
 #: event_type → Maxwell type; user_id % 5 → table (4 → unknown table,
@@ -242,14 +242,7 @@ def streaming_cdc_dim_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import dim_upsert_sink
 
     _t(spark, sf_dir, "events")  # sets the temporal read confs
-    raw = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    raw = _stream_t(spark, sf_dir, "events")
     env = _synthesize_cdc(events_with_ts(raw))
     parsed = env.select(
         F.from_json("value", ODS_BASE_DB_SCHEMA).alias("j"),
@@ -408,14 +401,7 @@ def streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sinks import read_scd2, scd2_sink
 
     _t(spark, sf_dir, "events")  # sets the temporal read confs
-    raw = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    raw = _stream_t(spark, sf_dir, "events")
     env = _synthesize_cdc(events_with_ts(raw))
     parsed = env.select(
         F.from_json("value", ODS_BASE_DB_SCHEMA).alias("j"),

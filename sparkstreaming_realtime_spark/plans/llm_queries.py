@@ -19,7 +19,7 @@ from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators import textstats as ts
-from .queries import _t, register
+from .queries import _stream_t, _t, register
 
 # --- shared SQL fragments (one token alphabet everywhere: ADVICE r1) ---
 
@@ -1073,14 +1073,7 @@ def streaming_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.pipelines import run_available_now
     from ..streaming.sinks import count_min_sink, read_count_min
 
-    raw = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    raw = _stream_t(spark, sf_dir, "documents")
     items = raw.select(F.explode(tokenize("text")).alias("item"))
     path = tempfile.mkdtemp(prefix="cm_parity_") + "/cells"
     q = run_available_now(
@@ -2129,13 +2122,7 @@ def streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import hash60
     from ..streaming.pipelines import curation_sink, run_available_now
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    raw = _stream_t(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="curation_")
     corpus_path, stats_path = f"{base}/corpus", f"{base}/stats"
     q = run_available_now(

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import log_split as ls
-from .queries import _t, register
+from .queries import _stream_t, _t, register
 
 #: shared derivations (keep in lockstep with synthesize_ods_log)
 _COMMON_SQL = """
@@ -181,14 +181,7 @@ def streaming_multiplex_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipelines import multiplex_sink, run_available_now
 
     _t(spark, sf_dir, "events")  # sets the temporal read confs
-    raw = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    raw = _stream_t(spark, sf_dir, "events")
     env = ls.synthesize_ods_log(events_with_ts(raw))
     base = tempfile.mkdtemp(prefix="mux_parity_")
     q = run_available_now(

@@ -82,6 +82,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _stream_t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources.files import stream_table
+
+    return stream_table(spark, sf_dir, name)
+
+
 # deterministic money aggregation (see functions/money.py for the
 # rationale and the shared Spark/DuckDB integer-cents contract);
 # module-local aliases keep the 30+ oracle f-strings below readable
@@ -391,14 +397,7 @@ def streaming_quality_gate_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         ("pass", [("not_null", "event_id", 0.0)]),
         ("fail", [("row_count", 0, 0)]),
     ):
-        raw = (
-            spark.readStream.schema(
-                spark.read.parquet(f"{sf_dir}/events.parquet").schema
-            )
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-        )
+        raw = _stream_t(spark, sf_dir, "events")
         q = run_available_now(
             raw,
             quality_gate_sink(f"{root}/{tag}", suite),
@@ -889,18 +888,8 @@ def streaming_order_wide_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ob = _t(spark, sf_dir, "orders")
     lb = _t(spark, sf_dir, "lineitem")
-    so = (
-        spark.readStream.schema(ob.schema)
-        .format("parquet")
-        .option("pathGlobFilter", "orders.parquet")
-        .load(sf_dir)
-    )
-    sl = (
-        spark.readStream.schema(lb.schema)
-        .format("parquet")
-        .option("pathGlobFilter", "lineitem.parquet")
-        .load(sf_dir)
-    )
+    so = _stream_t(spark, sf_dir, "orders")
+    sl = _stream_t(spark, sf_dir, "lineitem")
     info = so.select(
         F.col("o_orderkey").alias("id"),
         F.col("o_custkey").alias("user_id"),
@@ -968,14 +957,7 @@ def streaming_dau_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipelines import streaming_dau_dedup
 
     eb = _t(spark, sf_dir, "events")  # also sets the nanos conf
-    raw = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    raw = _stream_t(spark, sf_dir, "events")
     page_log = events_with_ts(raw).select(
         F.concat(F.lit("mid_"), F.col("user_id").cast("string")).alias("mid"),
         F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("string"))
@@ -1025,14 +1007,7 @@ def streaming_hourly_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.pipelines import streaming_hourly_rollup
 
     _t(spark, sf_dir, "events")  # sets the nanos read conf
-    raw = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    raw = _stream_t(spark, sf_dir, "events")
     ev = events_with_ts(raw).select(
         F.col("ts").cast("timestamp").alias("event_time"),
         "event_type",
@@ -2566,14 +2541,7 @@ def streaming_user_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.pipelines import streaming_user_sessions
 
     _t(spark, sf_dir, "events")  # sets the nanos read conf
-    raw = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    raw = _stream_t(spark, sf_dir, "events")
     ev = events_with_ts(raw).select(
         "user_id",
         F.col("ts").cast("timestamp").alias("event_time"),
@@ -2621,14 +2589,7 @@ def streaming_state_profile_parity(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.stateful import running_profiles
 
     _t(spark, sf_dir, "events")  # sets the temporal read confs
-    raw = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    raw = _stream_t(spark, sf_dir, "events")
     keyed = raw.select(
         F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias("key"),
         F.col("value"),

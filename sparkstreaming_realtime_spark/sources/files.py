@@ -87,3 +87,26 @@ def events_with_ts(events: DataFrame) -> DataFrame:
     """Normalize the events table's ts to TimestampType (streaming
     readers hit this directly; batch goes through read_table)."""
     return _normalize_temporal(events, "ts", to_ltz=True)
+
+
+def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``readStream`` over one fixture table, robust to the two
+    shapes a parquet "table" arrives in: a single ``<name>.parquet``
+    FILE (the driver's testdata) or a ``<name>.parquet/`` DIRECTORY
+    of part files (anything Spark itself wrote — e.g. the ×10
+    scale-probe fixture). The file source only watches directories,
+    so the single-file shape streams its parent with a
+    ``pathGlobFilter``; that filter matches leaf file names, which is
+    exactly why it finds nothing inside a directory-shaped table —
+    the bug this helper removes from every streaming parity query.
+    Temporal columns are NOT normalized here (callers needing ts go
+    through :func:`events_with_ts`), but the schema is taken from the
+    batch reader so both shapes stream identically."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", f"{name}.parquet").load(sf_dir)

@@ -2,9 +2,17 @@
 higher-order functions, no UDFs.
 
 Used by the similarity-search operators (embeddings table,
-TESTDATA.md). ``zip_with`` + ``aggregate`` keep the dot product inside
-codegen; at 100 TB this beats a Pandas UDF for moderate dimensions
-(≤~1k) because no Arrow transfer happens at all.
+TESTDATA.md). At 100 TB this beats a Pandas UDF for moderate
+dimensions (≤~1k) because no Arrow transfer happens at all.
+
+Measured dead end (r6, don't retry): statically unrolling the dot to
+64 ``F.get(a,i)*F.get(b,i)`` terms — nominally whole-stage-codegen
+where the ``aggregate`` fold is interpreted — ran **4.7× SLOWER**
+(11.1 s vs 2.3 s on a 1.4M-pair verify at dim 64, local[32]): each
+``get`` re-walks the Unsafe array header and the 64-term tree blows
+past the codegen splitting threshold, while the fold makes one
+specialized pass over the array. The HOF fold IS the fast JVM path
+for per-row vector math in this engine.
 """
 
 from __future__ import annotations

@@ -319,3 +319,34 @@ def test_remove_dup_chunks_reassembly_is_lossless_without_dups(
     for i, t in rows:
         assert out[i]["n_removed"] == 0
         assert out[i]["text_clean"] == t
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_star_contraction_agrees_with_union_find(spark, edge_list):
+    """Property: on ARBITRARY pair graphs (self-loops, parallel
+    edges, multiple components, cycles — whatever hypothesis finds),
+    the distributed path FORCED through the large-star/small-star
+    contraction fallback (max_iters=2 → one propagation round, then
+    contraction) must emit exactly the driver union-find's
+    (node, cluster, is_keep) rows."""
+    from sparkstreaming_realtime_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edge_list if a != b] or [(0, 1)],
+        "doc_a long, doc_b long",
+    )
+    local = sorted(map(tuple, dd.connected_components(
+        pairs, local_threshold=10**9).collect()))
+    contracted = sorted(map(tuple, dd.connected_components(
+        pairs, local_threshold=0, max_iters=2).collect()))
+    assert contracted == local

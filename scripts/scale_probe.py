@@ -4,6 +4,12 @@ observed ratio per query. bench.py's protocol (noop sink, warm-up at
 sf0.001, min of 2 timed passes).
 
 Usage: python scripts/scale_probe.py [base_dir] [scaled_dir] [factor]
+                                     [names_csv] [passes]
+
+``names_csv`` restricts the probe to a comma-separated subset of the
+PROBE list (big-factor runs probe the representative heavy shapes,
+not all 33 queries); ``passes`` drops min-of-2 to one timed pass when
+a scaled run is minutes long.
 """
 
 from __future__ import annotations
@@ -63,9 +69,9 @@ PROBE = [
 ]
 
 
-def _time(qs, name: str, sf_dir: str, spark) -> float:
+def _time(qs, name: str, sf_dir: str, spark, passes: int = 2) -> float:
     best = None
-    for _ in range(2):
+    for _ in range(passes):
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
@@ -77,6 +83,13 @@ def main() -> None:
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     scaled = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scaled"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    passes = int(sys.argv[5]) if len(sys.argv) > 5 else 2
+    global PROBE
+    if only:
+        unknown = only - set(PROBE)
+        assert not unknown, f"not in PROBE: {sorted(unknown)}"
+        PROBE = [n for n in PROBE if n in only]
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
@@ -86,14 +99,24 @@ def main() -> None:
         ).save()
     rows = {}
     for name in PROBE:
-        tb = _time(qs, name, base, spark)
-        ts_ = _time(qs, name, scaled, spark)
+        # failure isolation (same lesson as bench.py r2): one broken
+        # query must not void the whole probe's timings
+        try:
+            tb = _time(qs, name, base, spark, passes)
+            ts_ = _time(qs, name, scaled, spark, passes)
+        except Exception as e:  # noqa: BLE001 — record and move on
+            rows[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            print(f"{name:32s} ERROR {rows[name]['error'][:80]}", flush=True)
+            continue
         rows[name] = {
             "base_s": tb,
             "scaled_s": ts_,
             "ratio": round(ts_ / tb, 2) if tb > 0 else None,
         }
-        print(f"{name:32s} {tb:8.3f}s {ts_:8.3f}s  x{rows[name]['ratio']}")
+        print(
+            f"{name:32s} {tb:8.3f}s {ts_:8.3f}s  x{rows[name]['ratio']}",
+            flush=True,
+        )
     print(json.dumps({"factor": factor, "queries": rows}))
 
 

@@ -72,9 +72,15 @@ def main() -> int:
         spark = get_spark(cpus=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # a fixture table is either a single parquet FILE (driver
+        # testdata) or a DIRECTORY of part files (anything Spark
+        # wrote, e.g. the scale-probe fixtures) — glob the latter
+        import os as _os
+
+        src = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     qs, os_ = queries(), oracle_sql()
     failures = 0
     for name, fn in qs.items():

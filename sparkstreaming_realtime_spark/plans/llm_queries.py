@@ -1197,6 +1197,7 @@ def _rh_ctes(
     n_bands: int | None = None,
     n_rows: int | None = None,
     suffix: str = "",
+    gate: str = "",
 ) -> str:
     """``buckets``/``cand``/``verified`` CTE chain replicating
     rh_near_dup_pairs: identical plane literals, band keys, bucket
@@ -1228,7 +1229,7 @@ def _rh_ctes(
     )
     s = suffix
     return f"""buckets{s} AS (
-  SELECT vec_id, unnest([{bands}]) AS bucket FROM embeddings),
+  SELECT vec_id, unnest([{bands}]) AS bucket FROM embeddings {gate}),
 cand{s} AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM buckets{s} a JOIN buckets{s} b
@@ -1384,15 +1385,17 @@ def doc_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_chain(
-    n_bands: int, n_rows: int, suffix: str
+    n_bands: int, n_rows: int, suffix: str, gate: str = ""
 ) -> str:
     """The full per-width CTE chain for one semantic-dedup oracle:
     LSH buckets → candidates → cosine verify → recursive transitive
     closure (``reach{suffix}``) — algorithm-independent cross-check
     of the min-label-propagation loop (same protocol as
-    doc_dup_clusters' oracle)."""
+    doc_dup_clusters' oracle). ``gate`` (a WHERE clause) rides on the
+    bucket CTE so a multi-width oracle only EXECUTES the width the
+    corpus count derives — the others scan zero rows."""
     s = suffix
-    return f"""{_rh_ctes(n_bands, n_rows, suffix=s)},
+    return f"""{_rh_ctes(n_bands, n_rows, suffix=s, gate=gate)},
 pairs{s} AS (SELECT vec_a, vec_b FROM verified{s} WHERE cos >= 0.4),
 edges{s} AS (SELECT vec_a AS node, vec_b AS nbr FROM pairs{s}
           UNION ALL
@@ -1422,17 +1425,20 @@ WITH RECURSIVE {_semantic_dedup_chain(n_bands, n_rows, "")}
 """
 
 
-def _semantic_dedup_auto_oracle(widths=(4, 5, 6, 7, 8, 9)) -> str:
+def _semantic_dedup_auto_oracle(widths=tuple(range(4, 13))) -> str:
     """Width-ADAPTIVE oracle for the N-derived semantic dedup: SQL
     re-derives ``rows_per_band`` from ``count(*)`` with the exact
     :func:`operators.similarity.auto_lsh_params` formula
     (``max(base, ceil(log2 n) - target)``, bands growing one per
     extra bit), then a pre-baked chain per candidate width feeds a
     UNION ALL in which only the derived width's branch is non-empty.
-    Covers corpora up to 2^(max_width+target) vectors (8k at the
-    default widths) — beyond that every branch is empty and the
-    row-count check fails LOUDLY rather than silently passing. This
-    closes the one rows-only driver row: the query keeps deriving N
+    Each chain's bucket CTE carries the width gate, so the
+    non-matching widths EXECUTE over zero rows — the oracle's cost is
+    one width's chain regardless of how many are baked. Covers
+    corpora up to 2^(max_width+target) vectors (64k at the default
+    4–12 widths — spanning sf0.001 through the ×10 probe fixture) —
+    beyond that every branch is empty and the row-count check fails
+    LOUDLY rather than silently passing. The query keeps deriving N
     at runtime, while the oracle derives the same N from the same
     table at check time."""
     params = (
@@ -1442,15 +1448,15 @@ def _semantic_dedup_auto_oracle(widths=(4, 5, 6, 7, 8, 9)) -> str:
     ).format(base=sim.RH_ROWS, target=sim.RH_TARGET_LOG_BUCKET)
     chains = ",\n".join(
         _semantic_dedup_chain(
-            sim.RH_BANDS + (w - sim.RH_ROWS), w, f"_w{w}"
+            sim.RH_BANDS + (w - sim.RH_ROWS),
+            w,
+            f"_w{w}",
+            gate=f"WHERE (SELECT rows_pb FROM params) = {w}",
         )
         for w in widths
     )
     selects = "\nUNION ALL\n".join(
-        _semantic_dedup_select(
-            f"_w{w}", f"WHERE (SELECT rows_pb FROM params) = {w}"
-        )
-        for w in widths
+        _semantic_dedup_select(f"_w{w}") for w in widths
     )
     return f"WITH RECURSIVE {params},\n{chains}\n{selects}"
 

@@ -126,6 +126,7 @@ def main() -> None:
     # two timed passes, report the per-query MIN: steady-state cost,
     # robust to one-off JVM/GC stalls mid-session
     timings: dict[str, float] = {}
+    passes: dict[str, list[float]] = {}
     for _ in range(2):
         for name in HEADLINE:
             if name not in qs or name in errors:
@@ -135,11 +136,26 @@ def main() -> None:
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = round(time.time() - t0, 3)
                 timings[name] = min(timings.get(name, dt), dt)
+                passes.setdefault(name, []).append(dt)
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"timed: {type(e).__name__}: {e}"[:500]
                 # never report a half-failed query in both timings and
                 # errors — the headline total covers clean queries only
                 timings.pop(name, None)
+                passes.pop(name, None)
+
+    # adaptive third pass for the NOISY queries only: when the two
+    # passes disagree >15%, one of them hit a GC/IO stall and min-of-2
+    # still carries it round-over-round as phantom drift; a third
+    # sample costs seconds and settles exactly the queries that need it
+    for name, ts in passes.items():
+        if len(ts) == 2 and abs(ts[0] - ts[1]) > 0.15 * min(ts):
+            t0 = time.time()
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                timings[name] = min(timings[name], round(time.time() - t0, 3))
+            except Exception:  # noqa: BLE001 — min-of-2 already stands
+                pass
 
     total = round(sum(timings.values()), 3)
     out: dict = {

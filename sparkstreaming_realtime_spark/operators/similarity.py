@@ -140,6 +140,40 @@ def assign_cell(
     return (-F.array_max(scored)["negcell"]).cast("int")
 
 
+def assign_cell_scored(
+    vec_col: Column | str, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """``struct<cell int, cos double>``: the nearest-centroid id AND
+    its 6dp-rounded cosine in one pass — same argmax encoding as
+    :func:`assign_cell`, for callers that also need the winning score
+    (cluster profiling, quality-of-fit stats).  Callers that read both
+    fields should bind the result behind an ``explode(array())``
+    barrier first — Catalyst has no CSE for higher-order functions, so
+    each struct-field reference would otherwise re-run the whole
+    ``n_cells × dim`` cosine transform (see :func:`rh_band_buckets`).
+    (The two field decodes inside this struct cost one extra argmax
+    pass — a fixed 2×, vs the unbounded N× the barrier prevents.)"""
+    from ..functions.vectors import dot, l2_norm
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def safe_cos(ct_v: Column) -> Column:
+        denom = l2_norm(c) * l2_norm(ct_v)
+        return F.when(denom > 0, dot(c, ct_v) / denom).otherwise(F.lit(0.0))
+
+    scored = F.transform(
+        _centroid_literal(cents),
+        lambda ct: F.struct(
+            F.round(safe_cos(ct["v"]), 6).alias("cos"),
+            (-ct["cell"]).alias("negcell"),
+        ),
+    )
+    mx = F.array_max(scored)
+    return F.struct(
+        (-mx["negcell"]).cast("int").alias("cell"), mx["cos"].alias("cos")
+    )
+
+
 def train_kmeans_cells(
     emb: DataFrame,
     dim: int,

@@ -52,8 +52,10 @@ _PRIORITY = [
     # quality gate + z-order skipping
     "events_quality_expectations", "warehouse_compaction_roundtrip",
     "zordered_two_dim_lookup",
-    # text-stats / quality family (sentinels + r6-edited)
-    "doc_gopher_filters", "doc_tfidf_top_terms",
+    # text-stats / quality family (sentinels + r6-edited;
+    # doc_tfidf_top_terms rotated to the tail — green r1–r5 — to make
+    # room for the NEW k-means cluster-profile query)
+    "doc_gopher_filters",
     "doc_quality_bands", "doc_repetition_bands",
     # r6 money-path edit: exact-div cents + wide charge accumulator
     "pricing_summary",
@@ -63,9 +65,10 @@ _PRIORITY = [
     # pre-filter edit)
     "doc_stratified_sample", "doc_temperature_resample",
     "doc_exact_k_sample", "doc_source_mix",
-    # multimodal / embedding family (+ NEW r6: byte-exact resize)
+    # multimodal / embedding family (+ NEW r6: byte-exact resize,
+    # k-means cluster profiling)
     "doc_frame_sample", "doc_resize_images", "emb_feature_extract",
-    "emb_ivf_recall_curve",
+    "emb_ivf_recall_curve", "emb_kmeans_clusters",
     # LLM dedup/similarity (re-verify the r6 width edits: the 6×6
     # re-pin, the width-adaptive auto oracle's first hash row, and the
     # Hadoop-FS index maintenance behind append + NEW compact)
@@ -87,6 +90,7 @@ _PRIORITY = [
     # tail (51+): green in r1–r5 driver artifacts, still verified every
     # session by scripts/check_oracle.py (full registry) and pytest
     "streaming_heavy_hitters_parity", "streaming_state_profile_parity",
+    "doc_tfidf_top_terms",
     "doc_top_bigrams", "doc_bpe_token_stats", "doc_lexical_commonness",
     "doc_training_shards",
     "min_cost_supplier", "doc_incremental_near_dup", "doc_binary_meta",

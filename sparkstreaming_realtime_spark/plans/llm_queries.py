@@ -390,6 +390,98 @@ def emb_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_clusters_oracle() -> str:
+    """Cluster-profile oracle: replays the identical deterministic
+    Lloyd training (shared ``_kmeans_ctes`` generator), then profiles
+    per cluster through the same two-level aggregate shape as the
+    Spark plan (per-(cluster,label) partials first, then the cluster
+    rollup) so float summation order matches as closely as possible."""
+    it = sim.IVF_ITERS
+    return f"""
+WITH {_kmeans_ctes()},
+sc AS (SELECT a.cell AS cluster, a.label,
+              round({_cos_sql("a.embedding", "c.centroid")}, 6) AS cos
+       FROM afin a JOIN c{it} c ON a.cell = c.cell),
+lab AS (SELECT cluster, label, count(*) AS n_lab, sum(cos) AS s_cos
+        FROM sc GROUP BY 1, 2),
+maj AS (SELECT cluster, label, n_lab,
+               row_number() OVER (PARTITION BY cluster
+                   ORDER BY n_lab DESC, label) AS rn
+        FROM lab),
+agg AS (SELECT cluster, sum(n_lab)::BIGINT AS n,
+               round(sum(s_cos) / sum(n_lab), 6) AS avg_cos
+        FROM lab GROUP BY 1)
+SELECT g.cluster::INTEGER AS cluster, g.n, m.label AS majority_label,
+       round(m.n_lab / g.n, 6) AS label_purity, g.avg_cos
+FROM agg g JOIN maj m ON m.cluster = g.cluster AND m.rn = 1
+ORDER BY cluster
+"""
+
+
+@register(
+    "emb_kmeans_clusters",
+    oracle=_kmeans_clusters_oracle(),
+    tags=("LLM", "similarity", "clustering"),
+)
+def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering surfaced as a first-class corpus operator:
+    cluster sizes, majority label + purity, and mean within-cluster
+    cosine — the profile a curation pipeline reads before deciding
+    which clusters to keep, downsample, or route for review
+    (SemDeDup-style cluster pruning; also the IVF coarse quantizer's
+    training job, reused verbatim).
+
+    Spark-first shape: training is the SAME deterministic Lloyd job
+    the IVF index build runs (``train_kmeans_cells`` — iters+1 corpus
+    scans, only k×dim doubles ever reach the driver), and profiling is
+    ONE more corpus scan: the scored assignment binds behind an
+    ``explode(array())`` barrier (no HOF CSE), map-side-combines into
+    ≤ k×|labels| partial rows, and every later step (majority window,
+    cluster rollup, join) runs on that tiny table. At 100 TB the only
+    full-data costs are the linear scans; nothing corpus-sized ever
+    shuffles."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.train_kmeans_cells(emb, _EMB_DIM)
+    sc = emb.select(
+        F.col("label"),
+        F.explode(
+            F.array(sim.assign_cell_scored("embedding", cents))
+        ).alias("s"),
+    ).select(
+        F.col("s.cell").alias("cluster"),
+        F.col("label"),
+        F.col("s.cos").alias("cos"),
+    )
+    lab = sc.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n_lab"), F.sum("cos").alias("s_cos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_lab"), F.asc("label")
+    )
+    maj = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("majority_label"), "n_lab")
+    )
+    agg = lab.groupBy("cluster").agg(
+        F.sum("n_lab").alias("n"),
+        F.round(F.sum("s_cos") / F.sum("n_lab"), 6).alias("avg_cos"),
+    )
+    return (
+        agg.join(maj, "cluster")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("n"),
+            F.col("majority_label"),
+            F.round(F.col("n_lab") / F.col("n"), 6).alias("label_purity"),
+            F.col("avg_cos"),
+        )
+        .orderBy("cluster")
+    )
+
+
 _TRUNC_DIMS = (8, 16, 32)
 
 

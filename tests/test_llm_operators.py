@@ -225,6 +225,49 @@ def test_kmeans_training_is_deterministic(spark):
     assert c1 == c2  # no RNG, no partition-order dependence
 
 
+def test_assign_cell_scored_matches_assign_cell_and_driver_math(spark):
+    """The scored variant must pick the identical cell as assign_cell
+    and report the winning cosine — checked against a driver-side
+    float recompute of the same 6dp-rounded argmax."""
+    import math
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)], 0) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = sim.train_kmeans_cells(emb, dim=2, n_cells=3, iters=2)
+    rows = emb.select(
+        "vec_id",
+        "embedding",
+        sim.assign_cell("embedding", cents).alias("cell"),
+        F.explode(
+            F.array(sim.assign_cell_scored("embedding", cents))
+        ).alias("s"),
+    ).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["s"]["cell"] == r["cell"]
+        v = [float(x) for x in r["embedding"]]
+        nv = math.sqrt(sum(x * x for x in v))
+        best = max(
+            (
+                round(
+                    (
+                        sum(a * b for a, b in zip(v, c))
+                        / (nv * math.sqrt(sum(b * b for b in c)))
+                        if nv > 0 and any(c)
+                        else 0.0
+                    ),
+                    6,
+                ),
+                -cell,
+            )
+            for cell, c in cents
+        )
+        assert r["s"]["cell"] == -best[1]
+        assert abs(r["s"]["cos"] - best[0]) < 1e-9
+
+
 def test_ivf_search_plan_has_no_corpus_aggregate(spark, tmp_path):
     """The r3 review flagged per-query centroid recomputation (a
     full-corpus aggregate on the query path). Pin the fix: the serving

@@ -44,3 +44,21 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 distance — same zip-then-fold shape as :func:`dot`
+    (the measured fast path; see the module docstring), used by the
+    product-quantizer's per-subspace Lloyd assignment."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(
+            ca,
+            cb,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

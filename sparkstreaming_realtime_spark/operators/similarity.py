@@ -838,6 +838,243 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return out.withColumn("roundtrip_cos", rt).drop("__v")
 
 
+# --- product quantization (FAISS IVF-PQ's fine quantizer, PQ paper:
+# Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011) ---------------------------------------------------------
+
+PQ_M = 4  #: subspaces (dim must divide evenly)
+PQ_K = 8  #: codes per subspace codebook
+PQ_ITERS = 2  #: Lloyd rounds per subspace
+_PQ_SEED_PREFIX = "pqseed:"
+
+
+def _code_literal(book: list[tuple[int, list[float]]]) -> Column:
+    """One subspace codebook as a literal array<struct<code,v>> —
+    k × sub_dim doubles baked into the plan (codebooks are tiny by
+    construction, like :func:`_centroid_literal`)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(code).alias("code"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
+            )
+            for code, vec in book
+        ]
+    )
+
+
+def assign_code(
+    sub_col: Column, book: list[tuple[int, list[float]]]
+) -> Column:
+    """In-row nearest-code id for ONE subspace: argmin squared-L2
+    against every literal codebook entry (codegen'd transform, zero
+    shuffle, zero UDF), encoded as the fieldwise array_min of
+    struct(d2 rounded to 6dp, code) — ties break to the smallest
+    code, and the 6dp round makes assignment reproducible across
+    engines (the :func:`assign_cell` recipe, in L2 because PQ
+    reconstruction error is Euclidean)."""
+    from ..functions.vectors import l2_sq
+
+    scored = F.transform(
+        _code_literal(book),
+        lambda ct: F.struct(
+            F.round(l2_sq(sub_col, ct["v"]), 6).alias("d2"),
+            ct["code"].alias("code"),
+        ),
+    )
+    return F.array_min(scored)["code"].cast("int")
+
+
+def _sub_slice(vec_col: Column | str, m: int, sub_dim: int) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.slice(c, m * sub_dim + 1, sub_dim)
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    dim: int,
+    m_sub: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Learn the PQ codebooks: one deterministic-seeded L2 k-means per
+    subspace, all ``m_sub`` subspaces trained from the SAME corpus
+    scans (one assignment scan + one k·m_sub-group aggregate per Lloyd
+    round — never a scan per subspace).
+
+    - seeds: the ``k`` vectors ranked first by hash60('pqseed:'||id)
+      (deterministic, oracle-replayable — the train_kmeans_cells
+      recipe under a distinct prefix so the coarse and fine quantizers
+      never share seeds); seed ``i``'s subvector ``m`` initializes
+      code ``i`` of codebook ``m``;
+    - assign: in-row argmin squared-L2 per subspace
+      (:func:`assign_code`);
+    - update: per-dim mean via a (m, code)-group aggregate with
+      map-side partials, 6dp-rounded; an emptied code keeps its
+      previous entry.
+
+    Only ``m_sub × k × sub_dim`` doubles reach the driver per round.
+    Returns ``books[m] = [(code, subvector), ...]``."""
+    from ..functions.hashing import hash60
+
+    assert dim % m_sub == 0, "dim must divide into equal subspaces"
+    sub_dim = dim // m_sub
+    seed_rank = hash60(
+        F.concat(F.lit(_PQ_SEED_PREFIX), F.col(id_col).cast("string"))
+    )
+    seeds = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(seed_rank.asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    books = [
+        [
+            (
+                i,
+                [
+                    float(x)
+                    for x in row[vec_col][m * sub_dim : (m + 1) * sub_dim]
+                ],
+            )
+            for i, row in enumerate(seeds)
+        ]
+        for m in range(m_sub)
+    ]
+    for _ in range(iters):
+        # ONE corpus scan assigns every subspace, explodes to skinny
+        # (m, code, subvec) rows, and map-side-combines into at most
+        # m_sub × k groups — the corpus itself never shuffles wide
+        assigned = emb.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            assign_code(
+                                _sub_slice(vec_col, m, sub_dim), books[m]
+                            ).alias("code"),
+                            _sub_slice(vec_col, m, sub_dim).alias("sv"),
+                        )
+                        for m in range(m_sub)
+                    ]
+                )
+            ).alias("a")
+        ).select("a.m", "a.code", "a.sv")
+        rows = (
+            assigned.groupBy("m", "code")
+            .agg(
+                *[
+                    F.round(
+                        F.avg(F.col("sv")[i].cast("double")), 6
+                    ).alias(f"c{i}")
+                    for i in range(sub_dim)
+                ]
+            )
+            .collect()
+        )
+        new = {
+            (r["m"], r["code"]): [float(r[f"c{i}"]) for i in range(sub_dim)]
+            for r in rows
+        }
+        books = [
+            [
+                (code, new.get((m, code), vec))
+                for code, vec in books[m]
+            ]
+            for m in range(m_sub)
+        ]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Compress each vector to ``m_sub`` small-int codes (dim×4 bytes
+    → m_sub bytes — the representation a 100 TB corpus actually
+    serves from): one scan, all-subspace argmin in-row, zero shuffle.
+    Output: (id, *keep, codes array<int>)."""
+    m_sub = len(books)
+    sub_dim = dim // m_sub
+    codes = F.array(
+        *[
+            assign_code(_sub_slice(vec_col, m, sub_dim), books[m])
+            for m in range(m_sub)
+        ]
+    )
+    return emb.select(
+        F.col(id_col), *[F.col(c) for c in keep], codes.alias("codes")
+    )
+
+
+def pq_search(
+    enc: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the ENCODED corpus: the
+    query is scored against each subspace codebook ONCE on the driver
+    (m_sub × k dot products + norms, 6dp-rounded lookup tables baked
+    into the plan as literals), then every stored vector's approximate
+    cosine is m_sub array lookups + a handful of adds — no vector
+    math, no Arrow, no shuffle on the scoring path, and a TakeOrdered
+    top-k instead of a global sort. This is why PQ serves at scale:
+    the scan reads m_sub ints per row instead of dim floats."""
+    import math
+
+    m_sub = len(books)
+    sub_dim = len(query_vec) // m_sub
+    qn = round(
+        math.sqrt(sum(float(x) * float(x) for x in query_vec)), 6
+    )
+    ip_tabs, n2_tabs = [], []
+    for m in range(m_sub):
+        qs = [float(x) for x in query_vec[m * sub_dim : (m + 1) * sub_dim]]
+        ips, n2s = [], []
+        for _code, vec in books[m]:
+            ips.append(round(sum(a * b for a, b in zip(qs, vec)), 6))
+            n2s.append(round(sum(b * b for b in vec), 6))
+        ip_tabs.append(F.array(*[F.lit(v) for v in ips]))
+        n2_tabs.append(F.array(*[F.lit(v) for v in n2s]))
+    s_ip = sum(
+        (
+            F.element_at(ip_tabs[m], F.col("codes")[m] + 1)
+            for m in range(m_sub)
+        ),
+        F.lit(0.0),
+    )
+    s_n2 = sum(
+        (
+            F.element_at(n2_tabs[m], F.col("codes")[m] + 1)
+            for m in range(m_sub)
+        ),
+        F.lit(0.0),
+    )
+    denom = F.lit(qn) * F.sqrt(s_n2)
+    acos = F.round(
+        F.when(denom > 0, s_ip / denom).otherwise(F.lit(0.0)), 6
+    )
+    out = enc
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != F.lit(exclude_id))
+    return (
+        out.withColumn("acos", acos)
+        .drop("codes")
+        .orderBy(F.desc("acos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     dim: int,

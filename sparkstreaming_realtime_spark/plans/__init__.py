@@ -59,8 +59,11 @@ _PRIORITY = [
     "doc_quality_bands", "doc_repetition_bands",
     # r6 money-path edit: exact-div cents + wide charge accumulator
     "pricing_summary",
-    # dedup / cluster / split family
-    "doc_dup_clusters", "doc_hash_split", "doc_chunk_dedup_stride",
+    # dedup / cluster / split family (doc_chunk_dedup_stride rotated
+    # to the tail — green r3–r5, family still covered by
+    # doc_exact_dedup/doc_minhash_near_dup — to make room for the NEW
+    # product-quantized ANN query)
+    "doc_dup_clusters", "doc_hash_split",
     # sampling / export family (exact_k re-verifies the null-safe
     # pre-filter edit)
     "doc_stratified_sample", "doc_temperature_resample",
@@ -68,7 +71,7 @@ _PRIORITY = [
     # multimodal / embedding family (+ NEW r6: byte-exact resize,
     # k-means cluster profiling)
     "doc_frame_sample", "doc_resize_images", "emb_feature_extract",
-    "emb_ivf_recall_curve", "emb_kmeans_clusters",
+    "emb_ivf_recall_curve", "emb_kmeans_clusters", "emb_pq_topk",
     # LLM dedup/similarity (re-verify the r6 width edits: the 6×6
     # re-pin, the width-adaptive auto oracle's first hash row, and the
     # Hadoop-FS index maintenance behind append + NEW compact)
@@ -90,7 +93,7 @@ _PRIORITY = [
     # tail (51+): green in r1–r5 driver artifacts, still verified every
     # session by scripts/check_oracle.py (full registry) and pytest
     "streaming_heavy_hitters_parity", "streaming_state_profile_parity",
-    "doc_tfidf_top_terms",
+    "doc_tfidf_top_terms", "doc_chunk_dedup_stride",
     "doc_top_bigrams", "doc_bpe_token_stats", "doc_lexical_commonness",
     "doc_training_shards",
     "min_cost_supplier", "doc_incremental_near_dup", "doc_binary_meta",

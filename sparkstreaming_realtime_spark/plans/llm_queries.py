@@ -482,6 +482,126 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l2_sql(a: str, b: str) -> str:
+    """Squared L2 with the same zip-then-fold shape as
+    functions.vectors.l2_sq."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (p[1]::DOUBLE - p[2]::DOUBLE) * "
+        f"(p[1]::DOUBLE - p[2]::DOUBLE)))"
+    )
+
+
+def _pq_oracle() -> str:
+    """Replays the product quantizer bit-for-bit: per-subspace
+    deterministic-seeded L2 Lloyd training (codebooks as one long
+    (m, code, centroid) table), encoding by 6dp-rounded argmin, and
+    ADC scoring through the same 6dp-rounded (ip, n2) lookup tables
+    the Spark plan bakes in as literals — generated from the SAME
+    constants (PQ_M/PQ_K/PQ_ITERS, the pqseed prefix), so both
+    engines run the identical algorithm."""
+    m_sub, k, iters = sim.PQ_M, sim.PQ_K, sim.PQ_ITERS
+    sd = _EMB_DIM // m_sub
+    seed_h = oracle_hash60_sql(f"'{sim._PQ_SEED_PREFIX}' || vec_id::VARCHAR")
+    parts = [
+        f"""ms AS (SELECT unnest(range({m_sub}))::INTEGER AS m),
+pseed AS (
+  SELECT embedding,
+         row_number() OVER (ORDER BY {seed_h}, vec_id) - 1 AS code
+  FROM embeddings QUALIFY code < {k}),
+sv AS (SELECT e.vec_id, m.m,
+              e.embedding[(m.m*{sd}+1):((m.m+1)*{sd})] AS sv
+       FROM embeddings e, ms m),
+cb0 AS (SELECT m.m, s.code,
+               list_transform(s.embedding[(m.m*{sd}+1):((m.m+1)*{sd})],
+                              x -> x::DOUBLE) AS centroid
+        FROM pseed s, ms m)"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""a{it} AS (SELECT vec_id, m, sv, code FROM (
+  SELECT v.vec_id, v.m, v.sv, c.code,
+         row_number() OVER (PARTITION BY v.vec_id, v.m
+             ORDER BY round({_l2_sql("v.sv", "c.centroid")}, 6), c.code
+         ) AS rn
+  FROM sv v JOIN cb{it} c ON c.m = v.m) WHERE rn = 1),
+m{it} AS (SELECT m, code, i, round(avg(x), 6) AS av FROM (
+            SELECT m, code, generate_subscripts(sv, 1) AS i,
+                   unnest(sv)::DOUBLE AS x FROM a{it})
+          GROUP BY 1, 2, 3),
+l{it} AS (SELECT m, code, list(av ORDER BY i) AS centroid
+          FROM m{it} GROUP BY m, code),
+cb{it + 1} AS (SELECT p.m, p.code,
+                      coalesce(l.centroid, p.centroid) AS centroid
+               FROM cb{it} p LEFT JOIN l{it} l
+                 ON l.m = p.m AND l.code = p.code)"""
+        )
+    parts.append(
+        f"""enc AS (SELECT vec_id, m, code FROM (
+  SELECT v.vec_id, v.m, c.code,
+         row_number() OVER (PARTITION BY v.vec_id, v.m
+             ORDER BY round({_l2_sql("v.sv", "c.centroid")}, 6), c.code
+         ) AS rn
+  FROM sv v JOIN cb{iters} c ON c.m = v.m) WHERE rn = 1),
+q AS (SELECT embedding AS qv,
+             round(sqrt(list_sum(list_transform(embedding,
+                   x -> x::DOUBLE * x::DOUBLE))), 6) AS qn
+      FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+tbl AS (SELECT c.m, c.code,
+               round(list_sum(list_transform(
+                     list_zip(q.qv[(c.m*{sd}+1):((c.m+1)*{sd})],
+                              c.centroid),
+                     p -> p[1]::DOUBLE * p[2]::DOUBLE)), 6) AS ip,
+               round(list_sum(list_transform(c.centroid,
+                     x -> x * x)), 6) AS n2
+        FROM cb{iters} c, q),
+sc AS (SELECT e.vec_id, sum(t.ip) AS s_ip, sum(t.n2) AS s_n2
+       FROM enc e JOIN tbl t ON t.m = e.m AND t.code = e.code
+       WHERE e.vec_id <> {_QUERY_VEC_ID}
+       GROUP BY e.vec_id)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT s.vec_id, emb.label,
+       round(CASE WHEN q.qn * sqrt(s.s_n2) > 0
+                  THEN s.s_ip / (q.qn * sqrt(s.s_n2)) ELSE 0.0 END,
+             6) AS acos
+FROM sc s JOIN embeddings emb ON emb.vec_id = s.vec_id, q
+ORDER BY acos DESC, s.vec_id
+LIMIT 10
+"""
+
+
+@register("emb_pq_topk", oracle=_pq_oracle(), tags=("LLM", "similarity"))
+def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN top-10 (Jégou et al., TPAMI 2011 — the
+    FAISS IVF-PQ fine quantizer): the corpus is compressed to
+    PQ_M small-int codes per vector (dim×4 bytes → PQ_M bytes) and
+    served by asymmetric-distance scoring — the query is scored
+    against each subspace codebook once on the driver, every stored
+    vector's approximate cosine is then PQ_M table lookups + adds.
+
+    Spark-first shape: training = one scan + one (m,code)-group
+    aggregate per Lloyd round (train_pq_codebooks); encode+score =
+    ONE corpus scan with zero shuffle and a TakeOrdered top-k. At
+    100 TB the serving scan reads PQ_M ints per row instead of dim
+    floats — a 64× IO cut at these settings — which is the entire
+    reason PQ exists."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = sim.train_pq_codebooks(emb, _EMB_DIM)
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    enc = sim.pq_encode(emb, books, _EMB_DIM)
+    return sim.pq_search(
+        enc, books, q, k=10, exclude_id=_QUERY_VEC_ID
+    )
+
+
 _TRUNC_DIMS = (8, 16, 32)
 
 

@@ -225,6 +225,84 @@ def test_kmeans_training_is_deterministic(spark):
     assert c1 == c2  # no RNG, no partition-order dependence
 
 
+def _clustered_fixture(spark, DIM=16, C=8, PER=3, qid=1000):
+    """Deterministic mixture of Gaussians (cluster centers on basis
+    dims 0,2,..), query a decreasing blend of all centers — shared by
+    the IVF-recall, truncation, and PQ tests."""
+    import hashlib
+
+    def noise(i, j, scale=0.05):
+        h = int(hashlib.md5(f"n:{i}:{j}".encode()).hexdigest()[:8], 16)
+        return (h % 2001 - 1000) / 1000.0 * scale
+
+    rows = []
+    for vid in range(C * PER):
+        c = vid // PER
+        v = [noise(vid, j) for j in range(DIM)]
+        v[2 * c] += 1.0
+        rows.append((vid, v, c))
+    q_vec = [0.0] * DIM
+    for c in range(C):
+        q_vec[2 * c] = 1.0 / (c + 1.0)
+    rows.append((qid, q_vec, 99))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    return emb, q_vec
+
+
+def test_pq_training_is_deterministic_with_expected_shape(spark):
+    emb, _ = _clustered_fixture(spark)
+    b1 = sim.train_pq_codebooks(emb, dim=16)
+    b2 = sim.train_pq_codebooks(emb, dim=16)
+    assert b1 == b2  # no RNG, no partition-order dependence
+    assert len(b1) == sim.PQ_M
+    assert all(len(book) == sim.PQ_K for book in b1)
+    assert all(len(vec) == 16 // sim.PQ_M for book in b1 for _, vec in book)
+
+
+def test_pq_adc_search_matches_exact_topk_on_clustered_data(spark):
+    """On well-separated clusters the 4×8 product quantizer must
+    reconstruct the neighborhood structure: ADC top-10 from the
+    CODES-ONLY representation equals the exact brute-force top-10
+    (pinned — a quantizer or table-lookup regression that merely
+    stays plausible still flags)."""
+    emb, q_vec = _clustered_fixture(spark)
+    q = sim.query_vector(emb, 1000)
+    bf = {
+        r["vec_id"]
+        for r in sim.cosine_topk(emb, q, k=10, exclude_id=1000).collect()
+    }
+    books = sim.train_pq_codebooks(emb, dim=16)
+    enc = sim.pq_encode(emb, books, dim=16)
+    ids = {
+        r["vec_id"]
+        for r in sim.pq_search(
+            enc, books, [float(x) for x in q_vec], k=10, exclude_id=1000
+        ).collect()
+    }
+    assert ids == bf, (sorted(ids), sorted(bf))
+
+
+def test_pq_search_plan_is_single_scan_takeordered(spark):
+    """The ADC serving claim, pinned as a plan test: scoring the
+    encoded corpus is a scan + TakeOrdered — no aggregate, no
+    Exchange, no join on the query path (the lookup tables are plan
+    literals)."""
+    emb, q_vec = _clustered_fixture(spark)
+    books = sim.train_pq_codebooks(emb, dim=16)
+    enc = sim.pq_encode(emb, books, dim=16)
+    plan = (
+        sim.pq_search(enc, books, [float(x) for x in q_vec], k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
+
+
 def test_assign_cell_scored_matches_assign_cell_and_driver_math(spark):
     """The scored variant must pick the identical cell as assign_cell
     and report the winning cosine — checked against a driver-side

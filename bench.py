@@ -95,6 +95,12 @@ HEADLINE = [
     "emb_ivf_compact_topk",
     "doc_resize_images",
     "streaming_quality_gate_parity",
+    # r6 session 2: k-means cluster profiling (the SemDeDup/IVF
+    # training job surfaced as a query) and product-quantized ADC
+    # serving (codes-only scan + TakeOrdered)
+    "emb_kmeans_clusters",
+    "emb_pq_topk",
+    "emb_ivfpq_topk",
 ]
 
 

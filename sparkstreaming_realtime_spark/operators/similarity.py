@@ -1075,6 +1075,122 @@ def pq_search(
     )
 
 
+def build_ivfpq_index(
+    emb: DataFrame,
+    dim: int,
+    path: str,
+    n_cells: int = IVF_CELLS,
+    iters: int = IVF_ITERS,
+    m_sub: int = PQ_M,
+    k: int = PQ_K,
+    pq_iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = ("label",),
+) -> None:
+    """Materialize the two-level FAISS-style index (IVF coarse router
+    over PQ-compressed lists): ``<path>/centroids`` (coarse cells),
+    ``<path>/books`` (the (m, code, centroid) fine codebooks — both
+    tiny parquet tables) and ``<path>/codes`` — the corpus stored as
+    PQ codes ONLY, written ``partitionBy(cell)``. Direct coding (no
+    per-cell residual): cosine scoring makes residual coding
+    ill-posed, and shared codebooks mean appends and compactions
+    reuse the same books without retraining — the trade is recall,
+    recovered with ``probes`` (FAISS's IndexIVFPQ under
+    ``by_residual=false``).
+
+    Build cost: two Lloyd trainings (each one scan + tiny-group
+    aggregate per round) and ONE encode scan; at serve time a probe
+    reads ``probes/n_cells`` of a corpus that is itself ~dim×4/m_sub
+    times smaller than the raw vectors."""
+    spark = emb.sparkSession
+    cents = train_kmeans_cells(emb, dim, n_cells, iters, id_col, vec_col)
+    spark.createDataFrame(
+        [(c, v) for c, v in cents], schema="cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    books = train_pq_codebooks(emb, dim, m_sub, k, pq_iters, id_col, vec_col)
+    spark.createDataFrame(
+        [(m, c, v) for m, book in enumerate(books) for c, v in book],
+        schema="m int, code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books")
+    sub_dim = dim // m_sub
+    codes = F.array(
+        *[
+            assign_code(_sub_slice(vec_col, m, sub_dim), books[m])
+            for m in range(m_sub)
+        ]
+    )
+    (
+        emb.select(
+            F.col(id_col),
+            *[F.col(c) for c in keep],
+            codes.alias("codes"),
+            assign_cell(vec_col, cents).alias("cell"),
+        )
+        # co-locate each inverted list before writing (see
+        # build_ivf_index for the measured small-files rationale)
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+
+
+def load_pq_books(spark, index_path: str) -> list[list[tuple[int, list[float]]]]:
+    """The persisted fine codebooks as the Python literal
+    :func:`pq_search` / :func:`assign_code` expect."""
+    rows = spark.read.parquet(f"{index_path}/books").collect()
+    m_sub = max(r["m"] for r in rows) + 1
+    books: list[list[tuple[int, list[float]]]] = [[] for _ in range(m_sub)]
+    for r in sorted(rows, key=lambda r: (r["m"], r["code"])):
+        books[r["m"]].append(
+            (int(r["code"]), [float(x) for x in r["centroid"]])
+        )
+    return books
+
+
+def ivfpq_search(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    probes: int = 1,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k through the two-level index: route the query to its
+    ``probes`` nearest coarse cells ON THE DRIVER (n_cells × dim
+    doubles — the same 6dp-rounded argmax the oracle replays), then
+    score ONLY those cells' code partitions. The cell filter is a
+    literal IN over the partition column, so the scan is statically
+    partition-pruned at plan time (cheaper than DPP — no join at
+    all); scoring is m_sub table lookups per row and the top-k is a
+    TakeOrdered. Nothing on the serve path reads a raw vector or
+    shuffles."""
+    import math
+
+    cents = load_centroids(spark, index_path)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    scored = []
+    for cell, v in cents:
+        cn = math.sqrt(sum(b * b for b in v))
+        cos = (
+            sum(float(a) * b for a, b in zip(query_vec, v)) / (qn * cn)
+            if qn > 0 and cn > 0
+            else 0.0
+        )
+        scored.append((round(cos, 6), -cell))
+    best = sorted(scored, reverse=True)[:probes]
+    cells = [-negcell for _, negcell in best]
+    books = load_pq_books(spark, index_path)
+    enc = spark.read.parquet(f"{index_path}/codes").where(
+        F.col("cell").isin(cells)
+    ).drop("cell")
+    return pq_search(
+        enc, books, query_vec, k=k, id_col=id_col, exclude_id=exclude_id
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     dim: int,

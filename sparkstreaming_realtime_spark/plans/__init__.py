@@ -65,13 +65,15 @@ _PRIORITY = [
     # product-quantized ANN query)
     "doc_dup_clusters", "doc_hash_split",
     # sampling / export family (exact_k re-verifies the null-safe
-    # pre-filter edit)
-    "doc_stratified_sample", "doc_temperature_resample",
+    # pre-filter edit; doc_temperature_resample rotated to the tail —
+    # green r2–r5 — for the NEW two-level IVF-PQ query)
+    "doc_stratified_sample",
     "doc_exact_k_sample", "doc_source_mix",
     # multimodal / embedding family (+ NEW r6: byte-exact resize,
     # k-means cluster profiling)
     "doc_frame_sample", "doc_resize_images", "emb_feature_extract",
     "emb_ivf_recall_curve", "emb_kmeans_clusters", "emb_pq_topk",
+    "emb_ivfpq_topk",
     # LLM dedup/similarity (re-verify the r6 width edits: the 6×6
     # re-pin, the width-adaptive auto oracle's first hash row, and the
     # Hadoop-FS index maintenance behind append + NEW compact)
@@ -94,6 +96,7 @@ _PRIORITY = [
     # session by scripts/check_oracle.py (full registry) and pytest
     "streaming_heavy_hitters_parity", "streaming_state_profile_parity",
     "doc_tfidf_top_terms", "doc_chunk_dedup_stride",
+    "doc_temperature_resample",
     "doc_top_bigrams", "doc_bpe_token_stats", "doc_lexical_commonness",
     "doc_training_shards",
     "min_cost_supplier", "doc_incremental_near_dup", "doc_binary_meta",

@@ -492,14 +492,15 @@ def _l2_sql(a: str, b: str) -> str:
     )
 
 
-def _pq_oracle() -> str:
-    """Replays the product quantizer bit-for-bit: per-subspace
-    deterministic-seeded L2 Lloyd training (codebooks as one long
-    (m, code, centroid) table), encoding by 6dp-rounded argmin, and
-    ADC scoring through the same 6dp-rounded (ip, n2) lookup tables
-    the Spark plan bakes in as literals — generated from the SAME
-    constants (PQ_M/PQ_K/PQ_ITERS, the pqseed prefix), so both
-    engines run the identical algorithm."""
+def _pq_ctes() -> str:
+    """Product-quantizer training + encoding + ADC scoring tables as
+    reusable CTEs, generated from the SAME constants as the Spark
+    implementation (PQ_M/PQ_K/PQ_ITERS, the pqseed prefix): per-
+    subspace deterministic-seeded L2 Lloyd training (codebooks as one
+    long (m, code, centroid) table ``cb{{it}}``), 6dp-rounded argmin
+    encoding (``enc``), the query row (``q``: qv + 6dp norm) and the
+    6dp-rounded per-(m,code) ADC lookup table (``tbl``) the Spark
+    plan bakes in as literals."""
     m_sub, k, iters = sim.PQ_M, sim.PQ_K, sim.PQ_ITERS
     sd = _EMB_DIM // m_sub
     seed_h = oracle_hash60_sql(f"'{sim._PQ_SEED_PREFIX}' || vec_id::VARCHAR")
@@ -519,21 +520,21 @@ cb0 AS (SELECT m.m, s.code,
     ]
     for it in range(iters):
         parts.append(
-            f"""a{it} AS (SELECT vec_id, m, sv, code FROM (
+            f"""pa{it} AS (SELECT vec_id, m, sv, code FROM (
   SELECT v.vec_id, v.m, v.sv, c.code,
          row_number() OVER (PARTITION BY v.vec_id, v.m
              ORDER BY round({_l2_sql("v.sv", "c.centroid")}, 6), c.code
          ) AS rn
   FROM sv v JOIN cb{it} c ON c.m = v.m) WHERE rn = 1),
-m{it} AS (SELECT m, code, i, round(avg(x), 6) AS av FROM (
+pm{it} AS (SELECT m, code, i, round(avg(x), 6) AS av FROM (
             SELECT m, code, generate_subscripts(sv, 1) AS i,
-                   unnest(sv)::DOUBLE AS x FROM a{it})
+                   unnest(sv)::DOUBLE AS x FROM pa{it})
           GROUP BY 1, 2, 3),
-l{it} AS (SELECT m, code, list(av ORDER BY i) AS centroid
-          FROM m{it} GROUP BY m, code),
+pl{it} AS (SELECT m, code, list(av ORDER BY i) AS centroid
+          FROM pm{it} GROUP BY m, code),
 cb{it + 1} AS (SELECT p.m, p.code,
                       coalesce(l.centroid, p.centroid) AS centroid
-               FROM cb{it} p LEFT JOIN l{it} l
+               FROM cb{it} p LEFT JOIN pl{it} l
                  ON l.m = p.m AND l.code = p.code)"""
         )
     parts.append(
@@ -554,15 +555,22 @@ tbl AS (SELECT c.m, c.code,
                      p -> p[1]::DOUBLE * p[2]::DOUBLE)), 6) AS ip,
                round(list_sum(list_transform(c.centroid,
                      x -> x * x)), 6) AS n2
-        FROM cb{iters} c, q),
-sc AS (SELECT e.vec_id, sum(t.ip) AS s_ip, sum(t.n2) AS s_n2
-       FROM enc e JOIN tbl t ON t.m = e.m AND t.code = e.code
-       WHERE e.vec_id <> {_QUERY_VEC_ID}
-       GROUP BY e.vec_id)"""
+        FROM cb{iters} c, q)"""
     )
-    body = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+_PQ_SCORE = """sc AS (SELECT e.vec_id, sum(t.ip) AS s_ip, sum(t.n2) AS s_n2
+       FROM enc e JOIN tbl t ON t.m = e.m AND t.code = e.code
+       WHERE e.vec_id <> {qid}
+       GROUP BY e.vec_id)"""
+
+
+def _pq_oracle() -> str:
+    """Full-corpus PQ ADC top-10 — see :func:`_pq_ctes`."""
     return f"""
-WITH {body}
+WITH {_pq_ctes()},
+{_PQ_SCORE.format(qid=_QUERY_VEC_ID)}
 SELECT s.vec_id, emb.label,
        round(CASE WHEN q.qn * sqrt(s.s_n2) > 0
                   THEN s.s_ip / (q.qn * sqrt(s.s_n2)) ELSE 0.0 END,
@@ -571,6 +579,90 @@ FROM sc s JOIN embeddings emb ON emb.vec_id = s.vec_id, q
 ORDER BY acos DESC, s.vec_id
 LIMIT 10
 """
+
+
+def _ivfpq_oracle(probes: int) -> str:
+    """Two-level IVF-PQ ADC top-10: composes the coarse-quantizer
+    replay (``_kmeans_ctes`` → c{{it}}, afin) with the fine-quantizer
+    replay (``_pq_ctes`` → cb{{it}}, enc, tbl, q) — the same two
+    generators the single-level oracles use, so every constant stays
+    shared with the Spark implementation. Routing picks the
+    ``probes`` nearest coarse cells by the same 6dp-rounded
+    smallest-cell-tiebreak argmax the driver computes."""
+    it = sim.IVF_ITERS
+    return f"""
+WITH {_kmeans_ctes()},
+{_pq_ctes()},
+best AS (SELECT c.cell FROM c{it} c, q
+         ORDER BY round({_cos_sql("c.centroid", "q.qv")}, 6) DESC, c.cell
+         LIMIT {probes}),
+scp AS (SELECT e.vec_id, sum(t.ip) AS s_ip, sum(t.n2) AS s_n2
+        FROM enc e
+        JOIN afin f ON f.vec_id = e.vec_id
+        JOIN best b ON b.cell = f.cell
+        JOIN tbl t ON t.m = e.m AND t.code = e.code
+        WHERE e.vec_id <> {_QUERY_VEC_ID}
+        GROUP BY e.vec_id)
+SELECT s.vec_id, emb.label,
+       round(CASE WHEN q.qn * sqrt(s.s_n2) > 0
+                  THEN s.s_ip / (q.qn * sqrt(s.s_n2)) ELSE 0.0 END,
+             6) AS acos
+FROM scp s JOIN embeddings emb ON emb.vec_id = s.vec_id, q
+ORDER BY acos DESC, s.vec_id
+LIMIT 10
+"""
+
+
+#: one persisted IVF-PQ index per (session, sf_dir) — the
+#: _IVF_INDEX_CACHE pattern for the two-level index
+_IVFPQ_INDEX_CACHE: dict[tuple[str, ...], str] = {}
+
+
+def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVFPQ_INDEX_CACHE:
+        import os
+        import re
+        import tempfile
+
+        tag = re.sub(r"[^A-Za-z0-9_]", "_", "_".join(key))
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}"
+        )
+        sim.build_ivfpq_index(_t(spark, sf_dir, "embeddings"), _EMB_DIM, path)
+        _IVFPQ_INDEX_CACHE[key] = path
+    return _IVFPQ_INDEX_CACHE[key]
+
+
+@register(
+    "emb_ivfpq_topk", oracle=_ivfpq_oracle(2), tags=("LLM", "similarity")
+)
+def emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-architecture IVF-PQ serving (IndexIVFPQ with
+    by_residual=false): coarse k-means cells route the query, fine PQ
+    codebooks compress each inverted list to m_sub ints per vector,
+    and the probed cells are scored by ADC table lookups.
+
+    Spark-first shape: the index is built ONCE per session
+    (build_ivfpq_index — two Lloyd trainings + one encode scan,
+    codes stored partitionBy(cell)); the serve path routes on the
+    driver (n_cells × dim doubles), statically partition-prunes the
+    codes scan with a literal IN over the partition column (no join,
+    no DPP needed), scores by m_sub lookups per row, and TakeOrders
+    the top-k. At 100 TB a probe reads probes/n_cells of a corpus
+    that is already 64× smaller than the raw vectors — the compound
+    IO cut that makes billion-vector ANN servable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == _QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    idx = _ivfpq_index_path(spark, sf_dir)
+    return sim.ivfpq_search(
+        spark, idx, q, k=10, probes=2, exclude_id=_QUERY_VEC_ID
+    )
 
 
 @register("emb_pq_topk", oracle=_pq_oracle(), tags=("LLM", "similarity"))

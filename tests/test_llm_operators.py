@@ -303,6 +303,65 @@ def test_pq_search_plan_is_single_scan_takeordered(spark):
     assert "Exchange" not in plan and "Join" not in plan
 
 
+def test_ivfpq_recall_improves_with_probes_and_matches_ivf_curve(
+    spark, tmp_path
+):
+    """The two-level index must keep BOTH knobs honest: recall@10
+    strictly increases over probes 1 → 2 → 4 (routing works), and on
+    well-separated clusters the curve equals plain IVF's pinned
+    [0.3, 0.6, 0.9] — the 4×8 product quantizer loses nothing here,
+    so any drop below the IVF curve is a quantizer regression, not a
+    geometry artifact."""
+    emb, q_vec = _clustered_fixture(spark)
+    path = str(tmp_path / "ivfpq")
+    sim.build_ivfpq_index(emb, 16, path, n_cells=8, iters=2)
+    q = sim.query_vector(emb, 1000)
+    bf = {
+        r["vec_id"]
+        for r in sim.cosine_topk(emb, q, k=10, exclude_id=1000).collect()
+    }
+    recalls = []
+    for p in (1, 2, 4):
+        ids = {
+            r["vec_id"]
+            for r in sim.ivfpq_search(
+                spark,
+                path,
+                [float(x) for x in q_vec],
+                k=10,
+                probes=p,
+                exclude_id=1000,
+            ).collect()
+        }
+        recalls.append(len(ids & bf) / 10.0)
+    assert recalls == [0.3, 0.6, 0.9], recalls
+
+
+def test_ivfpq_serve_plan_is_partition_pruned_codes_scan(spark, tmp_path):
+    """The serve-path claim, pinned: the codes scan is STATICALLY
+    partition-pruned (literal IN over the cell partition column — no
+    join, no DPP), reads only the code columns, and tops out in a
+    TakeOrdered. No Exchange, no aggregate, no raw-vector read
+    anywhere."""
+    emb, q_vec = _clustered_fixture(spark)
+    path = str(tmp_path / "ivfpq")
+    sim.build_ivfpq_index(emb, 16, path, n_cells=8, iters=2)
+    plan = (
+        sim.ivfpq_search(
+            spark, path, [float(x) for x in q_vec], k=10, probes=2
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "PartitionFilters: [cell" in plan and " IN " in plan
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    # codes-only read: the serving scan must never load raw vectors
+    assert "embedding" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+
 def test_assign_cell_scored_matches_assign_cell_and_driver_math(spark):
     """The scored variant must pick the identical cell as assign_cell
     and report the winning cosine — checked against a driver-side

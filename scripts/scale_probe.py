@@ -66,6 +66,13 @@ PROBE = [
     "emb_ivf_compact_topk",
     "doc_resize_images",
     "streaming_quality_gate_parity",
+    # r6 session 2: cluster profiling (training scans + one profile
+    # scan — linear by construction), PQ ADC serving (codes-only
+    # scan), and the two-level IVF-PQ (partition-pruned codes scan —
+    # should probe FLAT like the other routed serves)
+    "emb_kmeans_clusters",
+    "emb_pq_topk",
+    "emb_ivfpq_topk",
 ]
 
 

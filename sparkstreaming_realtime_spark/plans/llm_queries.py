@@ -441,7 +441,11 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-data costs are the linear scans; nothing corpus-sized ever
     shuffles."""
     emb = _t(spark, sf_dir, "embeddings")
-    cents = sim.train_kmeans_cells(emb, _EMB_DIM)
+    # the clusters ARE the IVF coarse quantizer (same constants, same
+    # deterministic trainer) — reuse the session's persisted index
+    # instead of retraining per call, exactly as a production profile
+    # job would read the published centroid table
+    cents = sim.load_centroids(spark, _ivf_index_path(spark, sf_dir))
     sc = emb.select(
         F.col("label"),
         F.explode(
@@ -613,6 +617,20 @@ LIMIT 10
 """
 
 
+#: trained PQ codebooks per (session, sf_dir) — training is the
+#: offline job, serving reuses it (the _IVF_INDEX_CACHE pattern)
+_PQ_BOOKS_CACHE: dict[tuple[str, ...], list] = {}
+
+
+def _pq_books(spark: SparkSession, sf_dir: str) -> list:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_BOOKS_CACHE:
+        _PQ_BOOKS_CACHE[key] = sim.train_pq_codebooks(
+            _t(spark, sf_dir, "embeddings"), _EMB_DIM
+        )
+    return _PQ_BOOKS_CACHE[key]
+
+
 #: one persisted IVF-PQ index per (session, sf_dir) — the
 #: _IVF_INDEX_CACHE pattern for the two-level index
 _IVFPQ_INDEX_CACHE: dict[tuple[str, ...], str] = {}
@@ -681,7 +699,7 @@ def emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats — a 64× IO cut at these settings — which is the entire
     reason PQ exists."""
     emb = _t(spark, sf_dir, "embeddings")
-    books = sim.train_pq_codebooks(emb, _EMB_DIM)
+    books = _pq_books(spark, sf_dir)
     q = [
         float(x)
         for x in emb.where(F.col("vec_id") == _QUERY_VEC_ID)

@@ -101,6 +101,9 @@ HEADLINE = [
     "emb_kmeans_clusters",
     "emb_pq_topk",
     "emb_ivfpq_topk",
+    # r6 session 3: binary sign-bit quantization + Hamming two-stage
+    # search (16-byte/vector serving scan, exact-cosine rerank)
+    "emb_hamming_topk",
 ]
 
 

@@ -73,6 +73,10 @@ PROBE = [
     "emb_kmeans_clusters",
     "emb_pq_topk",
     "emb_ivfpq_topk",
+    # r6 session 3: binary Hamming two-stage search — the candidate
+    # stage is XOR+POPCNT per row (should probe ~linear-in-scan with
+    # big 32-core headroom), the rerank stage is constant-size
+    "emb_hamming_topk",
 ]
 
 

@@ -838,6 +838,116 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return out.withColumn("roundtrip_cos", rt).drop("__v")
 
 
+# --- binary (sign-bit) quantization + Hamming serving scan ---------------
+
+#: Hamming candidate over-fetch before the exact-cosine rerank: the
+#: standard two-stage binary-search recipe (e.g. FAISS's
+#: IndexBinaryFlat + refine) — Hamming on 1 bit/dim is a coarse but
+#: monotone-ish proxy for angle, so fetch k·RERANK candidates cheaply
+#: and let the exact metric order the short list.
+HAMMING_RERANK = 4
+
+
+def _pack_sign_bits(vec_col: Column | str, start: int, width: int = 32) -> Column:
+    """Pack ``width`` sign bits (``x > 0``) of a vector slice into one
+    BIGINT, MSB-first (element ``start`` gets weight 2^(width-1)).
+
+    A single fold (``F.aggregate``) over the slice — codegen'd, zero
+    shuffle. Halves of 32 keep every intermediate ≤ 2^32, far from
+    BIGINT's sign bit, so the fold is ANSI-overflow-free by
+    construction (a full 64-bit pack would overflow on the final
+    ``acc*2`` whenever bit 63 is set)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.aggregate(
+        F.slice(c, start, width),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(2) + F.when(x > 0, 1).otherwise(0),
+    )
+
+
+def binary_quantize(
+    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """1-bit-per-dimension binary quantization: two BIGINT half-words
+    (``bits_hi`` = dims 1..32, ``bits_lo`` = dims 33..64) carrying the
+    sign bit of every dimension — 256 bytes of float32 become 16
+    bytes per vector (the classic 32× shrink of binary embeddings;
+    sign-of-coordinate is LSH for angular distance, Charikar 2002).
+
+    At 100 TB the packed words live in a bits-only sidecar written at
+    ingest (like the int8 ``q`` codes), so the serving scan reads 16
+    bytes/vector instead of the embedding column; Hamming distance is
+    two XOR+POPCNT instructions per half — pure codegen arithmetic,
+    no shuffle, no Python."""
+    assert dim == 64, "packing layout is fixed at 2 x 32-bit halves"
+    return emb.withColumn(
+        "bits_hi", _pack_sign_bits(vec_col, 1)
+    ).withColumn("bits_lo", _pack_sign_bits(vec_col, 33))
+
+
+def hamming_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    rerank: int = HAMMING_RERANK,
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Two-stage binary ANN: Hamming top-(k·rerank) over the packed
+    sign bits, then exact-cosine rerank of the short list.
+
+    Stage 1 scans only XOR+bit_count arithmetic on 2 BIGINTs/row and
+    compiles to TakeOrderedAndProject (per-partition partial top-k,
+    k·rerank-row driver merge — no global sort). Stage 2 touches
+    k·rerank rows, so the expensive 64-element cosine fold runs a
+    constant number of times regardless of corpus size. Ties at both
+    stages break on ``id_col`` so the ranking is reproducible across
+    engines. ``query`` is a one-row :func:`query_vector` frame."""
+    from ..functions.vectors import dot, l2_norm
+
+    q = F.broadcast(
+        query.select(
+            F.col("__qv"),
+            F.col("__qn"),
+            _pack_sign_bits("__qv", 1).alias("__qhi"),
+            _pack_sign_bits("__qv", 33).alias("__qlo"),
+        )
+    )
+    scored = binary_quantize(emb).crossJoin(q)
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    cand = (
+        scored.select(
+            F.col(id_col),
+            F.col("label"),
+            F.col("embedding"),
+            F.col("__qv"),
+            F.col("__qn"),
+            (
+                F.bit_count(F.col("bits_hi").bitwiseXOR(F.col("__qhi")))
+                + F.bit_count(F.col("bits_lo").bitwiseXOR(F.col("__qlo")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(k * rerank)
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("label"),
+            F.col("hamming"),
+            F.round(
+                dot("embedding", "__qv") / (l2_norm("embedding") * F.col("__qn")),
+                6,
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 # --- product quantization (FAISS IVF-PQ's fine quantizer, PQ paper:
 # Jégou et al., "Product Quantization for Nearest Neighbor Search",
 # TPAMI 2011) ---------------------------------------------------------

@@ -75,13 +75,15 @@ _PRIORITY = [
     "emb_ivf_recall_curve", "emb_kmeans_clusters", "emb_pq_topk",
     "emb_ivfpq_topk",
     # LLM dedup/similarity (re-verify the r6 width edits: the 6×6
-    # re-pin, the width-adaptive auto oracle's first hash row, and the
-    # Hadoop-FS index maintenance behind append + NEW compact)
+    # re-pin, the width-adaptive auto oracle's first hash row, the
+    # Hadoop-FS index maintenance behind append + NEW compact, and
+    # the NEW binary sign-bit + Hamming two-stage search —
+    # emb_truncated_overlap rotated to the tail for it, green r5)
     "doc_exact_dedup", "doc_minhash_near_dup",
     "corpus_curation_funnel_v2", "emb_semantic_dedup",
     "emb_semantic_dedup_auto", "emb_knn_join",
     "emb_ivf_append_topk", "emb_ivf_compact_topk",
-    "emb_truncated_overlap",
+    "emb_hamming_topk",
     "doc_lm_perplexity", "doc_pii_scrub",
     # warehouse sentinels
     "bucketed_colocated_join", "clustered_point_lookup",
@@ -95,6 +97,7 @@ _PRIORITY = [
     # tail (51+): green in r1–r5 driver artifacts, still verified every
     # session by scripts/check_oracle.py (full registry) and pytest
     "streaming_heavy_hitters_parity", "streaming_state_profile_parity",
+    "emb_truncated_overlap",
     "doc_tfidf_top_terms", "doc_chunk_dedup_stride",
     "doc_temperature_resample",
     "doc_top_bigrams", "doc_bpe_token_stats", "doc_lexical_commonness",

@@ -2296,6 +2296,52 @@ def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HAMMING_K = 10
+_HAMMING_ORACLE = f"""
+WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding) AS v
+            FROM embeddings),
+bits AS (SELECT vec_id,
+    coalesce(sum(CASE WHEN i <= 32 AND v > 0
+                      THEN 1::BIGINT << (32 - i) ELSE 0 END), 0) AS bhi,
+    coalesce(sum(CASE WHEN i > 32 AND v > 0
+                      THEN 1::BIGINT << (64 - i) ELSE 0 END), 0) AS blo
+  FROM ex GROUP BY vec_id),
+q AS (SELECT e.embedding AS qv, b.bhi AS qhi, b.blo AS qlo
+      FROM embeddings e JOIN bits b USING (vec_id)
+      WHERE e.vec_id = {_QUERY_VEC_ID}),
+cand AS (SELECT e.vec_id, e.label, e.embedding,
+                (bit_count(xor(b.bhi, q.qhi))
+                 + bit_count(xor(b.blo, q.qlo)))::INT AS hamming
+         FROM embeddings e JOIN bits b USING (vec_id), q
+         WHERE e.vec_id <> {_QUERY_VEC_ID}
+         ORDER BY hamming, e.vec_id
+         LIMIT {_HAMMING_K * sim.HAMMING_RERANK})
+SELECT c.vec_id, c.label, c.hamming,
+       round({_cos_sql("c.embedding", "q.qv")}, 6) AS cos
+FROM cand c, q
+ORDER BY cos DESC, c.vec_id
+LIMIT {_HAMMING_K}
+"""
+
+
+@register("emb_hamming_topk", oracle=_HAMMING_ORACLE, tags=("LLM", "similarity"))
+def emb_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary ANN (operators/similarity.py:hamming_topk):
+    sign-bit quantization packs 64 dims into two BIGINT half-words
+    (binary LSH for angle, Charikar 2002), a Hamming
+    TakeOrderedAndProject picks k·{sim.HAMMING_RERANK} candidates at
+    XOR+POPCNT cost — 16 bytes/vector instead of the 256-byte float
+    column at serve time — and the exact-cosine fold reranks only the
+    constant-size short list. The oracle replays the identical
+    MSB-first packing and both rank stages."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim.query_vector(emb, _QUERY_VEC_ID)
+    return sim.hamming_topk(
+        emb, q, k=_HAMMING_K, exclude_id=_QUERY_VEC_ID
+    )
+
+
 def _funnel_oracle() -> str:
     stop = _marker_sql(ts.STOPWORDS)
     n = f"len({_toks_sql('text')})"

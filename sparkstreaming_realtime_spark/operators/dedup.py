@@ -541,13 +541,19 @@ def connected_components(
       for why persist alone goes exponential).
 
     Returns (``id_out``, cluster_id, is_keep) for every node with at
-    least one edge; is_keep=1 marks the min-id canonical node."""
+    least one NON-SELF edge; is_keep=1 marks the min-id canonical
+    node. Self-loop pairs (a == b) are dropped up front: they carry
+    no component information, and keeping them only in SOME physical
+    strategies (union-find consumed them, star contraction filters
+    node != nbr) would let the three paths return different node
+    sets for the same input."""
     from ..materialize import ensure_checkpoint_dir
 
     # iterative: each round rebuilds `labels` from `labels`, so the
     # materialization MUST cut lineage (persist-only goes exponential
     # in plan re-analysis past ~5 rounds; see ensure_checkpoint_dir)
     ensure_checkpoint_dir(pairs.sparkSession)
+    pairs = pairs.filter(F.col(a_col) != F.col(b_col))
     # materialize the PAIRS before anything references them twice —
     # an unmaterialized pair plan (LSH join + verify) would rerun per
     # reference (the count probe + either strategy's consumption)

@@ -267,6 +267,7 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(f"{path}/corpus")
     )
+    invalidate_ivf_layout(path)
 
 
 def load_centroids(spark, index_path: str) -> list[tuple[int, list[float]]]:
@@ -307,6 +308,7 @@ def ivf_append(
         .partitionBy("cell")
         .parquet(f"{index_path}/delta/batch={batch_id}")
     )
+    invalidate_ivf_layout(index_path)
 
 
 #: Name of the folded-batch manifest a compaction stages INSIDE its
@@ -329,16 +331,55 @@ def _ivf_fs(spark, index_path: str):
 
 def _read_folded_ids(jvm, fs, Path, corpus: str) -> list[str]:
     """Batch-dir names recorded in the corpus's folded manifest
-    (empty when no manifest — the steady state)."""
+    (empty when no manifest — the steady state). Read with a plain
+    JDK Scanner, not commons-io: commons-io is only a TRANSITIVE
+    dependency of the Spark distribution, and a future distro shading
+    or dropping it would break manifest reads at runtime — during the
+    rare crash-cleanup window, the worst possible moment."""
     marker = Path(f"{corpus}/{IVF_FOLDED_MARKER}")
     if not fs.exists(marker):
         return []
     stream = fs.open(marker)
     try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        scanner = jvm.java.util.Scanner(stream, "UTF-8").useDelimiter("\\A")
+        text = scanner.next() if scanner.hasNext() else ""
     finally:
         stream.close()
     return [ln for ln in text.splitlines() if ln.strip()]
+
+
+def _rename_or_raise(fs, Path, src: str, dst: str) -> None:
+    """Hadoop ``FileSystem.rename`` signals failure with a ``False``
+    RETURN, not an exception (unlike the os.rename it replaced) — a
+    silently failed swap rename would let a compaction proceed into
+    its delta-delete/cleanup steps from an UNSWAPPED state, exactly
+    the corruption the manifest protocol exists to prevent. Every
+    swap/manifest rename goes through this raising wrapper."""
+    if not fs.rename(Path(src), Path(dst)):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
+#: serve-path layout cache: :func:`read_ivf_corpus`'s driver-side
+#: probe (recovery check + folded manifest read + delta listing) is
+#: 4-6 py4j FS round-trips PER SEARCH over an appended index —
+#: measured as the whole of emb_ivf_append_topk's r6 +40% serve
+#: regression. The layout only changes through this module's mutators
+#: (build/append/compact/recover), each of which invalidates, so
+#: within a session the probe runs once per index STATE — the same
+#: contract as the centroid/codebook literal caches in
+#: plans/llm_queries.py. A writer in ANOTHER session mutating a
+#: shared index requires an explicit :func:`invalidate_ivf_layout`.
+_IVF_LAYOUT_CACHE: dict[str, list[str]] = {}
+
+
+def invalidate_ivf_layout(index_path: str | None = None) -> None:
+    """Drop the cached pending-delta layout for ``index_path`` (or
+    all indexes) — needed only when an external session mutates an
+    index this session is serving."""
+    if index_path is None:
+        _IVF_LAYOUT_CACHE.clear()
+    else:
+        _IVF_LAYOUT_CACHE.pop(index_path, None)
 
 
 def _delta_batches(fs, Path, delta_dir: str) -> list[str]:
@@ -387,6 +428,9 @@ def ivf_compact(spark, index_path: str) -> int:
     are untouched: re-training is the separate offline job it always
     was."""
     jvm, fs, Path = _ivf_fs(spark, index_path)
+    # invalidate up front, not just on success: a crash mid-compact
+    # must not leave a pre-compact layout cached past the mutation
+    invalidate_ivf_layout(index_path)
     _recover_ivf_corpus(spark, index_path)
     delta_dir = f"{index_path}/delta"
     batches = _delta_batches(fs, Path, delta_dir)
@@ -421,16 +465,17 @@ def ivf_compact(spark, index_path: str) -> int:
         out.write(("\n".join(batches) + "\n").encode("utf-8"))
     finally:
         out.close()
-    fs.rename(tmp, Path(f"{nxt}/{IVF_FOLDED_MARKER}"))
+    _rename_or_raise(fs, Path, str(tmp), f"{nxt}/{IVF_FOLDED_MARKER}")
     if fs.exists(Path(old)):
         fs.delete(Path(old), True)
-    fs.rename(Path(base), Path(old))
-    fs.rename(Path(nxt), Path(base))
+    _rename_or_raise(fs, Path, base, old)
+    _rename_or_raise(fs, Path, nxt, base)
     for b in batches:
         fs.delete(Path(f"{delta_dir}/{b}"), True)
     fs.delete(Path(old), True)
     fs.delete(Path(f"{base}/{IVF_FOLDED_MARKER}"), False)
     _sweep_empty_delta_dir(fs, Path, delta_dir)
+    invalidate_ivf_layout(index_path)
     return len(batches)
 
 
@@ -446,7 +491,7 @@ def _recover_ivf_corpus(spark, index_path: str) -> None:
     jvm, fs, Path = _ivf_fs(spark, index_path)
     base, old = f"{index_path}/corpus", f"{index_path}/.corpus.old"
     if not fs.exists(Path(base)) and fs.exists(Path(old)):
-        fs.rename(Path(old), Path(base))
+        _rename_or_raise(fs, Path, old, base)
     folded = _read_folded_ids(jvm, fs, Path, base)
     if folded:
         for b in folded:
@@ -454,6 +499,7 @@ def _recover_ivf_corpus(spark, index_path: str) -> None:
         fs.delete(Path(old), True)
         fs.delete(Path(f"{base}/{IVF_FOLDED_MARKER}"), False)
         _sweep_empty_delta_dir(fs, Path, f"{index_path}/delta")
+    invalidate_ivf_layout(index_path)
 
 
 def read_ivf_corpus(spark, index_path: str) -> DataFrame:
@@ -462,17 +508,27 @@ def read_ivf_corpus(spark, index_path: str) -> DataFrame:
     manifest is authoritative during a compaction's cleanup window,
     so a crash mid-cleanup never double-serves a vector). Both
     layers carry ``cell`` as a partition column, so a cell-routed
-    join prunes the scan on each layer."""
-    jvm, fs, Path = _ivf_fs(spark, index_path)
+    join prunes the scan on each layer.
+
+    The layout probe (recovery check, manifest read, delta listing —
+    all driver-side FS I/O) is cached per index path and invalidated
+    by every mutator in this module, so repeated searches over a
+    stable index pay it once (see ``_IVF_LAYOUT_CACHE``)."""
     corpus = f"{index_path}/corpus"
-    if not fs.exists(Path(corpus)) and fs.exists(
-        Path(f"{index_path}/.corpus.old")
-    ):
-        _recover_ivf_corpus(spark, index_path)
-    base = spark.read.parquet(corpus)
     delta_dir = f"{index_path}/delta"
-    folded = set(_read_folded_ids(jvm, fs, Path, corpus))
-    pending = [b for b in _delta_batches(fs, Path, delta_dir) if b not in folded]
+    pending = _IVF_LAYOUT_CACHE.get(index_path)
+    if pending is None:
+        jvm, fs, Path = _ivf_fs(spark, index_path)
+        if not fs.exists(Path(corpus)) and fs.exists(
+            Path(f"{index_path}/.corpus.old")
+        ):
+            _recover_ivf_corpus(spark, index_path)
+        folded = set(_read_folded_ids(jvm, fs, Path, corpus))
+        pending = [
+            b for b in _delta_batches(fs, Path, delta_dir) if b not in folded
+        ]
+        _IVF_LAYOUT_CACHE[index_path] = pending
+    base = spark.read.parquet(corpus)
     if pending:
         delta = (
             spark.read.option("basePath", delta_dir)

@@ -101,7 +101,16 @@ def stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the bug this helper removes from every streaming parity query.
     Temporal columns are NOT normalized here (callers needing ts go
     through :func:`events_with_ts`), but the schema is taken from the
-    batch reader so both shapes stream identically."""
+    batch reader so both shapes stream identically.
+
+    LOCAL-FIXTURE HARNESS ONLY: the shape probe is ``os.path.isdir``,
+    which sees nothing on an ``hdfs://``/``s3://`` sf_dir — fine
+    here, because the single-file shape it disambiguates exists only
+    in the driver's local testdata (a production deployment streams
+    Spark-written DIRECTORY tables, where the probe is never needed;
+    porting this helper off local disk means swapping the probe to
+    the Hadoop FileSystem API, the pattern in
+    operators/similarity.py:_ivf_fs)."""
     import os
 
     path = f"{sf_dir}/{name}.parquet"

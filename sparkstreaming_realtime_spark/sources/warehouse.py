@@ -136,6 +136,17 @@ def write_clustered(
     )
 
 
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` signals failure with a ``False``
+    RETURN, not an exception (unlike os.rename) — a silently failed
+    swap rename would let the compaction proceed into its cleanup
+    steps from an unswapped state. Every swap rename goes through
+    this raising wrapper (same contract as the IVF index's helper in
+    operators/similarity.py)."""
+    if not fs.rename(src, dst):
+        raise IOError(f"rename failed: {src} -> {dst}")
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -192,7 +203,7 @@ def compact_partitions(
             continue
         visible = Path(root, name[1:-len(".old")])
         if not fs.exists(visible):
-            fs.rename(st.getPath(), visible)
+            _rename_or_raise(fs, st.getPath(), visible)
         else:
             fs.delete(st.getPath(), True)
 
@@ -217,8 +228,8 @@ def compact_partitions(
         nxt = Path(root, "." + name + ".next")
         old_dir = Path(root, "." + name + ".old")
         part.repartition(want).write.mode("overwrite").parquet(str(nxt))
-        fs.rename(p, old_dir)
-        fs.rename(nxt, p)
+        _rename_or_raise(fs, p, old_dir)
+        _rename_or_raise(fs, nxt, p)
         fs.delete(old_dir, True)
         return name[len(prefix):], (n_before, len(_parquet_files(p)))
 

@@ -476,6 +476,46 @@ def test_ivf_append_replay_is_idempotent_and_served(spark, tmp_path):
     assert wide == [2, 3, 4, 10, 11]
 
 
+def test_ivf_layout_cache_serves_without_fs_probe_and_invalidates(
+    spark, tmp_path
+):
+    """The serve-path layout cache (r7): repeated searches over a
+    stable index must not re-run the driver-side FS probe (manifest
+    read + delta listing — the measured r6 serve regression), and
+    every mutator must invalidate so appended/compacted vectors are
+    never served stale."""
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, dim=2, path=path, n_cells=2, iters=1)
+    assert path not in sim._IVF_LAYOUT_CACHE  # build invalidates
+    sim.read_ivf_corpus(spark, path)
+    assert sim._IVF_LAYOUT_CACHE[path] == []  # probe ran, cached
+    # poison the cached layout: a cache hit must skip the FS probe
+    # entirely, so the poisoned (empty) layout keeps being served
+    sim._IVF_LAYOUT_CACHE[path] = []
+    late = spark.createDataFrame(
+        [(10, [0.95, 0.05], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sim.ivf_append(late, path, batch_id=0)
+    # append invalidated the poisoned entry → next read re-probes and
+    # serves the delta
+    assert path not in sim._IVF_LAYOUT_CACHE
+    ids = {r["vec_id"] for r in sim.read_ivf_corpus(spark, path).collect()}
+    assert ids == {1, 2, 3, 10}
+    assert sim._IVF_LAYOUT_CACHE[path] == ["batch=0"]
+    assert sim.ivf_compact(spark, path) == 1
+    assert path not in sim._IVF_LAYOUT_CACHE  # compact invalidates
+    ids = {r["vec_id"] for r in sim.read_ivf_corpus(spark, path).collect()}
+    assert ids == {1, 2, 3, 10}
+    # the external-writer escape hatch clears without a mutator
+    sim.invalidate_ivf_layout(path)
+    assert path not in sim._IVF_LAYOUT_CACHE
+
+
 def test_ivf_append_serving_prunes_both_layers(spark, tmp_path):
     """Plan pin for the append-serving path: after a delta append the
     search reads TWO corpus layers (base + delta), and BOTH scans
@@ -1317,6 +1357,32 @@ def test_connected_components_strategies_agree(spark):
     assert all(clusters[n] == 1 for n in (1, 2, 3, 4, 5))
     assert all(clusters[n] == 10 for n in (10, 11, 12))
     assert all(clusters[n] == 20 for n in (20, 21))
+
+
+def test_connected_components_self_loops_dropped_consistently(spark):
+    """Self-loop pairs (a == b) carry no component information, and
+    before r7 the three physical strategies DISAGREED on them: the
+    driver union-find emitted a self-loop-only node, while star
+    contraction filters node != nbr and dropped it. They are now
+    stripped once at entry, so every strategy returns the same node
+    set — nodes with at least one real edge. The chain is long
+    enough (and max_iters=2 small enough) that the third variant
+    genuinely reaches the star-contraction fallback."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)]       # chain 0..8: min 0
+        + [(3, 3), (99, 99)],                # self-loops: one on the
+        "doc_a long, doc_b long",            # chain, one isolated
+    )
+    local = sorted(map(tuple, dd.connected_components(
+        pairs, local_threshold=10**9).collect()))
+    dist = sorted(map(tuple, dd.connected_components(
+        pairs, local_threshold=0).collect()))
+    star = sorted(map(tuple, dd.connected_components(
+        pairs, max_iters=2, local_threshold=0).collect()))
+    assert local == dist == star
+    nodes = {r[0] for r in local}
+    assert nodes == set(range(9))  # 99 dropped everywhere, 3 kept
+    assert all(r[1] == 0 for r in local)
 
 
 def test_connected_components_long_chain_star_contraction(spark):

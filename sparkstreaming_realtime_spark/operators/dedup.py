@@ -553,7 +553,16 @@ def connected_components(
     # materialization MUST cut lineage (persist-only goes exponential
     # in plan re-analysis past ~5 rounds; see ensure_checkpoint_dir)
     ensure_checkpoint_dir(pairs.sparkSession)
-    pairs = pairs.filter(F.col(a_col) != F.col(b_col))
+    # Self-loops carry no component info; NULL-id pairs are likewise
+    # dropped EXPLICITLY (the != alone would null-reject implicitly —
+    # pinning it with isNotNull makes the exclusion a stated contract
+    # rather than a three-valued-logic accident). LSH pair producers
+    # join on non-null ids, so this only matters for direct callers.
+    pairs = pairs.filter(
+        F.col(a_col).isNotNull()
+        & F.col(b_col).isNotNull()
+        & (F.col(a_col) != F.col(b_col))
+    )
     # materialize the PAIRS before anything references them twice —
     # an unmaterialized pair plan (LSH join + verify) would rerun per
     # reference (the count probe + either strategy's consumption)
@@ -644,6 +653,13 @@ def connected_components(
     )
 
 
+#: hard safety cap on star-contraction alternations: contraction
+#: halves path heights per round, so 64 rounds covers any graph whose
+#: tallest path fits in a 64-bit id space. Reaching it means a logic
+#: bug, and the loop raises rather than returning non-fixpoint labels.
+_STAR_SAFETY_CAP = 64
+
+
 def _star_contraction_labels(
     edges_sym: DataFrame, max_rounds: int
 ) -> DataFrame:
@@ -665,7 +681,19 @@ def _star_contraction_labels(
     (each round at least halves every path's height, where min-label
     propagation walks a chain one hop per round and pointer jumping
     one doubling per round). Fixpoint = the round changed nothing;
-    labels then read directly off the stars."""
+    labels then read directly off the stars.
+
+    ``max_rounds`` is a lower bound on effort, NOT a truncation
+    point: labels are only ever read off a FIXPOINT edge set, so the
+    loop keeps contracting past the caller's budget until the
+    fixpoint test passes (termination is guaranteed — each
+    large+small alternation strictly lowers every non-star path, so
+    O(log² n) rounds suffice). A hard safety cap of
+    ``max(max_rounds, 64)`` alternations (2^64-height forests cannot
+    exist on real ids) converts a would-be infinite loop from a
+    logic bug into a loud ``RuntimeError`` instead of silently
+    returning partial, wrong cluster labels — the r7 defect pinned
+    by ``test_connected_components_self_loops_dropped_consistently``."""
 
     def half(E: DataFrame, large: bool) -> DataFrame:
         mins = E.groupBy("node").agg(F.min("nbr").alias("mn"))
@@ -694,7 +722,8 @@ def _star_contraction_labels(
         edges_sym.filter(F.col("node") != F.col("nbr")).distinct(),
         eager=True,
     )
-    for _ in range(max_rounds):
+    at_fixpoint = False
+    for _ in range(max(max_rounds, _STAR_SAFETY_CAP)):
         nxt = materialize(half(half(E, large=True), large=False), eager=True)
         # fixpoint test on the canonical (undirected) edge set
         grew = nxt.subtract(E).count()
@@ -702,7 +731,16 @@ def _star_contraction_labels(
         release(E)
         E = nxt
         if grew == 0 and same_size:
+            at_fixpoint = True
             break
+    if not at_fixpoint:
+        release(E)
+        raise RuntimeError(
+            "star contraction failed to reach a fixpoint within "
+            f"{max(max_rounds, _STAR_SAFETY_CAP)} rounds — this is a "
+            "logic bug (contraction provably terminates in O(log^2) "
+            "rounds); refusing to return partial cluster labels"
+        )
     labels = E.groupBy("node").agg(
         F.least(F.col("node"), F.min("nbr")).alias("label")
     )

@@ -104,12 +104,17 @@ HEADLINE = [
     # r6 session 3: binary sign-bit quantization + Hamming two-stage
     # search (16-byte/vector serving scan, exact-cosine rerank)
     "emb_hamming_topk",
+    # r8: cluster-pruned SemDeDup (the published recipe — candidates
+    # bounded by k-means cluster size, coarse quantizer shared with
+    # the persisted IVF index)
+    "emb_semantic_dedup_clustered",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    load_at_start = round(os.getloadavg()[0], 2)
     spark = get_spark(app_name="bench")
     qs = queries()
 
@@ -162,17 +167,40 @@ def main() -> None:
             t0 = time.time()
             try:
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                timings[name] = min(timings[name], round(time.time() - t0, 3))
+                dt = round(time.time() - t0, 3)
+                timings[name] = min(timings[name], dt)
+                ts.append(dt)
             except Exception:  # noqa: BLE001 — min-of-2 already stands
                 pass
 
     total = round(sum(timings.values()), 3)
+    # Per-query pass lists + relative spread ride along so a reader
+    # can separate load noise from real drift WITHOUT re-running:
+    # min-of-N is robust to one stall, but persistent machine load
+    # inflates every pass and the min silently drifts (r7: a 6x
+    # phantom regression on emb_ivf_knn_join survived min-of-3).
+    # rel_spread = (max-min)/min per query; a whole artifact where
+    # most queries show large spreads (or where loadavg is high) is
+    # a loaded-machine run, not a code regression.
+    spread = {
+        name: {
+            "passes": ts,
+            "rel_spread": round((max(ts) - min(ts)) / min(ts), 3)
+            if min(ts) > 0
+            else 0.0,
+        }
+        for name, ts in sorted(passes.items())
+    }
     out: dict = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "pass_spread": spread,
+        "loadavg_1m_start": load_at_start,
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
+        "n_cpus": os.cpu_count(),
     }
     if errors:
         out["errors"] = errors

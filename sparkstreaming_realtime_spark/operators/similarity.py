@@ -771,24 +771,38 @@ def rh_near_dup_pairs(
         .withColumnRenamed("doc_a", "vec_a")
         .withColumnRenamed("doc_b", "vec_b")
     )
-    # norms computed ONCE per vector in the payload projections:
-    # the per-pair cosine then folds only the dot product — a vector
-    # in p candidate pairs otherwise re-folds its norm p times
-    # (measured ~2.6 s of a 3.4 s verify stage at sf0.1). Same
-    # arithmetic as cosine_similarity (sqrt of the same fold, then
-    # the same division), so the 6dp-rounded value — and the oracle
-    # hash — are bit-identical.
+    return _verify_cosine_pairs(emb, cands, threshold, id_col)
+
+
+def _verify_cosine_pairs(
+    emb: DataFrame,
+    cands: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine verify over a (vec_a, vec_b) candidate frame —
+    the shared decision stage of :func:`rh_near_dup_pairs` and
+    :func:`cluster_near_dup_pairs`. The vector payload joins back by
+    id so embeddings never ride the candidate shuffle, and norms are
+    computed ONCE per vector in the payload projections: the per-pair
+    cosine then folds only the dot product — a vector in p candidate
+    pairs otherwise re-folds its norm p times (measured ~2.6 s of a
+    3.4 s verify stage at sf0.1). Same arithmetic as
+    cosine_similarity (sqrt of the same fold, then the same
+    division), so the 6dp-rounded value — and the oracle hash — are
+    bit-identical."""
     from ..functions.vectors import dot, l2_norm
 
     ea = emb.select(
         F.col(id_col).alias("vec_a"),
-        F.col("embedding").alias("__ea"),
-        l2_norm("embedding").alias("__na"),
+        F.col(vec_col).alias("__ea"),
+        l2_norm(vec_col).alias("__na"),
     )
     eb = emb.select(
         F.col(id_col).alias("vec_b"),
-        F.col("embedding").alias("__eb"),
-        l2_norm("embedding").alias("__nb"),
+        F.col(vec_col).alias("__eb"),
+        l2_norm(vec_col).alias("__nb"),
     )
     return (
         cands.join(ea, "vec_a")
@@ -1395,6 +1409,89 @@ def semantic_dedup(
     pairs = rh_near_dup_pairs(
         emb, dim, threshold, id_col, bands, rows_per_band, max_bucket,
         approx_count,
+    )
+    return connected_components(pairs, "vec_a", "vec_b", id_col, max_iters)
+
+
+def cluster_near_dup_pairs(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs — the candidate stage of
+    cluster-pruned SemDeDup (Abbas et al. 2023, the ACTUAL SemDeDup
+    recipe: pairwise cosine only WITHIN each k-means cluster, never
+    across). Compare :func:`rh_near_dup_pairs`, whose candidate set
+    depends on LSH bucket luck; here it is bounded by cluster
+    geometry: Σ|c_i|² pairs total, ≤ N·max(|c_i|).
+
+    Shape: nearest-centroid assignment is an in-row argmax against
+    the literal centroid table (:func:`assign_cell` — zero shuffle,
+    zero UDF; ``cents`` is the persisted IVF coarse quantizer reused
+    verbatim, so clustered dedup shares its training job with the ANN
+    index). Only the narrow (id, cell) projection rides the
+    cell-keyed self-join; vectors join back by id inside
+    :func:`_verify_cosine_pairs`. At 100 TB the scale knob is the
+    quantizer's ``n_cells`` — grow it with N (SemDeDup uses
+    k ≈ √N-to-N/100) and expected cluster size N/k stays put, so the
+    self-join stays near-linear. ``max_cluster`` hard-caps degenerate
+    clusters the same way ``max_bucket`` caps LSH buckets: an
+    over-cap cell is dropped WHOLE (deterministic — its members
+    simply produce no pairs), bounding the worst case at cap² per
+    cell."""
+    from ..materialize import materialize
+
+    assigned = materialize(
+        emb.select(
+            F.col(id_col), assign_cell(vec_col, cents).alias("cell")
+        )
+    )
+    if max_cluster is not None:
+        small = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_cluster)
+            .select("cell")
+        )
+        assigned = assigned.join(small, "cell")
+    a = assigned.select(F.col("cell"), F.col(id_col).alias("vec_a"))
+    b = assigned.select(F.col("cell"), F.col(id_col).alias("vec_b"))
+    cands = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    return _verify_cosine_pairs(emb, cands, threshold, id_col, vec_col)
+
+
+def semantic_dedup_clustered(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    max_iters: int = 20,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """Cluster-pruned semantic dedup — SemDeDup as published (Abbas
+    et al. 2023): k-means partitions the corpus, exact cosine decides
+    only within clusters, connected components collapse the verified
+    pair graph to one min-id survivor per semantic group. The LSH
+    variant (:func:`semantic_dedup`) trades recall for obliviousness
+    to cluster structure; this one bounds candidates by cluster size
+    and reuses the persisted IVF coarse quantizer (``cents``) so the
+    expensive training job runs once for ANN serving AND dedup.
+
+    Returns (``id_col``, cluster_id, is_keep) for every vector with
+    at least one ≥-threshold within-cluster neighbor, exactly like
+    :func:`semantic_dedup` — the two variants are drop-in
+    interchangeable downstream."""
+    from .dedup import connected_components
+
+    pairs = cluster_near_dup_pairs(
+        emb, cents, threshold, id_col, max_cluster=max_cluster
     )
     return connected_components(pairs, "vec_a", "vec_b", id_col, max_iters)
 

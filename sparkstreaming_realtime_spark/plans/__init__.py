@@ -15,23 +15,18 @@ from . import cdc_queries  # noqa: F401 — populates REGISTRY on import
 #: TPC-H, log split, CDC, LLM dedup/similarity/text, multimodal,
 #: warehouse, and the end-to-end streaming parities — lands inside the
 #: first 50; the remainder (verified equally, just later) follows.
-#: r6 rotation. After r5 every registry query has a driver-green row
-#: (union r1–r5: 131 full-oracle + 1 rows-only), so the top-50 now
-#: holds (a) the THREE queries new in r6 — the compacted-IVF search,
-#: the byte-exact resize parity, and the streaming quality-gate
-#: parity; (b) every query whose CODE changed in r6, so the driver
-#: re-verifies the edits: pricing_summary (exact-div cents + wide
-#: charge accumulator), doc_exact_k_sample (null-safe pre-filter),
-#: events_quality_expectations (empty-input coalesce),
-#: warehouse_compaction_roundtrip (aside-scan recovery + threaded
-#: rewrites), emb_semantic_dedup (6×6 re-pin), emb_semantic_dedup_auto
-#: (width-adaptive oracle — first hash-checked row),
-#: emb_ivf_append_topk (Hadoop-FS index maintenance); and (c) one
+#: r8 rotation (supersedes r6's; the r1–r7 union is all-green, so the
+#: window holds): (a) the THREE queries new in r8 — cluster-pruned
+#: SemDeDup, the idempotent-sink replay parity (K5/T5's first
+#: driver-hashed row), and the observe-metrics fold parity; (b) the
+#: queries whose CODE paths changed in r8, so the driver re-verifies
+#: the edits: doc_dup_clusters / emb_semantic_dedup /
+#: emb_semantic_dedup_auto (the star-contraction fixpoint fix rides
+#: under all three via connected_components); and (c) one
 #: already-green sentinel per operator family (a family-wide
 #: regression still flags inside the cap). Displaced to the tail for
-#: room: doc_top_bigrams, doc_bpe_token_stats, doc_lexical_commonness,
-#: doc_training_shards — each r5-green with a same-family sentinel
-#: still inside the window.
+#: room: emb_ivf_recall_curve, doc_frame_sample, emb_pq_topk — each
+#: green r6–r7 with a same-family sentinel still inside the window.
 _PRIORITY = [
     # serving / DAU sentinels (A1, endpoint)
     "dau_total_by_day", "dau_realtime_endpoint",
@@ -71,9 +66,8 @@ _PRIORITY = [
     "doc_exact_k_sample", "doc_source_mix",
     # multimodal / embedding family (+ NEW r6: byte-exact resize,
     # k-means cluster profiling)
-    "doc_frame_sample", "doc_resize_images", "emb_feature_extract",
-    "emb_ivf_recall_curve", "emb_kmeans_clusters", "emb_pq_topk",
-    "emb_ivfpq_topk",
+    "doc_resize_images", "emb_feature_extract",
+    "emb_kmeans_clusters", "emb_ivfpq_topk",
     # LLM dedup/similarity (re-verify the r6 width edits: the 6×6
     # re-pin, the width-adaptive auto oracle's first hash row, the
     # Hadoop-FS index maintenance behind append + NEW compact, and
@@ -81,23 +75,34 @@ _PRIORITY = [
     # emb_truncated_overlap rotated to the tail for it, green r5)
     "doc_exact_dedup", "doc_minhash_near_dup",
     "corpus_curation_funnel_v2", "emb_semantic_dedup",
-    "emb_semantic_dedup_auto", "emb_knn_join",
+    "emb_semantic_dedup_auto",
+    # NEW r8: cluster-pruned SemDeDup (the published recipe — pairs
+    # only within k-means clusters, coarse quantizer shared with the
+    # IVF index). emb_ivf_recall_curve rotated to the tail for it
+    # (green r1–r7; similarity family still has six in-window rows)
+    "emb_semantic_dedup_clustered", "emb_knn_join",
     "emb_ivf_append_topk", "emb_ivf_compact_topk",
     "emb_hamming_topk",
     "doc_lm_perplexity", "doc_pii_scrub",
     # warehouse sentinels
     "bucketed_colocated_join", "clustered_point_lookup",
     "events_table_profile",
-    # streaming parities (+ NEW r6: the quality-gate routing parity);
-    # last in the top-50 block: if the cap is a count they're inside
-    # it, if a time budget the cheap queries above have already banked
-    # rows
+    # streaming parities (+ NEW r8: the idempotent-sink replay parity
+    # — K5/T5's first driver-hashed row — and the observe-metrics
+    # fold parity; doc_frame_sample and emb_pq_topk rotated to the
+    # tail for them, both green r6–r7 with doc_resize_images /
+    # emb_ivfpq_topk keeping their families in-window); last in the
+    # top-50 block: if the cap is a count they're inside it, if a
+    # time budget the cheap queries above have already banked rows
     "streaming_dau_dedup_parity", "streaming_scd2_parity",
     "streaming_quality_gate_parity",
-    # tail (51+): green in r1–r5 driver artifacts, still verified every
-    # session by scripts/check_oracle.py (full registry) and pytest
+    "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",
     "streaming_heavy_hitters_parity", "streaming_state_profile_parity",
-    "emb_truncated_overlap",
+    # tail (51+): green in earlier driver artifacts, still verified
+    # every session by scripts/check_oracle.py (full registry) and
+    # pytest
+    "doc_frame_sample", "emb_pq_topk",
+    "emb_truncated_overlap", "emb_ivf_recall_curve",
     "doc_tfidf_top_terms", "doc_chunk_dedup_stride",
     "doc_temperature_resample",
     "doc_top_bigrams", "doc_bpe_token_stats", "doc_lexical_commonness",

@@ -1827,6 +1827,56 @@ def emb_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_clustered_oracle() -> str:
+    """Oracle for cluster-pruned SemDeDup: replays the identical
+    deterministic Lloyd training (shared ``_kmeans_ctes`` — the same
+    CTEs under emb_ivf_topk/emb_kmeans_clusters), generates candidate
+    pairs ONLY within each final cell, exact-cosine verifies, then
+    closes the pair graph with the recursive transitive closure — so
+    the Spark side's min-label components are cross-checked by a
+    different algorithm, same protocol as the LSH variant."""
+    return f"""
+WITH RECURSIVE {_kmeans_ctes()},
+candc AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+          FROM afin a JOIN afin b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id),
+pairsc AS (SELECT vec_a, vec_b FROM candc WHERE cos >= 0.4),
+edgesc AS (SELECT vec_a AS node, vec_b AS nbr FROM pairsc
+           UNION ALL
+           SELECT vec_b, vec_a FROM pairsc),
+reachc(node, r) AS (
+  SELECT DISTINCT node, node FROM edgesc
+  UNION
+  SELECT e.node, reachc.r FROM edgesc e
+  JOIN reachc ON reachc.node = e.nbr
+)
+SELECT node AS vec_id, min(r) AS cluster_id,
+       (node = min(r))::INT AS is_keep
+FROM reachc GROUP BY node
+"""
+
+
+@register(
+    "emb_semantic_dedup_clustered",
+    oracle=_semantic_dedup_clustered_oracle(),
+    tags=("LLM", "similarity", "dedup", "clustering"),
+)
+def emb_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-pruned SemDeDup — the recipe as published (Abbas et
+    al. 2023): k-means partitions the corpus, exact cosine decides
+    only WITHIN clusters, components collapse each semantic group to
+    its min-id survivor (operators/similarity.py:
+    semantic_dedup_clustered). Candidates are bounded by cluster
+    geometry (Σ|c_i|², grown-with-N cell count keeps |c_i| put)
+    instead of LSH bucket luck, and the coarse quantizer is the
+    session's PERSISTED IVF index reused verbatim — one training job
+    feeds ANN serving, cluster profiling, and dedup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.load_centroids(spark, _ivf_index_path(spark, sf_dir))
+    return sim.semantic_dedup_clustered(emb, cents, threshold=0.4)
+
+
 _KNN_JOIN_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id % {_KNN_JOIN_MOD} = 0),

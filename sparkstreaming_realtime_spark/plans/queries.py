@@ -421,6 +421,146 @@ def streaming_quality_gate_parity(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "streaming_idempotent_sink_parity",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS ct,
+           count(DISTINCT event_id)::BIGINT AS n_ids
+    FROM events GROUP BY event_type
+    """,
+    tags=("extension", "streaming", "exactly-once"),
+)
+def streaming_idempotent_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/K5 end-to-end under the batch oracle
+    (streaming/sinks.py:idempotent_parquet_sink — the engine analog
+    of the reference's doc-id overwrites, MyEsUtils.scala:41-52 +
+    DwdDauApp.scala:167): the events table streams into the
+    batch-id-keyed sink, then batch 0 is REPLAYED verbatim through
+    the same writer — at-least-once delivery must compose to
+    exactly-once output. If a replay appended instead of overwriting,
+    every count for the replayed slice doubles and the hash breaks;
+    if any batch were lost or split, the per-type counts shift. The
+    distinct-id column additionally pins that the sink's in-batch
+    key dedup never invents or drops ids. Replay-overwrites and
+    the duplicate-key collapse are unit-pinned by
+    tests/test_streaming.py (test_idempotent_sink_replay_overwrites);
+    this row puts the same writer under the driver's hash gate."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import idempotent_parquet_sink, read_sink
+
+    _t(spark, sf_dir, "events")  # sets the temporal read confs
+    root = tempfile.mkdtemp(prefix="idem_parity_")
+    sink = idempotent_parquet_sink(
+        root, key_cols=("event_id",), partition_col=None
+    )
+    q = run_available_now(
+        _stream_t(spark, sf_dir, "events"),
+        sink,
+        checkpoint=os.path.join(root, "ckpt"),
+        query_name="idem_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    # replay epoch 0 exactly as a recovered driver would re-deliver
+    # it: same rows, same batch id, same writer
+    replay = spark.read.parquet(os.path.join(root, "batch=0"))
+    sink(replay, 0)
+    return (
+        read_sink(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ct"),
+            F.countDistinct("event_id").cast("bigint").alias("n_ids"),
+        )
+    )
+
+
+@register(
+    "streaming_observe_metrics_parity",
+    oracle="""
+    SELECT 'max_event_s' AS metric, floor(epoch(max(ts)))::BIGINT AS value
+    FROM events
+    UNION ALL
+    SELECT 'min_event_s', floor(epoch(min(ts)))::BIGINT FROM events
+    UNION ALL
+    SELECT 'n_rows', count(*)::BIGINT FROM events
+    UNION ALL
+    SELECT 'n_user_null',
+           sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+    FROM events
+    UNION ALL
+    SELECT 'sum_value_cents', sum(round("value" * 100)::BIGINT)::BIGINT
+    FROM events
+    """,
+    tags=("extension", "streaming", "observability"),
+)
+def streaming_observe_metrics_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Dataset.observe`` per-batch metrics under the batch oracle
+    (streaming/pipelines.py:with_batch_metrics — the monitoring
+    surface the reference lacks): the events table streams through an
+    observed plan whose accumulator metrics (row count, null-key
+    count, exact money cents, event-time bounds as epoch seconds —
+    session TZ is pinned UTC, and ``unix_timestamp`` FLOORS
+    sub-second timestamps, so the oracle floors ``epoch`` to match)
+    are folded across every micro-batch exactly as a
+    metrics exporter would: sums of sums, min of mins, max of maxes.
+    The folded totals must equal one batch aggregate over the table —
+    a lost batch, a double-counted batch, or an accumulator that
+    missed rows shifts a value and breaks the hash. Zero extra scans:
+    the metrics ride the batch execution itself."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming.pipelines import run_available_now, with_batch_metrics
+
+    _t(spark, sf_dir, "events")  # sets the temporal read confs
+    observed = with_batch_metrics(
+        _stream_t(spark, sf_dir, "events").withColumn(
+            "event_time", F.col("ts")
+        ),
+        name="ev",
+        extra={
+            "n_user_null": F.sum(F.col("user_id").isNull().cast("bigint")),
+            "sum_value_cents": F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ),
+            "min_event_s": F.min(F.unix_timestamp("event_time")),
+            "max_event_s": F.max(F.unix_timestamp("event_time")),
+        },
+    )
+    root = tempfile.mkdtemp(prefix="observe_parity_")
+    q = run_available_now(
+        observed,
+        lambda df, _bid: df.write.format("noop").mode("overwrite").save(),
+        checkpoint=os.path.join(root, "ckpt"),
+        query_name="obs_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    n_rows = n_null = cents = 0
+    mn = mx = None
+    for p in q.recentProgress:
+        m = (p.observedMetrics or {}).get("ev")
+        if m is None or m["n_rows"] == 0:  # empty trailing batch
+            continue
+        n_rows += m["n_rows"]
+        n_null += m["n_user_null"]
+        cents += m["sum_value_cents"]
+        mn = m["min_event_s"] if mn is None else min(mn, m["min_event_s"])
+        mx = m["max_event_s"] if mx is None else max(mx, m["max_event_s"])
+    rows = [
+        ("max_event_s", mx),
+        ("min_event_s", mn),
+        ("n_rows", n_rows),
+        ("n_user_null", n_null),
+        ("sum_value_cents", cents),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
+@register(
     "warehouse_compaction_roundtrip",
     oracle=f"""
     SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*)::BIGINT AS n,

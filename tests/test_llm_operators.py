@@ -1779,3 +1779,70 @@ def test_exact_k_prefilter_precedes_window(spark):
     assert "md5" in plan[iw:]
     phys = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in phys or "BroadcastNestedLoop" in phys
+
+
+def test_semantic_dedup_clustered_groups_within_cells(spark):
+    """Cluster-pruned SemDeDup: two well-separated semantic groups
+    route to their own quantizer cells and dedup independently; the
+    isolated antipodal vector gets no row (trivially kept) — the same
+    output contract as the LSH variant, so the two are drop-in
+    interchangeable."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    b1, b2 = rng.randn(8), rng.randn(8)
+    rows = [
+        (1, [float(x) for x in b1]),
+        (2, [float(x) for x in b1 + 0.01 * rng.randn(8)]),
+        (3, [float(x) for x in b1 + 0.01 * rng.randn(8)]),
+        (10, [float(x) for x in b2]),
+        (11, [float(x) for x in b2 + 0.01 * rng.randn(8)]),
+        (20, [float(x) for x in -b1]),  # antipodal: no neighbor
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [float(x) for x in b1]), (1, [float(x) for x in b2])]
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["is_keep"])
+        for r in sim.semantic_dedup_clustered(
+            emb, cents, threshold=0.9
+        ).collect()
+    }
+    assert out == {1: (1, 1), 2: (1, 0), 3: (1, 0), 10: (10, 1), 11: (10, 0)}
+
+
+def test_cluster_near_dup_pairs_is_cluster_blind_across_cells(spark):
+    """The documented recall boundary of the published SemDeDup
+    recipe: a ≥-threshold pair whose members quantize to DIFFERENT
+    cells produces no candidate — candidates are bounded by cluster
+    geometry, not bucket luck, and that bound is exactly what a
+    cross-cell pair falls outside of."""
+    rows = [
+        (1, [0.92, 0.38]),  # nearest c0
+        (2, [0.38, 0.92]),  # nearest c1, but cos(1,2) ≈ 0.70
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    assert (
+        sim.cluster_near_dup_pairs(emb, cents, threshold=0.6).count() == 0
+    )
+    # same corpus, one cell: the pair is found — the miss above is
+    # the cell boundary, not the verify math
+    one_cell = [(0, [1.0, 1.0])]
+    got = sim.cluster_near_dup_pairs(emb, one_cell, threshold=0.6).collect()
+    assert [(r["vec_a"], r["vec_b"]) for r in got] == [(1, 2)]
+
+
+def test_cluster_near_dup_pairs_max_cluster_cap(spark):
+    """max_cluster drops over-cap cells WHOLE before the self-join —
+    the same worst-case bound as the LSH max_bucket cap (cap² pairs
+    per cell)."""
+    rows = [(i, [1.0, float(i) * 1e-3]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [1.0, 0.0])]
+    assert sim.cluster_near_dup_pairs(emb, cents, threshold=0.9).count() == 10
+    assert (
+        sim.cluster_near_dup_pairs(
+            emb, cents, threshold=0.9, max_cluster=4
+        ).count()
+        == 0
+    )

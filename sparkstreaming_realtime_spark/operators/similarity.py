@@ -365,21 +365,50 @@ def _rename_or_raise(fs, Path, src: str, dst: str) -> None:
 #: measured as the whole of emb_ivf_append_topk's r6 +40% serve
 #: regression. The layout only changes through this module's mutators
 #: (build/append/compact/recover), each of which invalidates, so
-#: within a session the probe runs once per index STATE — the same
-#: contract as the centroid/codebook literal caches in
-#: plans/llm_queries.py. A writer in ANOTHER session mutating a
-#: shared index requires an explicit :func:`invalidate_ivf_layout`.
-_IVF_LAYOUT_CACHE: dict[str, list[str]] = {}
+#: within a session the full probe runs once per index STATE — the
+#: same contract as the centroid/codebook literal caches in
+#: plans/llm_queries.py. Cross-SESSION writers are covered by a
+#: one-round-trip validity stamp: each entry records the delta dir's
+#: (exists, mtime) at probe time, and a hit re-checks just that
+#: stamp — an external append (new batch dir) or compaction (batch
+#: dirs deleted / dir swept) moves the mtime and forces a re-probe.
+#: Caveat: mtime granularity is filesystem-dependent (1 s on some),
+#: so an external mutation inside the same tick as the probe can
+#: serve one stale read; :func:`invalidate_ivf_layout` remains the
+#: explicit escape hatch for tighter coordination. Keys are
+#: normalized (trailing-slash-stripped) so path aliases share one
+#: entry.
+_IVF_LAYOUT_CACHE: dict[str, tuple[tuple, list[str]]] = {}
+
+
+def _layout_key(index_path: str) -> str:
+    # '/x' and '/x/' must hit (and invalidate) the SAME entry — a
+    # mutator invoked under an alias spelling would otherwise leave a
+    # reader's entry stale despite same-session mutation
+    return index_path.rstrip("/")
+
+
+def _delta_stamp(fs, Path, delta_dir: str) -> tuple:
+    """One-FS-call freshness stamp for the cached layout: the delta
+    dir's existence + mtime. Appends create batch dirs under it,
+    compactions delete them (and may sweep the dir) — either moves
+    the parent mtime on HDFS/S3A/local alike."""
+    try:
+        st = fs.getFileStatus(Path(delta_dir))
+        return (True, st.getModificationTime())
+    except Exception:  # FileNotFoundException via py4j
+        return (False, -1)
 
 
 def invalidate_ivf_layout(index_path: str | None = None) -> None:
     """Drop the cached pending-delta layout for ``index_path`` (or
     all indexes) — needed only when an external session mutates an
-    index this session is serving."""
+    index this session is serving within the stamp's mtime
+    granularity (see ``_IVF_LAYOUT_CACHE``)."""
     if index_path is None:
         _IVF_LAYOUT_CACHE.clear()
     else:
-        _IVF_LAYOUT_CACHE.pop(index_path, None)
+        _IVF_LAYOUT_CACHE.pop(_layout_key(index_path), None)
 
 
 def _delta_batches(fs, Path, delta_dir: str) -> list[str]:
@@ -512,31 +541,55 @@ def read_ivf_corpus(spark, index_path: str) -> DataFrame:
 
     The layout probe (recovery check, manifest read, delta listing —
     all driver-side FS I/O) is cached per index path and invalidated
-    by every mutator in this module, so repeated searches over a
-    stable index pay it once (see ``_IVF_LAYOUT_CACHE``)."""
-    corpus = f"{index_path}/corpus"
-    delta_dir = f"{index_path}/delta"
-    pending = _IVF_LAYOUT_CACHE.get(index_path)
-    if pending is None:
-        jvm, fs, Path = _ivf_fs(spark, index_path)
+    by every mutator in this module; a cache hit still pays ONE FS
+    round-trip to validate the delta-dir stamp, so an external
+    session's append/compact forces a re-probe instead of serving a
+    permanently stale layout (see ``_IVF_LAYOUT_CACHE``). If the
+    cached layout turns out unreadable anyway — an external process
+    crashed mid-compact after the stamp was taken — the entry is
+    dropped and the read retries once through the full
+    probe/recovery path before surfacing the error."""
+    key = _layout_key(index_path)
+    corpus = f"{key}/corpus"
+    delta_dir = f"{key}/delta"
+    jvm, fs, Path = _ivf_fs(spark, index_path)
+    cached = _IVF_LAYOUT_CACHE.get(key)
+    if cached is not None and cached[0] != _delta_stamp(fs, Path, delta_dir):
+        cached = None  # external mutation since the probe — re-probe
+    if cached is None:
         if not fs.exists(Path(corpus)) and fs.exists(
-            Path(f"{index_path}/.corpus.old")
+            Path(f"{key}/.corpus.old")
         ):
             _recover_ivf_corpus(spark, index_path)
+        stamp = _delta_stamp(fs, Path, delta_dir)
         folded = set(_read_folded_ids(jvm, fs, Path, corpus))
         pending = [
             b for b in _delta_batches(fs, Path, delta_dir) if b not in folded
         ]
-        _IVF_LAYOUT_CACHE[index_path] = pending
-    base = spark.read.parquet(corpus)
-    if pending:
-        delta = (
-            spark.read.option("basePath", delta_dir)
-            .parquet(*[f"{delta_dir}/{b}" for b in pending])
-            .drop("batch")
-        )
-        base = base.unionByName(delta.select(*base.columns))
-    return base
+        cached = (stamp, pending)
+        _IVF_LAYOUT_CACHE[key] = cached
+        fresh_probe = True
+    else:
+        fresh_probe = False
+    pending = cached[1]
+    try:
+        base = spark.read.parquet(corpus)
+        if pending:
+            delta = (
+                spark.read.option("basePath", delta_dir)
+                .parquet(*[f"{delta_dir}/{b}" for b in pending])
+                .drop("batch")
+            )
+            base = base.unionByName(delta.select(*base.columns))
+        return base
+    except Exception:
+        if fresh_probe:
+            raise  # the probe itself just ran — the index is broken
+        # cached layout went unreadable (external crash mid-compact
+        # after the stamp was taken): self-heal through the
+        # probe/recovery path once, as the pre-cache code always did
+        invalidate_ivf_layout(index_path)
+        return read_ivf_corpus(spark, index_path)
 
 
 def ivf_search(

@@ -477,13 +477,18 @@ def test_ivf_append_replay_is_idempotent_and_served(spark, tmp_path):
 
 
 def test_ivf_layout_cache_serves_without_fs_probe_and_invalidates(
-    spark, tmp_path
+    spark, tmp_path, monkeypatch
 ):
-    """The serve-path layout cache (r7): repeated searches over a
-    stable index must not re-run the driver-side FS probe (manifest
-    read + delta listing — the measured r6 serve regression), and
-    every mutator must invalidate so appended/compacted vectors are
-    never served stale."""
+    """The serve-path layout cache (r7, stamped r8): repeated
+    searches over a stable index must not re-run the full
+    driver-side FS probe (manifest read + delta listing — the
+    measured r6 serve regression); a hit pays only the one-call
+    delta-dir stamp check, so an EXTERNAL session's mutation forces
+    a re-probe; a cached layout that turns out unreadable (external
+    crash) self-heals through one retry; and every in-process
+    mutator invalidates outright."""
+    import time
+
     base = spark.createDataFrame(
         [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 1)],
         "vec_id long, embedding array<float>, label int",
@@ -492,27 +497,53 @@ def test_ivf_layout_cache_serves_without_fs_probe_and_invalidates(
     sim.build_ivf_index(base, dim=2, path=path, n_cells=2, iters=1)
     assert path not in sim._IVF_LAYOUT_CACHE  # build invalidates
     sim.read_ivf_corpus(spark, path)
-    assert sim._IVF_LAYOUT_CACHE[path] == []  # probe ran, cached
-    # poison the cached layout: a cache hit must skip the FS probe
-    # entirely, so the poisoned (empty) layout keeps being served
-    sim._IVF_LAYOUT_CACHE[path] = []
+    stamp, pending = sim._IVF_LAYOUT_CACHE[path]
+    assert pending == [] and stamp[1] == -1  # probe ran; no delta dir
+    # count full probes from here: a cache hit must serve on the
+    # stamp check ALONE, never re-listing the delta dir
+    calls = {"n": 0}
+    orig_probe = sim._delta_batches
+
+    def counting(fs, Path, d):
+        calls["n"] += 1
+        return orig_probe(fs, Path, d)
+
+    monkeypatch.setattr(sim, "_delta_batches", counting)
+    sim.read_ivf_corpus(spark, path)
+    assert calls["n"] == 0  # pure hit: no full probe
+    # poison the entry with a PHANTOM layout under the true stamp: the
+    # hit serves it (proving the probe was skipped), the read of the
+    # nonexistent batch fails, and the self-heal retry re-probes once
+    # and repairs the entry — the external-crash recovery contract
+    sim._IVF_LAYOUT_CACHE[path] = (stamp, ["batch=999"])
+    ids = {r["vec_id"] for r in sim.read_ivf_corpus(spark, path).collect()}
+    assert ids == {1, 2, 3}
+    assert calls["n"] == 1  # exactly one healing re-probe
+    assert sim._IVF_LAYOUT_CACHE[path][1] == []
     late = spark.createDataFrame(
         [(10, [0.95, 0.05], 0)],
         "vec_id long, embedding array<float>, label int",
     )
+    # external-writer simulation: append, then restore the pre-append
+    # entry as if this session had cached before the other session's
+    # append — the STAMP mismatch (new delta dir mtime) must force a
+    # re-probe instead of serving the stale empty layout forever
+    pre_append = sim._IVF_LAYOUT_CACHE[path]
+    time.sleep(0.02)  # keep the two stamps apart at mtime granularity
     sim.ivf_append(late, path, batch_id=0)
-    # append invalidated the poisoned entry → next read re-probes and
-    # serves the delta
-    assert path not in sim._IVF_LAYOUT_CACHE
+    assert path not in sim._IVF_LAYOUT_CACHE  # append invalidates
+    sim._IVF_LAYOUT_CACHE[path] = pre_append
     ids = {r["vec_id"] for r in sim.read_ivf_corpus(spark, path).collect()}
     assert ids == {1, 2, 3, 10}
-    assert sim._IVF_LAYOUT_CACHE[path] == ["batch=0"]
+    assert sim._IVF_LAYOUT_CACHE[path][1] == ["batch=0"]
     assert sim.ivf_compact(spark, path) == 1
     assert path not in sim._IVF_LAYOUT_CACHE  # compact invalidates
     ids = {r["vec_id"] for r in sim.read_ivf_corpus(spark, path).collect()}
     assert ids == {1, 2, 3, 10}
-    # the external-writer escape hatch clears without a mutator
-    sim.invalidate_ivf_layout(path)
+    # the external-writer escape hatch clears without a mutator, and
+    # path aliases ('/x/' vs '/x') resolve to the same entry
+    assert path in sim._IVF_LAYOUT_CACHE
+    sim.invalidate_ivf_layout(path + "/")
     assert path not in sim._IVF_LAYOUT_CACHE
 
 

@@ -77,7 +77,36 @@ PROBE = [
     # stage is XOR+POPCNT per row (should probe ~linear-in-scan with
     # big 32-core headroom), the rerank stage is constant-size
     "emb_hamming_topk",
+    # r8: the remaining heavies the r7 verdict flagged as never
+    # ×100-probed, plus the new cluster-pruned SemDeDup (candidates
+    # bounded by cluster size — should probe far under the LSH twins)
+    "emb_semantic_dedup_clustered",
+    "corpus_curation_funnel_v2",
+    "doc_dup_clusters",
+    # probe-only variant (not a registry query): dup_clusters FORCED
+    # through the distributed star-contraction fallback
+    # (local_threshold=0 skips the union-find cutover, max_iters=2
+    # burns propagation in one round) — the r8 fixpoint fix means the
+    # fallback now always contracts to completion, and this measures
+    # what that costs at scale
+    "doc_dup_clusters_star",
 ]
+
+
+def _dup_clusters_star(spark, sf_dir: str):
+    from sparkstreaming_realtime_spark.operators import dedup as dd
+    from sparkstreaming_realtime_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.near_dup_pairs(docs, threshold=0.6)
+    return dd.connected_components(
+        pairs, max_iters=2, local_threshold=0
+    )
+
+
+#: probe-only entries: operator paths worth scale-measuring that no
+#: registry query exercises with these exact knobs
+EXTRA = {"doc_dup_clusters_star": _dup_clusters_star}
 
 
 def _time(qs, name: str, sf_dir: str, spark, passes: int = 2) -> float:
@@ -103,7 +132,8 @@ def main() -> None:
         PROBE = [n for n in PROBE if n in only]
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = queries()
+    qs = dict(queries())
+    qs.update(EXTRA)
     for name in PROBE:  # warm-up: codegen at the smallest SF
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"

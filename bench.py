@@ -106,8 +106,13 @@ HEADLINE = [
     "emb_hamming_topk",
     # r8: cluster-pruned SemDeDup (the published recipe — candidates
     # bounded by k-means cluster size, coarse quantizer shared with
-    # the persisted IVF index)
+    # the persisted IVF index) and its cluster-AND-band scale
+    # composition
     "emb_semantic_dedup_clustered",
+    "emb_semantic_dedup_clustered_banded",
+    # r8: the two new end-to-end streaming parities
+    "streaming_idempotent_sink_parity",
+    "streaming_observe_metrics_parity",
 ]
 
 

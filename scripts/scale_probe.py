@@ -81,15 +81,18 @@ PROBE = [
     # ×100-probed, plus the new cluster-pruned SemDeDup (candidates
     # bounded by cluster size — should probe far under the LSH twins)
     "emb_semantic_dedup_clustered",
+    "emb_semantic_dedup_clustered_banded",
     "corpus_curation_funnel_v2",
     "doc_dup_clusters",
-    # probe-only variant (not a registry query): dup_clusters FORCED
+    # probe-only variants (not registry queries): dup_clusters FORCED
     # through the distributed star-contraction fallback
     # (local_threshold=0 skips the union-find cutover, max_iters=2
-    # burns propagation in one round) — the r8 fixpoint fix means the
+    # burns propagation in one round — the r8 fixpoint fix means the
     # fallback now always contracts to completion, and this measures
-    # what that costs at scale
+    # what that costs at scale), and the auto-width cluster∩band
+    # SemDeDup (the registry twin pins 6×6 for its static oracle)
     "doc_dup_clusters_star",
+    "emb_semantic_dedup_clustered_banded_auto",
 ]
 
 
@@ -104,9 +107,30 @@ def _dup_clusters_star(spark, sf_dir: str):
     )
 
 
+def _sdc_banded_auto(spark, sf_dir: str):
+    # the true 100 TB path of the clustered family: N-derived band
+    # width (the registry twin pins 6×6 for its static oracle) over
+    # the session's persisted coarse quantizer
+    from sparkstreaming_realtime_spark.operators import similarity as sim
+    from sparkstreaming_realtime_spark.plans.llm_queries import (
+        _EMB_DIM,
+        _ivf_index_path,
+    )
+    from sparkstreaming_realtime_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = sim.load_centroids(spark, _ivf_index_path(spark, sf_dir))
+    return sim.semantic_dedup_clustered_banded(
+        emb, cents, dim=_EMB_DIM, threshold=0.4
+    )
+
+
 #: probe-only entries: operator paths worth scale-measuring that no
 #: registry query exercises with these exact knobs
-EXTRA = {"doc_dup_clusters_star": _dup_clusters_star}
+EXTRA = {
+    "doc_dup_clusters_star": _dup_clusters_star,
+    "emb_semantic_dedup_clustered_banded_auto": _sdc_banded_auto,
+}
 
 
 def _time(qs, name: str, sf_dir: str, spark, passes: int = 2) -> float:

@@ -728,6 +728,7 @@ def rh_band_buckets(
     id_col: str = "vec_id",
     bands: int = RH_BANDS,
     rows_per_band: int = RH_ROWS,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode each vector into ``bands`` bucket keys
     '<band>:<bit..bit>' — identical LSH-amplification shape to
@@ -739,9 +740,15 @@ def rh_band_buckets(
     higher-order functions, so without the barrier each of the
     ``bands``·``rows_per_band`` bit references would re-run the whole
     signature transform (the tokenize-once lesson, see
-    textstats._with_tokens)."""
+    textstats._with_tokens).
+
+    ``carry`` names extra columns to ride along into the bucket
+    frame (computed once per VECTOR, before the band explode) — the
+    zero-extra-shuffle hook :func:`cluster_banded_near_dup_pairs`
+    uses to tag each bucket row with its k-means cell."""
     sig = emb.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.explode(
             F.array(rh_signature_bits("embedding", planes))
         ).alias("__bits"),
@@ -758,7 +765,11 @@ def rh_band_buckets(
             for b in range(bands)
         ]
     )
-    return sig.select(F.col(id_col), F.explode(keys).alias("bucket"))
+    return sig.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.explode(keys).alias("bucket"),
+    )
 
 
 def rh_near_dup_pairs(
@@ -1545,6 +1556,101 @@ def semantic_dedup_clustered(
 
     pairs = cluster_near_dup_pairs(
         emb, cents, threshold, id_col, max_cluster=max_cluster
+    )
+    return connected_components(pairs, "vec_a", "vec_b", id_col, max_iters)
+
+
+def cluster_banded_near_dup_pairs(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    dim: int,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    max_bucket: int | None = None,
+    approx_count: int | None = None,
+) -> DataFrame:
+    """Hierarchically pruned SemDeDup candidates: a pair qualifies
+    only when it shares BOTH its k-means cell AND a sign-LSH band
+    bucket. This is the 100 TB composition of the two candidate
+    bounds: the cluster term caps LSH bucket degeneracy (a
+    boilerplate-dense bucket splits across cells), and the LSH term
+    keeps within-cluster work near-linear when a FIXED cell count
+    meets growing N — exactly the deployment where the published
+    exact-within-cluster recipe (:func:`cluster_near_dup_pairs`,
+    Θ(Σ|c_i|²)) stops scaling. Candidates here are a subset of both
+    parents', so recall trades exactly like the parents' union of
+    caveats (the docstring of each).
+
+    Shape: the cell id is computed once per vector and rides the
+    bucket explode via :func:`rh_band_buckets`'s ``carry`` hook — no
+    extra join, no extra shuffle vs the plain LSH path; the combined
+    (cell, band-bucket) key feeds the same bucket-local self-join
+    and the shared exact-cosine verify. ``rows_per_band`` defaults
+    to N-derived (:func:`auto_lsh_params`), same as
+    :func:`rh_near_dup_pairs`."""
+    from ..materialize import materialize
+    from .dedup import lsh_candidate_pairs
+
+    if rows_per_band is None:
+        n = approx_count if approx_count is not None else emb.count()
+        auto_bands, rows_per_band = auto_lsh_params(
+            n, base_bands=bands if bands is not None else RH_BANDS
+        )
+        if bands is None:
+            bands = auto_bands
+    elif bands is None:
+        bands = RH_BANDS
+    planes = random_hyperplanes(bands * rows_per_band, dim)
+    tagged = emb.withColumn("__cell", assign_cell(vec_col, cents))
+    buckets = rh_band_buckets(
+        tagged, planes, id_col, bands, rows_per_band, carry=("__cell",)
+    )
+    keyed = materialize(
+        buckets.select(
+            F.col(id_col),
+            F.concat_ws(
+                "|", F.col("__cell").cast("string"), F.col("bucket")
+            ).alias("bucket"),
+        )
+    )
+    cands = (
+        lsh_candidate_pairs(
+            keyed.withColumnRenamed(id_col, "doc_id"),
+            max_bucket=max_bucket,
+        )
+        .withColumnRenamed("doc_a", "vec_a")
+        .withColumnRenamed("doc_b", "vec_b")
+    )
+    return _verify_cosine_pairs(emb, cands, threshold, id_col, vec_col)
+
+
+def semantic_dedup_clustered_banded(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    dim: int,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    max_iters: int = 20,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    max_bucket: int | None = None,
+    approx_count: int | None = None,
+) -> DataFrame:
+    """Cluster-AND-band semantic dedup — the scale composition of
+    :func:`semantic_dedup_clustered` (published SemDeDup, exact
+    within clusters) and :func:`semantic_dedup` (auto-banded LSH):
+    candidates must share cell and band bucket, then the usual
+    exact-cosine verify → connected components → min-id survivor.
+    Same output contract as both parents, drop-in downstream."""
+    from .dedup import connected_components
+
+    pairs = cluster_banded_near_dup_pairs(
+        emb, cents, dim, threshold, id_col,
+        bands=bands, rows_per_band=rows_per_band,
+        max_bucket=max_bucket, approx_count=approx_count,
     )
     return connected_components(pairs, "vec_a", "vec_b", id_col, max_iters)
 

@@ -63,7 +63,7 @@ _PRIORITY = [
     # pre-filter edit; doc_temperature_resample rotated to the tail —
     # green r2–r5 — for the NEW two-level IVF-PQ query)
     "doc_stratified_sample",
-    "doc_exact_k_sample", "doc_source_mix",
+    "doc_exact_k_sample",
     # multimodal / embedding family (+ NEW r6: byte-exact resize,
     # k-means cluster profiling)
     "doc_resize_images", "emb_feature_extract",
@@ -80,7 +80,8 @@ _PRIORITY = [
     # only within k-means clusters, coarse quantizer shared with the
     # IVF index). emb_ivf_recall_curve rotated to the tail for it
     # (green r1–r7; similarity family still has six in-window rows)
-    "emb_semantic_dedup_clustered", "emb_knn_join",
+    "emb_semantic_dedup_clustered", "emb_semantic_dedup_clustered_banded",
+    "emb_knn_join",
     "emb_ivf_append_topk", "emb_ivf_compact_topk",
     "emb_hamming_topk",
     "doc_lm_perplexity", "doc_pii_scrub",
@@ -101,7 +102,7 @@ _PRIORITY = [
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
-    "doc_frame_sample", "emb_pq_topk",
+    "doc_frame_sample", "emb_pq_topk", "doc_source_mix",
     "emb_truncated_overlap", "emb_ivf_recall_curve",
     "doc_tfidf_top_terms", "doc_chunk_dedup_stride",
     "doc_temperature_resample",

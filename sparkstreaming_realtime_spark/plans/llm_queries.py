@@ -1877,6 +1877,68 @@ def emb_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup_clustered(emb, cents, threshold=0.4)
 
 
+def _semantic_dedup_clustered_banded_oracle() -> str:
+    """Oracle for the cluster-AND-band composition: the Lloyd replay
+    (shared ``_kmeans_ctes``) supplies final cells, the pinned-width
+    LSH replay (shared ``_rh_ctes``) supplies band buckets, and a
+    candidate must match on BOTH before the exact-cosine verify and
+    the recursive closure. The unreferenced cand/verified CTEs from
+    ``_rh_ctes`` cost nothing (DuckDB skips unreferenced CTEs)."""
+    return f"""
+WITH RECURSIVE {_kmeans_ctes()},
+{_rh_ctes(_LSH_PIN, _LSH_PIN, suffix="_cb")},
+candcb AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets_cb a JOIN buckets_cb b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN afin fa ON fa.vec_id = a.vec_id
+  JOIN afin fb ON fb.vec_id = b.vec_id AND fb.cell = fa.cell),
+vercb AS (
+  SELECT c.vec_a, c.vec_b,
+         round({_cos_sql("x.embedding", "y.embedding")}, 6) AS cos
+  FROM candcb c JOIN embeddings x ON c.vec_a = x.vec_id
+             JOIN embeddings y ON c.vec_b = y.vec_id),
+pairscb AS (SELECT vec_a, vec_b FROM vercb WHERE cos >= 0.4),
+edgescb AS (SELECT vec_a AS node, vec_b AS nbr FROM pairscb
+            UNION ALL
+            SELECT vec_b, vec_a FROM pairscb),
+reachcb(node, r) AS (
+  SELECT DISTINCT node, node FROM edgescb
+  UNION
+  SELECT e.node, reachcb.r FROM edgescb e
+  JOIN reachcb ON reachcb.node = e.nbr
+)
+SELECT node AS vec_id, min(r) AS cluster_id,
+       (node = min(r))::INT AS is_keep
+FROM reachcb GROUP BY node
+"""
+
+
+@register(
+    "emb_semantic_dedup_clustered_banded",
+    oracle=_semantic_dedup_clustered_banded_oracle(),
+    tags=("LLM", "similarity", "dedup", "clustering", "auto-scale"),
+)
+def emb_semantic_dedup_clustered_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-AND-band SemDeDup — the 100 TB composition
+    (operators/similarity.py:semantic_dedup_clustered_banded):
+    candidates must share their k-means cell AND a sign-LSH band
+    bucket, so the cluster term caps LSH bucket degeneracy while the
+    LSH term keeps within-cluster work near-linear where the
+    published exact-within-cluster recipe is Θ(Σ|c_i|²) at fixed
+    cell count. The cell id rides the bucket explode (zero extra
+    shuffle); band width pinned 6×6 here so the oracle bakes the
+    same plane literals (the library default is N-derived)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.load_centroids(spark, _ivf_index_path(spark, sf_dir))
+    return sim.semantic_dedup_clustered_banded(
+        emb, cents, dim=_EMB_DIM, threshold=0.4,
+        bands=_LSH_PIN, rows_per_band=_LSH_PIN,
+    )
+
+
 _KNN_JOIN_ORACLE = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
            WHERE vec_id % {_KNN_JOIN_MOD} = 0),

@@ -1877,3 +1877,51 @@ def test_cluster_near_dup_pairs_max_cluster_cap(spark):
         ).count()
         == 0
     )
+
+
+def test_cluster_banded_pairs_are_intersection_of_parents(spark):
+    """The cluster∩band composition's defining property: its
+    candidate pairs are exactly the pairs BOTH parents would verify
+    — never a pair the exact-within-cluster recipe would skip, never
+    a pair plain LSH would skip. Pinned on a corpus engineered so
+    the two parents genuinely disagree."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    b1, b2 = rng.randn(16), rng.randn(16)
+    rows = [
+        (1, [float(x) for x in b1]),
+        (2, [float(x) for x in b1 + 0.01 * rng.randn(16)]),
+        (10, [float(x) for x in b2]),
+        (11, [float(x) for x in b2 + 0.01 * rng.randn(16)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [(0, [float(x) for x in b1]), (1, [float(x) for x in b2])]
+    kw = dict(bands=4, rows_per_band=4)
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.rh_near_dup_pairs(
+            emb, dim=16, threshold=0.9, **kw
+        ).collect()
+    }
+    clustered = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.cluster_near_dup_pairs(
+            emb, cents, threshold=0.9
+        ).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.cluster_banded_near_dup_pairs(
+            emb, cents, dim=16, threshold=0.9, **kw
+        ).collect()
+    }
+    assert banded == (lsh & clustered)
+    assert banded  # the planted near-identical pairs survive both cuts
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["is_keep"])
+        for r in sim.semantic_dedup_clustered_banded(
+            emb, cents, dim=16, threshold=0.9, **kw
+        ).collect()
+    }
+    assert out == {1: (1, 1), 2: (1, 0), 10: (10, 1), 11: (10, 0)}

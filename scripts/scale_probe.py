@@ -133,14 +133,13 @@ EXTRA = {
 }
 
 
-def _time(qs, name: str, sf_dir: str, spark, passes: int = 2) -> float:
-    best = None
+def _time(qs, name: str, sf_dir: str, spark, passes: int = 2):
+    ts = []
     for _ in range(passes):
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 3)
+        ts.append(round(time.time() - t0, 3))
+    return round(min(ts), 3), ts
 
 
 def main() -> None:
@@ -166,9 +165,10 @@ def main() -> None:
     for name in PROBE:
         # failure isolation (same lesson as bench.py r2): one broken
         # query must not void the whole probe's timings
+        load0 = os.getloadavg()[0]
         try:
-            tb = _time(qs, name, base, spark, passes)
-            ts_ = _time(qs, name, scaled, spark, passes)
+            tb, pb = _time(qs, name, base, spark, passes)
+            ts_, ps = _time(qs, name, scaled, spark, passes)
         except Exception as e:  # noqa: BLE001 — record and move on
             rows[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
             print(f"{name:32s} ERROR {rows[name]['error'][:80]}", flush=True)
@@ -177,6 +177,12 @@ def main() -> None:
             "base_s": tb,
             "scaled_s": ts_,
             "ratio": round(ts_ / tb, 2) if tb > 0 else None,
+            # per-pass lists + the loadavg bracketing this query: the
+            # host is shared, and a neighbor-load spike inflates a
+            # min-of-N silently (the r7 bench lesson) — these fields
+            # let a reader spot which ratios were measured under load
+            "passes": {"base": pb, "scaled": ps},
+            "loadavg_1m": [round(load0, 2), round(os.getloadavg()[0], 2)],
         }
         print(
             f"{name:32s} {tb:8.3f}s {ts_:8.3f}s  x{rows[name]['ratio']}",

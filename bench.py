@@ -113,6 +113,14 @@ HEADLINE = [
     # r8: the two new end-to-end streaming parities
     "streaming_idempotent_sink_parity",
     "streaming_observe_metrics_parity",
+    # r8 session 2: corpus boilerplate-line removal (explode +
+    # two-phase distinct-count + AQE-broadcast gate), the zero-shuffle
+    # within-doc line collapse (pure projection — the flattest shape
+    # in the suite), and the quality-aware keep-longest survivor
+    # (components + max_by agg winner)
+    "doc_line_dedup",
+    "doc_intra_line_dedup",
+    "doc_dup_keep_longest",
 ]
 
 

@@ -93,6 +93,13 @@ PROBE = [
     # SemDeDup (the registry twin pins 6×6 for its static oracle)
     "doc_dup_clusters_star",
     "emb_semantic_dedup_clustered_banded_auto",
+    # r8 session: corpus boilerplate-line removal (explode + two-phase
+    # distinct-count + AQE-broadcast gate — should probe ~linear in
+    # corpus lines) and the zero-shuffle within-doc collapse (pure
+    # projection — should probe at scan bandwidth, the flattest shape
+    # in the suite)
+    "doc_line_dedup",
+    "doc_intra_line_dedup",
 ]
 
 

@@ -979,3 +979,105 @@ def remove_dup_chunks(
             .alias("n_removed"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level BOILERPLATE LINE removal (RefinedWeb, Penedo et
+    al. 2023 §G "line-wise corrections"; CCNet's paragraph-hash dedup,
+    Wenzek et al. 2020 §3.1): a line whose normalized form
+    (lower+trim) appears in ``min_docs`` or more *distinct* documents
+    is navigation/cookie-banner/footer boilerplate and is cut from
+    every document that carries it; each document reassembles from
+    its surviving lines in order. Empty-after-trim lines are exempt
+    (never counted, never removed) so paragraph structure survives.
+
+    The reference's dedup ancestor is the cross-batch Redis SET of
+    DwdDauApp.scala:83-100 — membership-gated pass-through; this is
+    the same gate applied corpus-wide at line granularity.
+
+    Scale shape: one explode to (line-hash, doc) rows — the 60-bit
+    :func:`fingerprint` is computed BEFORE the shuffle so the
+    exchange carries 8-byte keys, not line text; one two-phase
+    ``count(distinct doc)`` aggregate per hash (map-side partials);
+    one hash-keyed LEFT join of lines against the (small — only
+    repeated lines survive the HAVING) boilerplate set, left to AQE
+    to broadcast when it fits; one doc-keyed reassembly aggregate.
+    Never all-pairs, no windows, no Python.
+
+    Returns (doc_id, text_clean, n_lines, n_removed)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    lines = lines.withColumn(
+        "__lh", F.when(norm != "", fingerprint(norm))
+    )
+    boiler = (
+        lines.filter(F.col("__lh").isNotNull())
+        .groupBy("__lh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__lh")
+        .withColumn("__boiler", F.lit(True))
+    )
+    keep = F.col("__boiler").isNull()
+    return (
+        lines.join(boiler, "__lh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("pos").alias("pos"),
+                                    keep.alias("keep"),
+                                    F.col("line").alias("line"),
+                                )
+                            )
+                        ),
+                        lambda s: s["keep"],
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum((~keep).cast("bigint")).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
+def intra_line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WITHIN-document duplicate-line collapse: every all-but-first
+    occurrence of an exact raw line inside one document is removed
+    (the intra-doc counterpart of :func:`line_dedup`'s corpus gate —
+    RefinedWeb applies both). Matching is exact (no normalization):
+    legitimately repeated markup like list bullets differing by
+    whitespace survives.
+
+    Scale shape: ZERO shuffles — ``split`` → ``array_distinct``
+    (documented first-occurrence order) → ``array_join`` is a pure
+    per-row projection inside one WholeStageCodegen span; the plan is
+    scan → project, so it scales with scan bandwidth alone.
+
+    Returns (doc_id, text_clean, n_lines, n_removed)."""
+    arr = F.split(F.col(text_col), "\n")
+    kept = F.array_distinct(arr)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(arr).cast("bigint").alias("n_lines"),
+        (F.size(arr) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )

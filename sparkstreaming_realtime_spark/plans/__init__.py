@@ -57,16 +57,25 @@ _PRIORITY = [
     # dedup / cluster / split family (doc_chunk_dedup_stride rotated
     # to the tail — green r3–r5, family still covered by
     # doc_exact_dedup/doc_minhash_near_dup — to make room for the NEW
-    # product-quantized ANN query)
-    "doc_dup_clusters", "doc_hash_split",
+    # product-quantized ANN query). NEW r8 session 2: the line-dedup
+    # pair (corpus boilerplate gate + zero-shuffle within-doc
+    # collapse) and the quality-aware keep-longest survivor —
+    # doc_hash_split / doc_resize_images / bucketed_colocated_join
+    # rotated to the tail for them (green r1–r7 / r6–r7 / r5–r7;
+    # sampling, multimodal, and warehouse families each keep ≥2
+    # in-window sentinels)
+    "doc_dup_clusters", "doc_line_dedup", "doc_intra_line_dedup",
+    "doc_dup_keep_longest",
     # sampling / export family (exact_k re-verifies the null-safe
     # pre-filter edit; doc_temperature_resample rotated to the tail —
     # green r2–r5 — for the NEW two-level IVF-PQ query)
     "doc_stratified_sample",
     "doc_exact_k_sample",
-    # multimodal / embedding family (+ NEW r6: byte-exact resize,
-    # k-means cluster profiling)
-    "doc_resize_images", "emb_feature_extract",
+    # multimodal / embedding family (+ NEW r6: k-means cluster
+    # profiling; doc_resize_images rotated to the tail r8s2 —
+    # doc_audio_windows + emb_feature_extract keep multimodal
+    # in-window)
+    "emb_feature_extract",
     "emb_kmeans_clusters", "emb_ivfpq_topk",
     # LLM dedup/similarity (re-verify the r6 width edits: the 6×6
     # re-pin, the width-adaptive auto oracle's first hash row, the
@@ -85,8 +94,10 @@ _PRIORITY = [
     "emb_ivf_append_topk", "emb_ivf_compact_topk",
     "emb_hamming_topk",
     "doc_lm_perplexity", "doc_pii_scrub",
-    # warehouse sentinels
-    "bucketed_colocated_join", "clustered_point_lookup",
+    # warehouse sentinels (bucketed_colocated_join rotated to the
+    # tail r8s2 — clustered/zordered/compaction/profile keep the
+    # family in-window)
+    "clustered_point_lookup",
     "events_table_profile",
     # streaming parities (+ NEW r8: the idempotent-sink replay parity
     # — K5/T5's first driver-hashed row — and the observe-metrics
@@ -103,6 +114,7 @@ _PRIORITY = [
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
     "doc_frame_sample", "emb_pq_topk", "doc_source_mix",
+    "doc_hash_split", "doc_resize_images", "bucketed_colocated_join",
     "emb_truncated_overlap", "emb_ivf_recall_curve",
     "doc_tfidf_top_terms", "doc_chunk_dedup_stride",
     "doc_temperature_resample",

@@ -1305,6 +1305,129 @@ def doc_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.remove_dup_chunks(_t(spark, sf_dir, "documents"), w=_C4_W)
 
 
+_LINE_DEDUP_MIN_DOCS = 2
+
+_LINE_DEDUP_ORACLE = f"""
+WITH lines AS (
+  SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+normed AS (
+  SELECT doc_id, pos, line, lower(trim(line)) AS norm FROM lines),
+boiler AS (
+  SELECT norm FROM normed WHERE norm <> ''
+  GROUP BY norm HAVING count(DISTINCT doc_id) >= {_LINE_DEDUP_MIN_DOCS}),
+marked AS (
+  SELECT n.doc_id, n.pos, n.line,
+         (n.norm = '' OR b.norm IS NULL) AS keep
+  FROM normed n LEFT JOIN boiler b ON n.norm = b.norm)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE keep), '') AS text_clean,
+       count(*)::BIGINT AS n_lines,
+       sum((NOT keep)::BIGINT)::BIGINT AS n_removed
+FROM marked GROUP BY doc_id
+"""
+
+
+@register("doc_line_dedup", oracle=_LINE_DEDUP_ORACLE, tags=("LLM", "dedup"))
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate-line removal
+    (operators/dedup.py:line_dedup; RefinedWeb §G / CCNet §3.1): a
+    normalized line seen in ≥2 distinct docs is boilerplate and is
+    cut everywhere; docs reassemble from surviving lines. The oracle
+    replays the gate on the raw normalized strings — an
+    algorithm-independent check of the Spark side's hashed keys."""
+    return dd.line_dedup(
+        _t(spark, sf_dir, "documents"), min_docs=_LINE_DEDUP_MIN_DOCS
+    )
+
+
+_INTRA_LINE_ORACLE = """
+WITH lines AS (
+  SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+firsts AS (
+  SELECT doc_id, line, min(pos) AS fpos, count(*)::BIGINT AS n
+  FROM lines GROUP BY doc_id, line)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY fpos) AS text_clean,
+       sum(n)::BIGINT AS n_lines,
+       (sum(n) - count(*))::BIGINT AS n_removed
+FROM firsts GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_intra_line_dedup", oracle=_INTRA_LINE_ORACLE, tags=("LLM", "dedup")
+)
+def doc_intra_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document duplicate-line collapse
+    (operators/dedup.py:intra_line_dedup): exact repeated lines inside
+    one doc keep only their first occurrence. ZERO-shuffle plan —
+    split → array_distinct → array_join is a pure projection, so the
+    100 TB cost is scan bandwidth alone."""
+    return dd.intra_line_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _keep_longest_oracle() -> str:
+    """Recursive-closure clusters (same CTE chain as doc_dup_clusters)
+    joined to documents, winner = longest doc (ties → min doc_id)."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.6),
+edges AS (SELECT doc_a AS node, doc_b AS nbr FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT DISTINCT node, node FROM edges
+  UNION
+  SELECT e.node, reach.r FROM edges e JOIN reach ON reach.node = e.nbr
+),
+clusters AS (
+  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+scored AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars::BIGINT AS n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM clusters c JOIN documents d USING (doc_id))
+SELECT doc_id, cluster_id, n_chars, (rn = 1)::INT AS is_keep
+FROM scored
+"""
+
+
+@register(
+    "doc_dup_keep_longest",
+    oracle=_keep_longest_oracle(),
+    tags=("LLM", "dedup"),
+)
+def doc_dup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over near-dup clusters: where
+    doc_dup_clusters keeps min doc_id, real curation keeps the BEST
+    copy — here the longest (max n_chars, ties → min doc_id), the
+    standard keep-longest heuristic for near-dup web pages. Winner per
+    cluster via ``max_by`` aggregation (map-side combinable — no rank
+    window over the full corpus; the oracle's row_number is DuckDB
+    replaying it independently), then one hash join back to mark rows.
+    Composes connected components + the documents dim."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd.dup_clusters(docs, threshold=0.6).select(
+        "doc_id", "cluster_id"
+    )
+    scored = clusters.join(
+        docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars")),
+        "doc_id",
+    )
+    winners = scored.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias("__win")
+    )
+    return scored.join(winners, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.col("doc_id") == F.col("__win")).cast("int").alias("is_keep"),
+    )
+
+
 def _heavy_hitters_oracle() -> str:
     from ..operators import sketches as sk
 

@@ -1925,3 +1925,60 @@ def test_cluster_banded_pairs_are_intersection_of_parents(spark):
         ).collect()
     }
     assert out == {1: (1, 1), 2: (1, 0), 10: (10, 1), 11: (10, 0)}
+
+
+def test_line_dedup_removes_corpus_boilerplate_keeps_structure(spark):
+    """Corpus-level line gate: a normalized line shared by >=2 docs is
+    cut everywhere; unique lines and empty lines survive; a doc made
+    entirely of boilerplate reassembles to ''. Normalization is
+    lower+trim (the '  FOOTER ' variant collapses onto 'footer')."""
+    docs = _docs(
+        spark,
+        [
+            (1, "unique alpha\nfooter\n\nbody one"),
+            (2, "body two\n  FOOTER \nunique beta"),
+            (3, "footer"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dd.line_dedup(docs).collect()}
+    assert out[1]["text_clean"] == "unique alpha\n\nbody one"
+    assert out[1]["n_lines"] == 4 and out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "body two\nunique beta"
+    assert out[2]["n_removed"] == 1
+    assert out[3]["text_clean"] == "" and out[3]["n_removed"] == 1
+
+
+def test_line_dedup_empty_lines_exempt_and_threshold_respected(spark):
+    """Empty-after-trim lines are never counted as boilerplate even
+    when every doc has them; min_docs=3 spares a 2-doc line."""
+    docs = _docs(
+        spark,
+        [(1, "a\n\nshared"), (2, "b\n\nshared"), (3, "c\n \nd")],
+    )
+    out = {r["doc_id"]: r for r in
+           dd.line_dedup(docs, min_docs=3).collect()}
+    # 'shared' appears in only 2 docs < min_docs=3 -> kept everywhere
+    assert out[1]["text_clean"] == "a\n\nshared"
+    assert out[2]["n_removed"] == 0
+    assert out[3]["text_clean"] == "c\n \nd"
+
+
+def test_intra_line_dedup_keeps_first_occurrence_zero_shuffle(spark):
+    """Within-doc collapse keeps first occurrences in order, counts
+    removals, and the plan carries NO exchange (pure projection)."""
+    docs = _docs(
+        spark,
+        [
+            (1, "x\ny\nx\nz\ny"),
+            (2, "only"),
+            (3, "a\na\na"),
+        ],
+    )
+    out_df = dd.intra_line_dedup(docs)
+    plan = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    out = {r["doc_id"]: r for r in out_df.collect()}
+    assert out[1]["text_clean"] == "x\ny\nz"
+    assert out[1]["n_lines"] == 5 and out[1]["n_removed"] == 2
+    assert out[2]["text_clean"] == "only" and out[2]["n_removed"] == 0
+    assert out[3]["text_clean"] == "a" and out[3]["n_removed"] == 2

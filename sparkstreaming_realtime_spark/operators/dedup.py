@@ -981,11 +981,43 @@ def remove_dup_chunks(
     )
 
 
+def _doc_lines(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, line, __lh) — one row per line, with the 60-bit
+    fingerprint of the normalized (lower+trim) line, NULL for
+    empty-after-trim lines (exempt from the boilerplate gate)."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    return lines.withColumn("__lh", F.when(norm != "", fingerprint(norm)))
+
+
+def line_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Line-frequency state: (line_fp, n_docs) — distinct-document
+    count per normalized-line fingerprint, empty lines excluded. This
+    is the MERGEABLE half of :func:`line_dedup`: a document's lines
+    all live in its one row, so per-batch distinct counts SUM to the
+    corpus distinct count across disjoint batches — the property the
+    streaming sink exploits."""
+    return (
+        _doc_lines(docs, text_col, id_col)
+        .filter(F.col("__lh").isNotNull())
+        .groupBy(F.col("__lh").alias("line_fp"))
+        .agg(F.countDistinct(id_col).cast("bigint").alias("n_docs"))
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level BOILERPLATE LINE removal (RefinedWeb, Penedo et
     al. 2023 §G "line-wise corrections"; CCNet's paragraph-hash dedup,
@@ -1009,21 +1041,19 @@ def line_dedup(
     to broadcast when it fits; one doc-keyed reassembly aggregate.
     Never all-pairs, no windows, no Python.
 
+    ``counts`` accepts a pre-computed line-frequency state frame
+    (:func:`line_counts` schema: ``line_fp``, ``n_docs``) so the gate
+    can run against INCREMENTALLY-maintained counts — the streaming
+    sink (streaming/sinks.py:line_count_sink) accumulates per-batch
+    counts and this function applies the gate at read time.
+
     Returns (doc_id, text_clean, n_lines, n_removed)."""
-    lines = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    )
-    norm = F.lower(F.trim(F.col("line")))
-    lines = lines.withColumn(
-        "__lh", F.when(norm != "", fingerprint(norm))
-    )
+    lines = _doc_lines(docs, text_col, id_col)
+    if counts is None:
+        counts = line_counts(docs, text_col, id_col)
     boiler = (
-        lines.filter(F.col("__lh").isNotNull())
-        .groupBy("__lh")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("__lh")
+        counts.filter(F.col("n_docs") >= min_docs)
+        .select(F.col("line_fp").alias("__lh"))
         .withColumn("__boiler", F.lit(True))
     )
     keep = F.col("__boiler").isNull()

@@ -68,8 +68,10 @@ _PRIORITY = [
     "doc_dup_keep_longest",
     # sampling / export family (exact_k re-verifies the null-safe
     # pre-filter edit; doc_temperature_resample rotated to the tail —
-    # green r2–r5 — for the NEW two-level IVF-PQ query)
-    "doc_stratified_sample",
+    # green r2–r5 — for the NEW two-level IVF-PQ query;
+    # doc_stratified_sample rotated to the tail r8s2 — green r1–r7,
+    # exact_k keeps the family in-window — for the NEW
+    # streaming_line_dedup_parity)
     "doc_exact_k_sample",
     # multimodal / embedding family (+ NEW r6: k-means cluster
     # profiling; doc_resize_images rotated to the tail r8s2 —
@@ -110,11 +112,15 @@ _PRIORITY = [
     "streaming_quality_gate_parity",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",
     "streaming_heavy_hitters_parity", "streaming_state_profile_parity",
+    # NEW r8 session 2: incremental line-count maintenance + the
+    # retroactive boilerplate gate (same oracle as doc_line_dedup)
+    "streaming_line_dedup_parity",
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
     "doc_frame_sample", "emb_pq_topk", "doc_source_mix",
     "doc_hash_split", "doc_resize_images", "bucketed_colocated_join",
+    "doc_stratified_sample",
     "emb_truncated_overlap", "emb_ivf_recall_curve",
     "doc_tfidf_top_terms", "doc_chunk_dedup_stride",
     "doc_temperature_resample",

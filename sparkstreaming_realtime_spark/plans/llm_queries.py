@@ -1369,6 +1369,41 @@ def doc_intra_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.intra_line_dedup(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "streaming_line_dedup_parity",
+    oracle=_LINE_DEDUP_ORACLE,
+    tags=("LLM", "dedup", "streaming"),
+)
+def streaming_line_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate-line gate under real Structured Streaming:
+    documents stream in micro-batches, each batch contributes only
+    its per-line distinct-doc counts
+    (streaming/sinks.py:line_count_sink, idempotent per-batch
+    directories), the counts fold fingerprint-wise, and the gate
+    applied to the corpus against the FOLDED state must equal the
+    one-shot batch line_dedup exactly — including lines that cross
+    the boilerplate threshold only in a later batch (retroactive
+    cleaning, which per-batch filtering could never give). Checked
+    against the same DuckDB oracle as doc_line_dedup."""
+    import tempfile
+    import uuid
+
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import line_count_sink, read_line_counts
+
+    raw = _stream_t(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="ld_parity_") + "/counts"
+    q = run_available_now(
+        raw,
+        line_count_sink(path),
+        checkpoint=tempfile.mkdtemp(prefix="ld_parity_ckpt_"),
+        query_name="ldp_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    docs = _t(spark, sf_dir, "documents")
+    return dd.line_dedup(docs, counts=read_line_counts(spark, path))
+
+
 def _keep_longest_oracle() -> str:
     """Recursive-closure clusters (same CTE chain as doc_dup_clusters)
     joined to documents, winner = longest doc (ties → min doc_id)."""

@@ -354,3 +354,39 @@ def read_count_min(spark, path: str) -> DataFrame:
         .groupBy("row", "col")
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
+
+
+def line_count_sink(path: str, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Streaming line-frequency maintenance for the boilerplate gate
+    (operators/dedup.py:line_dedup): each micro-batch's per-line
+    distinct-document counts land in their own ``batch=<id>``
+    directory (deterministic location → a replayed batch OVERWRITES
+    its previous attempt, the T5 idempotence move). Because a
+    document's lines all travel in its one row, per-batch distinct
+    counts over DISJOINT batches sum to the corpus distinct count —
+    the merge :func:`read_line_counts` performs. The expensive half
+    (line explode + count) is incremental per batch; the gate itself
+    applies at read time via ``line_dedup(docs, counts=...)``, so a
+    line that crosses the boilerplate threshold in a LATER batch
+    retroactively cleans earlier documents too — the semantics a
+    one-shot batch run would give."""
+    from ..operators.dedup import line_counts
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        line_counts(batch_df, text_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/batch={batch_id}")
+
+    return write
+
+
+def read_line_counts(spark, path: str) -> DataFrame:
+    """Merge the per-batch line counts: fingerprint-wise addition
+    over the batch directories (valid because batches partition the
+    documents — see :func:`line_count_sink`)."""
+    return (
+        spark.read.option("basePath", path).parquet(f"{path}/batch=*")
+        .groupBy("line_fp")
+        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
+    )

@@ -737,3 +737,43 @@ def test_observe_metrics_surface_per_batch(spark, tmp_path):
     assert by_n[2]["hi"].startswith("2024-01-01 09:00")
     assert by_n[2]["entries"] == 2
     assert by_n[1]["lo"].startswith("2024-01-02 07:00")
+
+
+def test_line_count_sink_merges_and_gate_is_retroactive(spark, tmp_path):
+    """Line-count state merges across disjoint batches to the one-shot
+    counts; a replayed batch overwrites (not double-counts); and the
+    gate applied to the folded state cleans a doc from an EARLY batch
+    whose line only became boilerplate in a LATER batch."""
+    from sparkstreaming_realtime_spark.operators.dedup import (
+        line_counts,
+        line_dedup,
+    )
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        line_count_sink,
+        read_line_counts,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "footer\nunique one")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "footer\nunique two")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "counts")
+    sink = line_count_sink(path)
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # replay: same batch id overwrites its directory
+    folded = {r["line_fp"]: r["n_docs"]
+              for r in read_line_counts(spark, path).collect()}
+    both = b1.union(b2)
+    oneshot = {r["line_fp"]: r["n_docs"]
+               for r in line_counts(both).collect()}
+    assert folded == oneshot
+    # retroactive gate: 'footer' became boilerplate only once batch 1
+    # arrived, yet doc 1 (batch 0) is cleaned too
+    out = {r["doc_id"]: r for r in
+           line_dedup(both, counts=read_line_counts(spark, path)).collect()}
+    assert out[1]["text_clean"] == "unique one"
+    assert out[2]["text_clean"] == "unique two"
+    assert out[1]["n_removed"] == 1 and out[2]["n_removed"] == 1

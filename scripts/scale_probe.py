@@ -100,6 +100,10 @@ PROBE = [
     # in the suite)
     "doc_line_dedup",
     "doc_intra_line_dedup",
+    # r8 session 2: the auto-k clustered SemDeDup (probe-only — the
+    # published recipe's ACTUAL scale knob, k ∝ N at fixed cell size;
+    # see _sdc_auto_k)
+    "emb_semantic_dedup_clustered_auto_k",
 ]
 
 
@@ -132,11 +136,35 @@ def _sdc_banded_auto(spark, sf_dir: str):
     )
 
 
+def _sdc_auto_k(spark, sf_dir: str):
+    # the published SemDeDup scaling: k GROWS with N so expected cell
+    # size stays ~fixed (Abbas et al. use k up to N/2000) — total
+    # within-cluster pair work is then N·cell_size/2, LINEAR in N.
+    # The registry twin pins k to the persisted IVF quantizer's cell
+    # count for its static oracle; the r8 ×100 probe measured that
+    # fixed-k shape at ×155.8 (quadratic by construction), so THIS is
+    # the knob setting a 100 TB caller must use.
+    import math
+
+    from sparkstreaming_realtime_spark.operators import similarity as sim
+    from sparkstreaming_realtime_spark.plans.llm_queries import _EMB_DIM
+    from sparkstreaming_realtime_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(8, min(1024, math.ceil(n / 512)))
+    cents = sim.train_kmeans_cells(emb, dim=_EMB_DIM, n_cells=k, iters=2)
+    return sim.semantic_dedup_clustered(
+        emb, cents, threshold=0.4, max_cluster=8192
+    )
+
+
 #: probe-only entries: operator paths worth scale-measuring that no
 #: registry query exercises with these exact knobs
 EXTRA = {
     "doc_dup_clusters_star": _dup_clusters_star,
     "emb_semantic_dedup_clustered_banded_auto": _sdc_banded_auto,
+    "emb_semantic_dedup_clustered_auto_k": _sdc_auto_k,
 }
 
 

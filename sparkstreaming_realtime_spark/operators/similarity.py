@@ -174,6 +174,98 @@ def assign_cell_scored(
     )
 
 
+#: assign_cell's literal-centroid argmax leaves whole-stage codegen
+#: once the expression tree carries a few hundred centroid structs
+#: (measured r8: 384 s for ONE 200k-row assign at k=391 vs ~1 s at
+#: k=8 — interpreted HOF evaluation, not compute, is the cost).
+#: Above this k, assignment switches to the Arrow matmul path
+#: (:func:`assign_cells_arrow`): one BLAS matmul per batch instead of
+#: N·k expression evaluations (every DataFrame shape tried — literal
+#: argmax, broadcast join, explode fan-out — paid 190-384 s at
+#: 200k×391 where the matmul pays seconds).
+LARGE_K_ASSIGN = 64
+
+
+def assign_cells_arrow(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) nearest-centroid assignment for LARGE k — same
+    semantics as :func:`assign_cell` (6dp-rounded cosine, min-cell
+    tie-break), vectorized through Arrow ``mapInPandas`` (the
+    :func:`knn_join` partial-top-k pattern): each batch is ONE numpy
+    matmul against the broadcast centroid matrix.
+
+    Why not stay JVM-side like the small-k literal path? Measured r8
+    at 200k vectors × k=391 × dim 64: the literal in-row argmax took
+    384 s, a broadcast-join + encoded-scalar max 192 s, an
+    explode-fan-out 199 s — every DataFrame shape pays per-(row·cell)
+    expression evaluation on N·k rows, and no amount of plan shaping
+    removes that constant. The BLAS matmul does the same 5 GFLOPs in
+    seconds; Arrow transfer (one id + vector column pass) is the only
+    overhead. This is exactly the "drop to Pandas only where the
+    built-ins genuinely can't express it efficiently" clause — the
+    REGISTRY queries keep the deterministic literal path (small k,
+    oracle-replayable); this path serves the probe-scale/production
+    large-k regime.
+
+    Tie-break parity: centroids are sorted by cell id and ``argmax``
+    returns the FIRST maximal column of the 6dp-ROUNDED cosine row —
+    i.e. the smallest cell id among ties, identical to the literal
+    path's ``max(struct(cos, -cell))``. (Float64 summation order
+    differs from the JVM fold, so an exact .5e-6 rounding boundary
+    could in principle flip — the equivalence test pins real data.)"""
+    from .dedup import spread
+
+    cs = sorted(cents)
+    schema = f"{id_col} long, cell int"
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        cells = np.array([c for c, _ in cs], dtype=np.int32)
+        C = np.array([v for _, v in cs], dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vn = np.sqrt((V * V).sum(axis=1))
+            denom = np.outer(vn, cn)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom > 0, (V @ C.T) / denom, 0.0)
+            best = np.argmax(np.round(cos, 6), axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": cells[best],
+                }
+            )
+
+    return spread(emb.select(F.col(id_col), F.col(vec_col))).mapInPandas(
+        fn, schema=schema
+    )
+
+
+def assign_cells_frame(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) via whichever assign path fits ``len(cents)`` —
+    the in-row literal argmax under :data:`LARGE_K_ASSIGN`, the
+    Arrow matmul above it. Same assignment either way."""
+    if len(cents) <= LARGE_K_ASSIGN:
+        return emb.select(
+            F.col(id_col), assign_cell(vec_col, cents).alias("cell")
+        )
+    return assign_cells_arrow(emb, cents, id_col, vec_col)
+
+
 def train_kmeans_cells(
     emb: DataFrame,
     dim: int,
@@ -214,9 +306,16 @@ def train_kmeans_cells(
         (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(seeds)
     ]
     for _ in range(iters):
-        assigned = emb.select(
-            assign_cell(vec_col, cents).alias("cell"), F.col(vec_col)
-        )
+        if n_cells <= LARGE_K_ASSIGN:
+            assigned = emb.select(
+                assign_cell(vec_col, cents).alias("cell"), F.col(vec_col)
+            )
+        else:
+            # large-k Lloyd: Arrow matmul assignment, then one
+            # id-keyed join pulls the vectors back for the per-dim mean
+            assigned = assign_cells_arrow(emb, cents, id_col, vec_col).join(
+                emb.select(F.col(id_col), F.col(vec_col)), id_col
+            )
         rows = (
             assigned.groupBy("cell")
             .agg(
@@ -1508,11 +1607,7 @@ def cluster_near_dup_pairs(
     cell."""
     from ..materialize import materialize
 
-    assigned = materialize(
-        emb.select(
-            F.col(id_col), assign_cell(vec_col, cents).alias("cell")
-        )
-    )
+    assigned = materialize(assign_cells_frame(emb, cents, id_col, vec_col))
     if max_cluster is not None:
         small = (
             assigned.groupBy("cell")

@@ -1982,3 +1982,33 @@ def test_intra_line_dedup_keeps_first_occurrence_zero_shuffle(spark):
     assert out[1]["n_lines"] == 5 and out[1]["n_removed"] == 2
     assert out[2]["text_clean"] == "only" and out[2]["n_removed"] == 0
     assert out[3]["text_clean"] == "a" and out[3]["n_removed"] == 2
+
+
+def test_assign_cells_arrow_matches_literal_argmax(spark):
+    """The large-k Arrow matmul assignment must agree with the
+    small-k literal argmax on every vector (same 6dp rounding, same
+    min-cell tie-break), and assign_cells_frame must dispatch by
+    LARGE_K_ASSIGN."""
+    import random
+
+    rnd = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rnd.uniform(-1, 1) for _ in range(4)], 0) for i in range(200)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cents = [
+        (c, [rnd.uniform(-1, 1) for _ in range(4)])
+        for c in range(sim.LARGE_K_ASSIGN + 6)
+    ]
+    lit = {r["vec_id"]: r["cell"] for r in emb.select(
+        "vec_id", sim.assign_cell("embedding", cents).alias("cell")
+    ).collect()}
+    arrow = {r["vec_id"]: r["cell"]
+             for r in sim.assign_cells_arrow(emb, cents).collect()}
+    assert lit == arrow
+    # dispatch: small k stays the zero-shuffle literal projection
+    # (no Python in the plan), large k goes through mapInPandas
+    small = sim.assign_cells_frame(emb, cents[: sim.LARGE_K_ASSIGN])
+    big = sim.assign_cells_frame(emb, cents)
+    assert "MapInPandas" not in small._jdf.queryExecution().logical().toString()
+    assert "MapInPandas" in big._jdf.queryExecution().logical().toString()

@@ -92,7 +92,11 @@ _PRIORITY = [
     # IVF index). emb_ivf_recall_curve rotated to the tail for it
     # (green r1–r7; similarity family still has six in-window rows)
     "emb_semantic_dedup_clustered", "emb_semantic_dedup_clustered_banded",
-    "emb_knn_join",
+    # NEW r8 session 2: the auto-k clustered variant (k ∝ N — the
+    # published SemDeDup scale knob; emb_knn_join rotated to the
+    # tail for it, green r6–r7, emb_ivf_knn_join keeps the kNN-join
+    # shape verified in the r1–r7 union)
+    "emb_semantic_dedup_clustered_auto",
     "emb_ivf_append_topk", "emb_ivf_compact_topk",
     "emb_hamming_topk",
     "doc_lm_perplexity", "doc_pii_scrub",
@@ -120,7 +124,7 @@ _PRIORITY = [
     # pytest
     "doc_frame_sample", "emb_pq_topk", "doc_source_mix",
     "doc_hash_split", "doc_resize_images", "bucketed_colocated_join",
-    "doc_stratified_sample",
+    "doc_stratified_sample", "emb_knn_join",
     "emb_truncated_overlap", "emb_ivf_recall_curve",
     "doc_tfidf_top_terms", "doc_chunk_dedup_stride",
     "doc_temperature_resample",

@@ -261,7 +261,9 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, q, k=10, exclude_id=_QUERY_VEC_ID)
 
 
-def _kmeans_ctes(train_src: str = "embeddings") -> str:
+def _kmeans_ctes(
+    train_src: str = "embeddings", n_cells_sql: str | None = None
+) -> str:
     """DuckDB replica of the engine's IVF index build
     (operators/similarity.py:train_kmeans_cells + build_ivf_index):
     the same Knuth-hash seed ranking, the same Lloyd rounds with
@@ -275,6 +277,11 @@ def _kmeans_ctes(train_src: str = "embeddings") -> str:
     while ``afin`` always assigns the full table — the incremental-
     append contract, where late vectors route to fixed centroids."""
     n_cells, iters = sim.IVF_CELLS, sim.IVF_ITERS
+    # ``n_cells_sql`` makes the cell COUNT corpus-derived (a scalar
+    # subquery in c0's WHERE) — the Lloyd rounds and the final
+    # assignment are k-agnostic, so the one seed cutoff is the whole
+    # dynamic-k surface (used by emb_semantic_dedup_clustered_auto)
+    k_pred = n_cells_sql if n_cells_sql is not None else str(n_cells)
     seed_h = oracle_hash60_sql(f"'{sim._SEED_PREFIX}' || vec_id::VARCHAR")
     parts = [
         f"""seedrank AS (
@@ -284,7 +291,7 @@ def _kmeans_ctes(train_src: str = "embeddings") -> str:
          ) - 1 AS cell
   FROM {train_src}),
 c0 AS (SELECT cell, list_transform(embedding, x -> x::DOUBLE) AS centroid
-       FROM seedrank WHERE cell < {n_cells})"""
+       FROM seedrank WHERE cell < ({k_pred}))"""
     ]
     for k in range(iters):
         parts.append(
@@ -2032,6 +2039,75 @@ def emb_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds ANN serving, cluster profiling, and dedup."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.load_centroids(spark, _ivf_index_path(spark, sf_dir))
+    return sim.semantic_dedup_clustered(emb, cents, threshold=0.4)
+
+
+#: auto-k cell-count formula, shared verbatim by the Spark query and
+#: its oracle: expected cell size ~512 vectors (the published
+#: SemDeDup regime — k grows with N so within-cell pair work stays
+#: linear), floored at IVF_CELLS, capped at 1024
+_AUTOK_FLOOR, _AUTOK_CAP, _AUTOK_CELL = sim.IVF_CELLS, 1024, 512
+_AUTOK_SQL = (
+    f"SELECT greatest({_AUTOK_FLOOR}, least({_AUTOK_CAP}, "
+    f"CAST(ceil(count(*) / {_AUTOK_CELL}.0) AS BIGINT))) FROM embeddings"
+)
+
+
+def _autok(n: int) -> int:
+    import math
+
+    return max(_AUTOK_FLOOR, min(_AUTOK_CAP, math.ceil(n / _AUTOK_CELL)))
+
+
+def _semantic_dedup_clustered_auto_oracle() -> str:
+    """The clustered-dedup oracle with the cell count DERIVED from
+    count(*) — the same one-line change the Spark side makes, so both
+    engines re-run the identical k-selection + Lloyd + within-cell
+    verify + closure at whatever corpus the driver supplies."""
+    return f"""
+WITH RECURSIVE {_kmeans_ctes(n_cells_sql=_AUTOK_SQL)},
+candc AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+          FROM afin a JOIN afin b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id),
+pairsc AS (SELECT vec_a, vec_b FROM candc WHERE cos >= 0.4),
+edgesc AS (SELECT vec_a AS node, vec_b AS nbr FROM pairsc
+           UNION ALL
+           SELECT vec_b, vec_a FROM pairsc),
+reachc(node, r) AS (
+  SELECT DISTINCT node, node FROM edgesc
+  UNION
+  SELECT e.node, reachc.r FROM edgesc e
+  JOIN reachc ON reachc.node = e.nbr
+)
+SELECT node AS vec_id, min(r) AS cluster_id,
+       (node = min(r))::INT AS is_keep
+FROM reachc GROUP BY node
+"""
+
+
+@register(
+    "emb_semantic_dedup_clustered_auto",
+    oracle=_semantic_dedup_clustered_auto_oracle(),
+    tags=("LLM", "similarity", "dedup", "clustering", "auto-scale"),
+)
+def emb_semantic_dedup_clustered_auto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-pruned SemDeDup at its PUBLISHED operating point: the
+    cell count grows with the corpus (k = clamp(N/512, 8, 1024)) so
+    expected cluster size stays put and within-cell pair work stays
+    linear — the r8 ×100 probe measured this at ×12 where the
+    fixed-k twin (emb_semantic_dedup_clustered) measured ×155.8.
+    Training runs the same deterministic Lloyd recipe at the derived
+    k (dispatching to the Arrow matmul assign above LARGE_K_ASSIGN);
+    the oracle re-derives k from count(*) with the same clamp and
+    replays everything."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k = _autok(emb.count())
+    cents = sim.train_kmeans_cells(
+        emb, dim=_EMB_DIM, n_cells=k, iters=sim.IVF_ITERS
+    )
     return sim.semantic_dedup_clustered(emb, cents, threshold=0.4)
 
 

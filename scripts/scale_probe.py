@@ -104,7 +104,26 @@ PROBE = [
     # published recipe's ACTUAL scale knob, k ∝ N at fixed cell size;
     # see _sdc_auto_k)
     "emb_semantic_dedup_clustered_auto_k",
+    # r9 session: the r8-new shapes never ×100-probed — the
+    # keep-longest survivor policy (re-runs the minhash+components
+    # chain, then ONE max_by winner join — expect ~doc_dup_clusters'
+    # ratio), and the three r8 streaming parities (each replays its
+    # batch oracle after the stream, so the probe measures the full
+    # parity harness, the shape the driver times)
+    "doc_dup_keep_longest",
+    "streaming_idempotent_sink_parity",
+    "streaming_observe_metrics_parity",
+    "streaming_line_dedup_parity",
 ]
+
+# NOTE (r9): at factors where the corpus passes 50k vectors, the
+# three PINNED-knob registry twins (emb_semantic_dedup 6×6,
+# emb_semantic_dedup_clustered fixed-k, …_clustered_banded 6×6) now
+# RAISE by design (similarity.FIXED_KNOB_GUARD_N — the guard the r8
+# probe's ×423/×156/×127 measurements motivated). Their probe rows
+# record the ValueError: that IS the result — the quadratic setting
+# can no longer be lifted into a big job. The auto twins beside them
+# keep probing normally.
 
 
 def _dup_clusters_star(spark, sf_dir: str):
@@ -144,18 +163,18 @@ def _sdc_auto_k(spark, sf_dir: str):
     # count for its static oracle; the r8 ×100 probe measured that
     # fixed-k shape at ×155.8 (quadratic by construction), so THIS is
     # the knob setting a 100 TB caller must use.
-    import math
-
     from sparkstreaming_realtime_spark.operators import similarity as sim
     from sparkstreaming_realtime_spark.plans.llm_queries import _EMB_DIM
     from sparkstreaming_realtime_spark.sources.files import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    k = max(8, min(1024, math.ceil(n / 512)))
+    # the registry's exact clamp — imported, not re-hardcoded, so the
+    # probe cannot drift from the query it models (r8 ADVICE)
+    k = sim.auto_k_cells(n)
     cents = sim.train_kmeans_cells(emb, dim=_EMB_DIM, n_cells=k, iters=2)
     return sim.semantic_dedup_clustered(
-        emb, cents, threshold=0.4, max_cluster=8192
+        emb, cents, threshold=0.4, max_cluster=8192, approx_count=n
     )
 
 

@@ -1102,7 +1102,15 @@ def intra_line_dedup(
     per-row projection inside one WholeStageCodegen span; the plan is
     scan → project, so it scales with scan bandwidth alone.
 
+    NULL text drops the document — the same semantics as
+    :func:`line_dedup` (whose posexplode of NULL emits no rows) and
+    the DuckDB unnest oracle, so the two operators and the oracle
+    agree on corpora with missing text instead of this one emitting
+    a (doc_id, NULL, NULL, NULL) row the siblings never produce
+    (r8 ADVICE).
+
     Returns (doc_id, text_clean, n_lines, n_removed)."""
+    docs = docs.filter(F.col(text_col).isNotNull())
     arr = F.split(F.col(text_col), "\n")
     kept = F.array_distinct(arr)
     return docs.select(

@@ -214,9 +214,13 @@ def assign_cells_arrow(
     Tie-break parity: centroids are sorted by cell id and ``argmax``
     returns the FIRST maximal column of the 6dp-ROUNDED cosine row —
     i.e. the smallest cell id among ties, identical to the literal
-    path's ``max(struct(cos, -cell))``. (Float64 summation order
-    differs from the JVM fold, so an exact .5e-6 rounding boundary
-    could in principle flip — the equivalence test pins real data.)"""
+    path's ``max(struct(cos, -cell))``. Rounding is explicit
+    half-away-from-zero (Spark ROUND / DuckDB semantics; np.round's
+    half-to-even would diverge exactly on the boundaries that decide
+    ties — r8 ADVICE). Float64 summation order can still differ from
+    the JVM fold by an ulp near a boundary; the equivalence test
+    pins real data and the r9 registry twin
+    (emb_cells_arrow_assign) oracle-hashes this path end-to-end."""
     from .dedup import spread
 
     cs = sorted(cents)
@@ -237,7 +241,12 @@ def assign_cells_arrow(
             denom = np.outer(vn, cn)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom > 0, (V @ C.T) / denom, 0.0)
-            best = np.argmax(np.round(cos, 6), axis=1)
+            # HALF-AWAY-FROM-ZERO at 6dp, exactly Spark's ROUND /
+            # the DuckDB oracle — np.round is half-to-even, which
+            # could flip an argmax on an exact .5e-6 boundary when
+            # BLAS summation order lands there (r8 ADVICE)
+            r6 = np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5) / 1e6
+            best = np.argmax(r6, axis=1)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -743,6 +752,55 @@ RH_ROWS = 4
 #: O(bucket) work per row at ANY corpus size.
 RH_TARGET_LOG_BUCKET = 4
 
+#: corpus-size guard for PINNED scale knobs. An explicitly fixed band
+#: width (rows_per_band) or an under-provisioned fixed cell count
+#: makes the candidate self-join quadratic in N — measured, not
+#: theorized: at ×100 corpus the 6×6-pinned LSH dedup cost ×422.6,
+#: fixed k=8 clustered SemDeDup ×155.8, the 6×6-pinned cluster∩band
+#: composition ×126.5 (PROBE_r08.json), vs ×9–×12 for the N-derived
+#: twins of the SAME operators. Below this bound a pinned config is
+#: harmless (the oracle-checked registry fixtures pin knobs for
+#: cross-engine reproducibility and stay ≤2k vectors); above it the
+#: pair generators raise unless the caller passes
+#: ``allow_fixed_knobs=True`` — the quadratic setting cannot ride
+#: into a 100 TB job by copy-pasting a test configuration.
+FIXED_KNOB_GUARD_N = 50_000
+
+#: auto-k cell sizing for cluster-pruned SemDeDup, shared by the
+#: registry queries, their DuckDB oracles (llm_queries builds the
+#: same formula in SQL), and the scale probe: k grows with N at
+#: ~AUTOK_CELL expected vectors per cell (the published regime —
+#: Abbas et al. run k up to N/2000), floored at IVF_CELLS, capped at
+#: AUTOK_CAP.
+AUTOK_CAP = 1024
+AUTOK_CELL = 512
+
+
+def auto_k_cells(n: int) -> int:
+    """N-derived k-means cell count for clustered SemDeDup — see
+    :data:`AUTOK_CELL`. One definition so the Spark queries, the
+    oracle SQL builder, and scripts/scale_probe.py cannot drift."""
+    import math
+
+    return max(IVF_CELLS, min(AUTOK_CAP, math.ceil(n / AUTOK_CELL)))
+
+
+def _guard_fixed_knobs(n: int, detail: str) -> None:
+    """Raise when a pinned scale knob meets a corpus the knob cannot
+    survive (> :data:`FIXED_KNOB_GUARD_N` vectors). Callers that
+    measured the trade (scale probes, deliberately bounded corpora)
+    pass ``allow_fixed_knobs=True`` at the operator entry point and
+    never reach here."""
+    raise ValueError(
+        f"pinned scale knob on a {n:,}-row corpus "
+        f"(> FIXED_KNOB_GUARD_N={FIXED_KNOB_GUARD_N:,}): {detail}. "
+        "Candidate pairs grow quadratically at a fixed knob — "
+        "measured ×127–×423 cost at ×100 corpus (PROBE_r08.json). "
+        "Use the N-derived defaults (rows_per_band=None / "
+        "k=auto_k_cells(n)) or pass allow_fixed_knobs=True if the "
+        "quadratic cost is understood and bounded."
+    )
+
 
 def auto_lsh_params(
     n: int,
@@ -880,6 +938,7 @@ def rh_near_dup_pairs(
     rows_per_band: int | None = None,
     max_bucket: int | None = None,
     approx_count: int | None = None,
+    allow_fixed_knobs: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: sign-LSH band buckets →
     bucket-local candidate self-join → exact cosine ≥ threshold on
@@ -900,9 +959,12 @@ def rh_near_dup_pairs(
     P(band match) = (1-θ/π)^rows_per_band, partially compensated with
     more bands. Passing both knobs explicitly pins the bucketing
     exactly (the oracle-checked registry queries do, for
-    reproducibility across engines). ``max_bucket`` hard-caps
-    degenerate buckets (identical to the MinHash cap in
-    dedup.near_dup_join)."""
+    reproducibility across engines) — but a pinned width on a corpus
+    over :data:`FIXED_KNOB_GUARD_N` raises unless
+    ``allow_fixed_knobs=True``, because the measured cost of that
+    exact mistake is ×422.6 at ×100 corpus (PROBE_r08.json).
+    ``max_bucket`` hard-caps degenerate buckets (identical to the
+    MinHash cap in dedup.near_dup_join)."""
     from ..materialize import materialize
     from .dedup import lsh_candidate_pairs
 
@@ -913,8 +975,16 @@ def rh_near_dup_pairs(
         )
         if bands is None:
             bands = auto_bands
-    elif bands is None:
-        bands = RH_BANDS
+    else:
+        if not allow_fixed_knobs:
+            n = approx_count if approx_count is not None else emb.count()
+            if n > FIXED_KNOB_GUARD_N:
+                _guard_fixed_knobs(
+                    n, f"explicit rows_per_band={rows_per_band} pins "
+                    "the LSH bucket count while N grows"
+                )
+        if bands is None:
+            bands = RH_BANDS
     planes = random_hyperplanes(bands * rows_per_band, dim)
     # materialize: the bucket frame's signature transform (all the
     # hyperplane dots) is consumed by both self-join sides (and the
@@ -1544,6 +1614,7 @@ def semantic_dedup(
     rows_per_band: int | None = None,
     max_bucket: int | None = None,
     approx_count: int | None = None,
+    allow_fixed_knobs: bool = False,
 ) -> DataFrame:
     """Embedding-space semantic dedup (SemDeDup, Abbas et al. 2023;
     PAPERS.md): near-identical *meanings* — paraphrases, templated
@@ -1571,7 +1642,7 @@ def semantic_dedup(
 
     pairs = rh_near_dup_pairs(
         emb, dim, threshold, id_col, bands, rows_per_band, max_bucket,
-        approx_count,
+        approx_count, allow_fixed_knobs=allow_fixed_knobs,
     )
     return connected_components(pairs, "vec_a", "vec_b", id_col, max_iters)
 
@@ -1583,6 +1654,8 @@ def cluster_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster: int | None = None,
+    approx_count: int | None = None,
+    allow_fixed_knobs: bool = False,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs — the candidate stage of
     cluster-pruned SemDeDup (Abbas et al. 2023, the ACTUAL SemDeDup
@@ -1604,9 +1677,30 @@ def cluster_near_dup_pairs(
     clusters the same way ``max_bucket`` caps LSH buckets: an
     over-cap cell is dropped WHOLE (deterministic — its members
     simply produce no pairs), bounding the worst case at cap² per
-    cell."""
+    cell.
+
+    Fixed-knob guard: a ``cents`` table whose expected cell size
+    n/k exceeds 4·:data:`AUTOK_CELL` on a corpus over
+    :data:`FIXED_KNOB_GUARD_N` is an under-provisioned quantizer —
+    Θ(N²/k) candidates (measured ×155.8 at ×100 corpus with fixed
+    k=8, PROBE_r08.json) AND, when ``max_cluster`` is set, most
+    cells blow the cap and get dropped whole (a recall collapse, not
+    just a cost blowup). Raises unless ``allow_fixed_knobs=True``;
+    pass k=:func:`auto_k_cells`(n) centroids to stay in the
+    published linear regime."""
     from ..materialize import materialize
 
+    if not allow_fixed_knobs:
+        n = approx_count if approx_count is not None else emb.count()
+        if (
+            n > FIXED_KNOB_GUARD_N
+            and n / max(len(cents), 1) > 4 * AUTOK_CELL
+        ):
+            _guard_fixed_knobs(
+                n, f"fixed k={len(cents)} centroids give expected "
+                f"cell size ~{n // max(len(cents), 1):,} (auto-k "
+                f"target: {AUTOK_CELL})"
+            )
     assigned = materialize(assign_cells_frame(emb, cents, id_col, vec_col))
     if max_cluster is not None:
         small = (
@@ -1633,6 +1727,8 @@ def semantic_dedup_clustered(
     id_col: str = "vec_id",
     max_iters: int = 20,
     max_cluster: int | None = None,
+    approx_count: int | None = None,
+    allow_fixed_knobs: bool = False,
 ) -> DataFrame:
     """Cluster-pruned semantic dedup — SemDeDup as published (Abbas
     et al. 2023): k-means partitions the corpus, exact cosine decides
@@ -1650,7 +1746,8 @@ def semantic_dedup_clustered(
     from .dedup import connected_components
 
     pairs = cluster_near_dup_pairs(
-        emb, cents, threshold, id_col, max_cluster=max_cluster
+        emb, cents, threshold, id_col, max_cluster=max_cluster,
+        approx_count=approx_count, allow_fixed_knobs=allow_fixed_knobs,
     )
     return connected_components(pairs, "vec_a", "vec_b", id_col, max_iters)
 
@@ -1666,6 +1763,7 @@ def cluster_banded_near_dup_pairs(
     rows_per_band: int | None = None,
     max_bucket: int | None = None,
     approx_count: int | None = None,
+    allow_fixed_knobs: bool = False,
 ) -> DataFrame:
     """Hierarchically pruned SemDeDup candidates: a pair qualifies
     only when it shares BOTH its k-means cell AND a sign-LSH band
@@ -1685,7 +1783,15 @@ def cluster_banded_near_dup_pairs(
     (cell, band-bucket) key feeds the same bucket-local self-join
     and the shared exact-cosine verify. ``rows_per_band`` defaults
     to N-derived (:func:`auto_lsh_params`), same as
-    :func:`rh_near_dup_pairs`."""
+    :func:`rh_near_dup_pairs` — and like it, an explicitly pinned
+    width on a corpus over :data:`FIXED_KNOB_GUARD_N` raises unless
+    ``allow_fixed_knobs=True`` (the 6×6 pin measured ×126.5 at ×100
+    corpus, PROBE_r08.json; the cell term alone does not save a
+    pinned band width). A fixed CELL count is deliberately NOT
+    guarded here: the band term is what keeps within-cluster work
+    near-linear when a fixed quantizer meets growing N — that is
+    this operator's reason to exist (its auto-band twin probed ×9.45
+    at ×100 over the same fixed k=8 quantizer)."""
     from ..materialize import materialize
     from .dedup import lsh_candidate_pairs
 
@@ -1696,8 +1802,16 @@ def cluster_banded_near_dup_pairs(
         )
         if bands is None:
             bands = auto_bands
-    elif bands is None:
-        bands = RH_BANDS
+    else:
+        if not allow_fixed_knobs:
+            n = approx_count if approx_count is not None else emb.count()
+            if n > FIXED_KNOB_GUARD_N:
+                _guard_fixed_knobs(
+                    n, f"explicit rows_per_band={rows_per_band} pins "
+                    "the LSH bucket count while N grows"
+                )
+        if bands is None:
+            bands = RH_BANDS
     planes = random_hyperplanes(bands * rows_per_band, dim)
     tagged = emb.withColumn("__cell", assign_cell(vec_col, cents))
     buckets = rh_band_buckets(
@@ -1733,6 +1847,7 @@ def semantic_dedup_clustered_banded(
     rows_per_band: int | None = None,
     max_bucket: int | None = None,
     approx_count: int | None = None,
+    allow_fixed_knobs: bool = False,
 ) -> DataFrame:
     """Cluster-AND-band semantic dedup — the scale composition of
     :func:`semantic_dedup_clustered` (published SemDeDup, exact
@@ -1746,6 +1861,7 @@ def semantic_dedup_clustered_banded(
         emb, cents, dim, threshold, id_col,
         bands=bands, rows_per_band=rows_per_band,
         max_bucket=max_bucket, approx_count=approx_count,
+        allow_fixed_knobs=allow_fixed_knobs,
     )
     return connected_components(pairs, "vec_a", "vec_b", id_col, max_iters)
 

@@ -1963,7 +1963,12 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXPLICITLY (the library default is N-derived via auto_lsh_params)
     because the oracle bakes the same plane/band literals — pinned at
     6×6 (_LSH_PIN), not the quadratic-by-construction 4×4 the
-    registry carried through r5."""
+    registry carried through r5. GUARD-PROTECTED (r9): this pinned
+    width measured ×422.6 at ×100 corpus (PROBE_r08.json), so
+    rh_near_dup_pairs now raises past
+    similarity.FIXED_KNOB_GUARD_N=50k vectors — the fixture here is
+    2k rows at sf0.1, far under; at production N this exact call
+    fails fast and points at emb_semantic_dedup_auto's path."""
     return sim.semantic_dedup(
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4,
         bands=_LSH_PIN, rows_per_band=_LSH_PIN,
@@ -2036,7 +2041,12 @@ def emb_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry (Σ|c_i|², grown-with-N cell count keeps |c_i| put)
     instead of LSH bucket luck, and the coarse quantizer is the
     session's PERSISTED IVF index reused verbatim — one training job
-    feeds ANN serving, cluster profiling, and dedup."""
+    feeds ANN serving, cluster profiling, and dedup.
+    GUARD-PROTECTED (r9): this FIXED-k=8 shape measured ×155.8 at
+    ×100 corpus (PROBE_r08.json); cluster_near_dup_pairs now raises
+    when an under-provisioned quantizer (expected cell > 4·512)
+    meets >50k vectors — the fixture stays ≤2k; at production N use
+    emb_semantic_dedup_clustered_auto's k=auto_k_cells(n)."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.load_centroids(spark, _ivf_index_path(spark, sf_dir))
     return sim.semantic_dedup_clustered(emb, cents, threshold=0.4)
@@ -2046,17 +2056,19 @@ def emb_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: its oracle: expected cell size ~512 vectors (the published
 #: SemDeDup regime — k grows with N so within-cell pair work stays
 #: linear), floored at IVF_CELLS, capped at 1024
-_AUTOK_FLOOR, _AUTOK_CAP, _AUTOK_CELL = sim.IVF_CELLS, 1024, 512
+_AUTOK_FLOOR, _AUTOK_CAP, _AUTOK_CELL = (
+    sim.IVF_CELLS, sim.AUTOK_CAP, sim.AUTOK_CELL
+)
 _AUTOK_SQL = (
     f"SELECT greatest({_AUTOK_FLOOR}, least({_AUTOK_CAP}, "
     f"CAST(ceil(count(*) / {_AUTOK_CELL}.0) AS BIGINT))) FROM embeddings"
 )
 
-
-def _autok(n: int) -> int:
-    import math
-
-    return max(_AUTOK_FLOOR, min(_AUTOK_CAP, math.ceil(n / _AUTOK_CELL)))
+#: one definition (operators/similarity.py:auto_k_cells) shared with
+#: the operator layer and scripts/scale_probe.py — the SQL above is
+#: the same formula in DuckDB, pinned equal by
+#: test_autok_sql_matches_python
+_autok = sim.auto_k_cells
 
 
 def _semantic_dedup_clustered_auto_oracle() -> str:
@@ -2164,7 +2176,12 @@ def emb_semantic_dedup_clustered_banded(
     published exact-within-cluster recipe is Θ(Σ|c_i|²) at fixed
     cell count. The cell id rides the bucket explode (zero extra
     shuffle); band width pinned 6×6 here so the oracle bakes the
-    same plane literals (the library default is N-derived)."""
+    same plane literals (the library default is N-derived).
+    GUARD-PROTECTED (r9): the 6×6 pin measured ×126.5 at ×100
+    corpus (PROBE_r08.json); cluster_banded_near_dup_pairs raises on
+    a pinned band width past 50k vectors (fixed CELL count alone is
+    fine here — the band term is what keeps it linear; the auto-band
+    twin over the same k=8 quantizer probed ×9.45)."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.load_centroids(spark, _ivf_index_path(spark, sf_dir))
     return sim.semantic_dedup_clustered_banded(

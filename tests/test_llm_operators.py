@@ -1984,6 +1984,19 @@ def test_intra_line_dedup_keeps_first_occurrence_zero_shuffle(spark):
     assert out[3]["text_clean"] == "a" and out[3]["n_removed"] == 2
 
 
+def test_line_dedup_family_drops_null_text_consistently(spark):
+    """NULL text must vanish from BOTH line operators the same way —
+    line_dedup's posexplode drops it structurally; intra_line_dedup
+    now filters it explicitly (r8 ADVICE: it used to emit a
+    (doc_id, NULL, NULL, NULL) row its sibling and the DuckDB unnest
+    oracle never produce)."""
+    docs = _docs(spark, [(1, "x\nx"), (2, None), (3, "y")])
+    intra = dd.intra_line_dedup(docs)
+    assert sorted(r["doc_id"] for r in intra.collect()) == [1, 3]
+    corpus = dd.line_dedup(docs)
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 3]
+
+
 def test_assign_cells_arrow_matches_literal_argmax(spark):
     """The large-k Arrow matmul assignment must agree with the
     small-k literal argmax on every vector (same 6dp rounding, same

@@ -98,7 +98,11 @@ _PRIORITY = [
     # shape verified in the r1–r7 union)
     "emb_semantic_dedup_clustered_auto",
     "emb_ivf_append_topk", "emb_ivf_compact_topk",
-    "emb_hamming_topk",
+    # NEW r9: the Arrow matmul assignment path driver-hashed for the
+    # first time (k=96 > LARGE_K_ASSIGN throughout training AND
+    # final assignment; emb_hamming_topk rotated to the tail for it
+    # — green r6s3–r8, similarity family keeps 10+ in-window rows)
+    "emb_cells_arrow_assign",
     "doc_lm_perplexity", "doc_pii_scrub",
     # warehouse sentinels (bucketed_colocated_join rotated to the
     # tail r8s2 — clustered/zordered/compaction/profile keep the
@@ -122,6 +126,7 @@ _PRIORITY = [
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
+    "emb_hamming_topk",
     "doc_frame_sample", "emb_pq_topk", "doc_source_mix",
     "doc_hash_split", "doc_resize_images", "bucketed_colocated_join",
     "doc_stratified_sample", "emb_knn_join",

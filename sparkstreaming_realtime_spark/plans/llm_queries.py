@@ -2123,6 +2123,50 @@ def emb_semantic_dedup_clustered_auto(
     return sim.semantic_dedup_clustered(emb, cents, threshold=0.4)
 
 
+#: forces the Arrow matmul assignment path: k strictly above the
+#: LARGE_K_ASSIGN=64 dispatch cutover at EVERY test SF (the auto-k
+#: queries only cross it past ~33k vectors, so until r9 the Arrow
+#: path was pytest-pinned but never driver-hashed)
+_ARROW_ASSIGN_K = sim.LARGE_K_ASSIGN + 32
+
+
+def _cells_arrow_assign_oracle() -> str:
+    """Oracle for the Arrow-path assignment: the SAME Lloyd replay
+    (shared ``_kmeans_ctes``) at k=96 — ``afin`` IS the assignment,
+    so the SELECT is just a projection. Every Lloyd round AND the
+    final assignment run through assign_cells_arrow on the Spark
+    side (k > LARGE_K_ASSIGN throughout), so a hash match here
+    pins the BLAS matmul + half-away-from-zero rounding + min-cell
+    tie-break end-to-end against an engine that never left SQL."""
+    return f"""
+WITH {_kmeans_ctes(n_cells_sql=str(_ARROW_ASSIGN_K))}
+SELECT vec_id, cell::INTEGER AS cell FROM afin
+"""
+
+
+@register(
+    "emb_cells_arrow_assign",
+    oracle=_cells_arrow_assign_oracle(),
+    tags=("LLM", "similarity", "clustering", "arrow"),
+)
+def emb_cells_arrow_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-k nearest-centroid assignment through the Arrow matmul
+    path (operators/similarity.py:assign_cells_arrow): trains the
+    deterministic Lloyd quantizer at k=96 — above the
+    LARGE_K_ASSIGN=64 cutover, so BOTH the training rounds and the
+    final assignment dispatch to the one-BLAS-matmul-per-Arrow-batch
+    kernel the registry's small-k queries never exercise (r8
+    measured the JVM literal argmax at 384 s for 200k×k391 where the
+    matmul takes seconds — this is the production large-k path, and
+    as of r9 it is driver-hashed, not just pytest-pinned against
+    the literal path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.train_kmeans_cells(
+        emb, dim=_EMB_DIM, n_cells=_ARROW_ASSIGN_K, iters=sim.IVF_ITERS
+    )
+    return sim.assign_cells_frame(emb, cents)
+
+
 def _semantic_dedup_clustered_banded_oracle() -> str:
     """Oracle for the cluster-AND-band composition: the Lloyd replay
     (shared ``_kmeans_ctes``) supplies final cells, the pinned-width

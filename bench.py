@@ -1,6 +1,10 @@
 """Benchmark harness (driver contract): run the headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line.
+``local[$SPARK_GRAFT_CPUS]`` and print the result JSON — the full
+per-query line first, then a COMPACT summary as the LAST line (the
+driver stores a ~2k-char stdout tail; the compact line fits it whole
+so the artifact is always parseable), with the full artifact also
+written to BENCH_local.json.
 
 Each query is executed to completion with the noop sink (full plan
 runs, nothing collected to the driver — the honest way to time a
@@ -218,6 +222,38 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+
+    # The driver's BENCH artifact keeps only a ~2,000-char stdout
+    # TAIL and parses JSON from it — the full line above outgrew that
+    # window in r7 and r8 (both artifacts recorded "parsed": null, so
+    # per-query mins were unrecoverable by the judge). Two fixes,
+    # belt and braces: (1) the full artifact is written to
+    # BENCH_local.json beside this script (committed per round as
+    # BENCH_local_r{N}.json), and (2) the LAST stdout line is a
+    # COMPACT summary — same contract keys, queries trimmed to the
+    # shared-8 — that always fits inside the tail window whole.
+    art = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
+    try:
+        with open(art, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    shared8 = {n: timings[n] for n in HEADLINE[:8] if n in timings}
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": shared8,
+        "shared8_sum": round(sum(shared8.values()), 3),
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "loadavg_1m": [load_at_start, round(os.getloadavg()[0], 2)],
+        "full_artifact": "BENCH_local.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -55,6 +55,48 @@ _LIVE: list[DataFrame] = []
 #: the caller knows no later plan will re-read them.
 _LIVE_CKPT: list[DataFrame] = []
 
+#: engine-created per-QUERY temp dirs (streaming-parity sinks +
+#: checkpoints, warehouse layout fixtures) — swept by the NEXT
+#: release_all(), exactly like finished frames' blocks: by the time
+#: the registry enters the next query, the previous query's result
+#: has been collected (the same contract the checkpoint sweep already
+#: relies on), so its scratch dirs are dead. Before r9 these leaked
+#: ~220 dirs / 670 MB of /tmp per judge session.
+_TMP_DIRS: list[str] = []
+
+#: engine-created SESSION-scoped dirs (the persisted IVF index family
+#: — built once, served by every later query in the session) — never
+#: swept mid-session, removed at process exit.
+_SESSION_DIRS: list[str] = []
+
+
+def engine_tmpdir(prefix: str) -> str:
+    """mkdtemp that the engine OWNS: tracked for the per-query sweep
+    in :func:`release_all` and belt-and-braces rmtree'd at process
+    exit. Every engine-internal scratch dir (parity sinks, streaming
+    checkpoints, layout fixtures) must come from here — a bare
+    tempfile.mkdtemp in query code is a leak by construction."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    _TMP_DIRS.append(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
+def track_session_dir(path: str) -> None:
+    """Register a session-lived engine dir (persisted index builds)
+    for removal at process exit only — release_all() must NOT touch
+    it, later queries in this session serve from it."""
+    import atexit
+    import shutil
+
+    if path not in _SESSION_DIRS:
+        _SESSION_DIRS.append(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+
 #: the checkpoint dir ensure_checkpoint_dir() itself installed (None
 #: if the deployment configured one first). Engine-installed ⇒
 #: engine-owned lifecycle: release_all() auto-sweeps rdd-N dirs under
@@ -205,3 +247,11 @@ def release_all(clean_checkpoints: bool | None = None) -> None:
         else:
             keep.append(df)
     _LIVE_CKPT[:] = keep
+    # per-query scratch dirs (engine_tmpdir): dead once the previous
+    # query's result is collected — same lifecycle as its blocks
+    if _TMP_DIRS:
+        import shutil
+
+        for d in _TMP_DIRS:
+            shutil.rmtree(d, ignore_errors=True)
+        _TMP_DIRS.clear()

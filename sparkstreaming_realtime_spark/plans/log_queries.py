@@ -174,7 +174,7 @@ def streaming_multiplex_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     outputs are pinned batch-side by the log_split_* oracles and
     streaming-side by tests/test_streaming.py's multiplex test."""
     import glob
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..sources.files import events_with_ts
@@ -183,11 +183,11 @@ def streaming_multiplex_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "events")  # sets the temporal read confs
     raw = _stream_t(spark, sf_dir, "events")
     env = ls.synthesize_ods_log(events_with_ts(raw))
-    base = tempfile.mkdtemp(prefix="mux_parity_")
+    base = engine_tmpdir("mux_parity_")
     q = run_available_now(
         env,
         multiplex_sink(base),
-        checkpoint=tempfile.mkdtemp(prefix="mux_parity_ckpt_"),
+        checkpoint=engine_tmpdir("mux_parity_ckpt_"),
         query_name="muxp_" + uuid.uuid4().hex[:8],
     )
     q.awaitTermination()

@@ -195,7 +195,7 @@ def dau_warehouse_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the base table, proving the round-trip loses nothing.
     Pruning itself is plan-pinned by
     tests/test_warehouse.py::test_partition_pruning_skips_other_days."""
-    import tempfile
+    from ..materialize import engine_tmpdir
 
     from ..sources.warehouse import (
         partition_values,
@@ -209,7 +209,7 @@ def dau_warehouse_day_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "HH").alias("hr"),
         "user_id",
     ).distinct()
-    path = tempfile.mkdtemp(prefix="dau_wh_")
+    path = engine_tmpdir("dau_wh_")
     write_warehouse(rows, path, partition_by=("dt",))
     wh = read_warehouse(spark, path)
     # the "serving" read: one day (the endpoint's `td` request param,
@@ -257,7 +257,7 @@ def clustered_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter is a literal predicate the parquet reader's row-group
     stats can act on (a scalar-subquery join would defeat the
     file-skipping this query demonstrates)."""
-    import tempfile
+    from ..materialize import engine_tmpdir
 
     from ..sources.warehouse import write_clustered
 
@@ -266,7 +266,7 @@ def clustered_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    path = tempfile.mkdtemp(prefix="ev_clustered_")
+    path = engine_tmpdir("ev_clustered_")
     write_clustered(ev, path, cluster_by=("user_id",), n_files=8)
     target = ev.agg(F.min("user_id")).collect()[0][0]
     return (
@@ -385,14 +385,14 @@ def streaming_quality_gate_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     per-check verdict values are separately under the driver gate via
     events_quality_expectations (same compiler), and quarantine
     replay/empty-batch behavior is pytest-pinned."""
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..streaming.pipelines import run_available_now
     from ..streaming.sinks import quality_gate_sink
 
     _t(spark, sf_dir, "events")  # sets the temporal read confs
-    root = tempfile.mkdtemp(prefix="qgate_parity_")
+    root = engine_tmpdir("qgate_parity_")
     for tag, suite in (
         ("pass", [("not_null", "event_id", 0.0)]),
         ("fail", [("row_count", 0, 0)]),
@@ -445,14 +445,14 @@ def streaming_idempotent_sink_parity(spark: SparkSession, sf_dir: str) -> DataFr
     tests/test_streaming.py (test_idempotent_sink_replay_overwrites);
     this row puts the same writer under the driver's hash gate."""
     import os
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..streaming.pipelines import run_available_now
     from ..streaming.sinks import idempotent_parquet_sink, read_sink
 
     _t(spark, sf_dir, "events")  # sets the temporal read confs
-    root = tempfile.mkdtemp(prefix="idem_parity_")
+    root = engine_tmpdir("idem_parity_")
     sink = idempotent_parquet_sink(
         root, key_cols=("event_id",), partition_col=None
     )
@@ -511,7 +511,7 @@ def streaming_observe_metrics_parity(spark: SparkSession, sf_dir: str) -> DataFr
     missed rows shifts a value and breaks the hash. Zero extra scans:
     the metrics ride the batch execution itself."""
     import os
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..streaming.pipelines import run_available_now, with_batch_metrics
@@ -531,7 +531,7 @@ def streaming_observe_metrics_parity(spark: SparkSession, sf_dir: str) -> DataFr
             "max_event_s": F.max(F.unix_timestamp("event_time")),
         },
     )
-    root = tempfile.mkdtemp(prefix="observe_parity_")
+    root = engine_tmpdir("observe_parity_")
     q = run_available_now(
         observed,
         lambda df, _bid: df.write.format("noop").mode("overwrite").save(),
@@ -580,7 +580,7 @@ def warehouse_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     changes bytes and file counts, never rows. File-count reduction
     and cold-partition no-churn are pinned by tests/test_warehouse.py::
     test_compact_partitions_binpacks_hot_days_only."""
-    import tempfile
+    from ..materialize import engine_tmpdir
 
     from ..sources.warehouse import compact_partitions
 
@@ -595,7 +595,7 @@ def warehouse_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
             "value",
         )
     )
-    path = tempfile.mkdtemp(prefix="ev_compact_")
+    path = engine_tmpdir("ev_compact_")
     # fragment: many small files per day, the streaming-sink shape
     ev.repartition(16).write.mode("overwrite").partitionBy("dt").parquet(path)
     compacted = compact_partitions(spark, path, target_bytes=256 * 1024 * 1024)
@@ -638,7 +638,7 @@ def zordered_two_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain filter on the unclustered table) proves the re-layout
     changes bytes, not answers. Bounds are data-derived (min user_id)
     so the check is non-vacuous at every SF."""
-    import tempfile
+    from ..materialize import engine_tmpdir
 
     from ..sources.warehouse import write_zordered
 
@@ -648,7 +648,7 @@ def zordered_two_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value"),
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    path = tempfile.mkdtemp(prefix="ev_zorder_")
+    path = engine_tmpdir("ev_zorder_")
     write_zordered(ev, path, cluster_by=("user_id", "value"), n_files=8)
     lo = ev.agg(F.min("user_id")).collect()[0][0]
     return (
@@ -686,6 +686,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from ..materialize import track_session_dir
     from ..sources.warehouse import write_bucketed
 
     # fixed per-session table names + paths, overwritten on every
@@ -695,6 +696,7 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sessions (parallel gate + bench JVMs) from clobbering each other.
     app = spark.sparkContext.applicationId.replace("-", "_")
     base = os.path.join(tempfile.gettempdir(), f"spark_graft_bucketed_{app}")
+    track_session_dir(base)
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
@@ -1021,7 +1023,7 @@ def streaming_order_wide_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the time-bound state pruning is genuinely exercised, not mocked.
     Cross-batch arrival/late-drop behavior is pinned separately by
     tests/test_streaming.py with maxFilesPerTrigger=1."""
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..streaming.pipelines import streaming_order_wide
@@ -1051,7 +1053,7 @@ def streaming_order_wide_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_order_wide(info, detail)
         .writeStream.format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sow_ckpt_"))
+        .option("checkpointLocation", engine_tmpdir("sow_ckpt_"))
         .trigger(availableNow=True)
         .outputMode("append")
         .start()
@@ -1090,7 +1092,7 @@ def streaming_dau_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     as DISTINCT. The session-entry rule mirrors synthesize_ods_log
     (last_page_id null iff event_id % 3 == 0). Cross-batch admission
     and watermark eviction are pinned by tests/test_streaming.py."""
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..sources.files import events_with_ts
@@ -1110,7 +1112,7 @@ def streaming_dau_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_dau_dedup(page_log)
         .writeStream.format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dau_ckpt_"))
+        .option("checkpointLocation", engine_tmpdir("dau_ckpt_"))
         .trigger(availableNow=True)
         .outputMode("append")
         .start()
@@ -1140,7 +1142,7 @@ def streaming_hourly_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFram
     ``window_end <= max(ts) − 2 h``, so both the aggregation values
     AND the watermark-finalization semantics are under the gate. Late
     drop across batches is pinned by tests/test_streaming.py."""
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..sources.files import events_with_ts
@@ -1158,7 +1160,7 @@ def streaming_hourly_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFram
         streaming_hourly_rollup(ev)
         .writeStream.format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="swr_ckpt_"))
+        .option("checkpointLocation", engine_tmpdir("swr_ckpt_"))
         .trigger(availableNow=True)
         .outputMode("append")
         .start()
@@ -2674,7 +2676,7 @@ def streaming_user_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFram
     reproduces the emission rule as
     ``last_event + gap <= max(ts) − lateness`` — values AND
     finalization semantics under one gate."""
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..sources.files import events_with_ts
@@ -2692,7 +2694,7 @@ def streaming_user_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFram
         streaming_user_sessions(ev)
         .writeStream.format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sus_ckpt_"))
+        .option("checkpointLocation", engine_tmpdir("sus_ckpt_"))
         .trigger(availableNow=True)
         .outputMode("append")
         .start()
@@ -2723,7 +2725,7 @@ def streaming_state_profile_parity(spark: SparkSession, sf_dir: str) -> DataFram
     Cross-batch accumulation order is pinned by
     tests/test_streaming.py::test_apply_in_pandas_with_state_accumulates."""
     import os
-    import tempfile
+    from ..materialize import engine_tmpdir
     import uuid
 
     from ..streaming.stateful import running_profiles
@@ -2734,7 +2736,7 @@ def streaming_state_profile_parity(spark: SparkSession, sf_dir: str) -> DataFram
         F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias("key"),
         F.col("value"),
     )
-    out_dir = tempfile.mkdtemp(prefix="profile_parity_")
+    out_dir = engine_tmpdir("profile_parity_")
 
     def sink(bdf: DataFrame, bid: int) -> None:
         bdf.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={bid}"))
@@ -2743,7 +2745,7 @@ def streaming_state_profile_parity(spark: SparkSession, sf_dir: str) -> DataFram
         running_profiles(keyed)
         .writeStream.foreachBatch(sink)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="profile_ckpt_")
+            "checkpointLocation", engine_tmpdir("profile_ckpt_")
         )
         .outputMode("update")
         .trigger(availableNow=True)

@@ -125,6 +125,23 @@ HEADLINE = [
     "doc_line_dedup",
     "doc_intra_line_dedup",
     "doc_dup_keep_longest",
+    # r9: the Arrow matmul assignment path (k=96 — above the
+    # LARGE_K_ASSIGN dispatch cutover through training and serving)
+    "emb_cells_arrow_assign",
+]
+
+#: queries that build a PERSISTED per-(session, sf) index on first
+#: invocation (the offline indexing job). Their docstrings time the
+#: SERVE path — the build belongs to warm-up, not the timed passes:
+#: the r9 sequence probe measured emb_ivf_topk at 11.5 s on the
+#: build-bearing first pass vs 0.6 s steady (and r7/r8 under machine
+#: load recorded the build-contaminated number as the min-of-2,
+#: a phantom 6-9x "regression" two verdicts chased).
+INDEX_BUILDERS = [
+    "emb_ivf_topk",
+    "emb_ivfpq_topk",
+    "emb_ivf_append_topk",
+    "emb_ivf_compact_topk",
 ]
 
 
@@ -153,6 +170,18 @@ def main() -> None:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception as e:  # noqa: BLE001 — record and move on
             errors[name] = f"warmup: {type(e).__name__}: {e}"[:500]
+
+    # index pre-build at the TIMED SF: the persisted-index queries'
+    # first invocation per (session, sf) runs the offline index build
+    # (~11-19 s each at sf0.1); untimed here so both timed passes
+    # measure steady-state serving — the thing those queries are
+    for name in INDEX_BUILDERS:
+        if name not in qs or name in errors:
+            continue
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"prebuild: {type(e).__name__}: {e}"[:500]
 
     # two timed passes, report the per-query MIN: steady-state cost,
     # robust to one-off JVM/GC stalls mid-session

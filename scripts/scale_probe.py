@@ -114,6 +114,10 @@ PROBE = [
     "streaming_idempotent_sink_parity",
     "streaming_observe_metrics_parity",
     "streaming_line_dedup_parity",
+    # r9 session: the Arrow matmul assignment registry twin — k=96
+    # fixed while N grows means N·k dot products, linear in N; the
+    # probe confirms the mapInPandas path scales at scan bandwidth
+    "emb_cells_arrow_assign",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

@@ -981,6 +981,87 @@ def remove_dup_chunks(
     )
 
 
+def exact_substr_dedup(
+    docs: DataFrame,
+    w: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style cross-document repeated-substring removal
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": cut every all-but-first occurrence of any
+    ≥w-token substring repeated anywhere in the corpus). The paper
+    builds a single-machine suffix array; the Spark-native
+    equivalent rides the sliding-window identity instead: a repeated
+    span of length L ≥ w covers exactly L−w+1 repeated width-w
+    SLIDING windows, so a token sits inside some all-but-first
+    repeated ≥w-token span iff it is covered by an all-but-first
+    occurrence of a repeated width-w window. Overlapping windows are
+    what catch arbitrary alignment — :func:`remove_dup_chunks` (C4)
+    only sees spans that land on its fixed non-overlapping chunk
+    grid; this operator completes the dedup family with the
+    arbitrary-offset case.
+
+    Pipeline: fingerprint every width-w window (one ``transform``
+    behind the tokenize barrier — tokens bind once; 8-byte hashes,
+    never window text, ride the shuffle) → rank occurrences
+    globally per fingerprint by (doc_id, pos) — the corpus-total
+    keep-first order, deterministic under re-runs, same rule as
+    remove_dup_chunks → tokens covered by any rank≥2 window are cut
+    and each document reassembles from its surviving tokens in
+    order.
+
+    Scale shape: one explode to (doc, pos, fp) rows — overlapping
+    windows mean ~n_tokens rows (vs n_tokens/w for the C4 chunker:
+    the ×w row cost IS the price of arbitrary alignment, linear in
+    corpus tokens, never quadratic); one well-spread content-hash
+    window for the rank; one doc-keyed collect of removal offsets;
+    reassembly is per-row array math (O(tokens·removed_windows) per
+    doc worst case — bounded by the document, no shuffle). NULL
+    text drops the document, matching the line-dedup family.
+
+    Returns (doc_id, text_clean, n_tokens, n_removed)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import tokenize
+
+    toked = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokenize(text_col).alias("__t")
+    )
+    t = F.col("__t")
+    wins = toked.filter(F.size(t) >= w).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - w),
+                lambda p: hash60(F.concat_ws("\x1f", F.slice(t, p + 1, w))),
+            )
+        ).alias("pos", "__fp"),
+    )
+    ranked = wins.withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("__fp").orderBy(F.col(id_col), F.col("pos"))
+        ),
+    )
+    rem = (
+        ranked.filter(F.col("__rn") >= 2)
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("__rps"))
+    )
+    rps = F.coalesce(F.col("__rps"), F.array().cast("array<int>"))
+    kept = F.filter(
+        t,
+        lambda tok, i: ~F.exists(rps, lambda p: (p <= i) & (i < p + w)),
+    )
+    return toked.join(rem, id_col, "left").select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size(t).cast("bigint").alias("n_tokens"),
+        (F.size(t) - F.size(kept)).cast("bigint").alias("n_removed"),
+    )
+
+
 def _doc_lines(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

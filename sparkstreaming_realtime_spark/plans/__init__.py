@@ -64,7 +64,11 @@ _PRIORITY = [
     # rotated to the tail for them (green r1–r7 / r6–r7 / r5–r7;
     # sampling, multimodal, and warehouse families each keep ≥2
     # in-window sentinels)
-    "doc_dup_clusters", "doc_line_dedup", "doc_intra_line_dedup",
+    # NEW r9: ExactSubstr arbitrary-offset repeated-substring removal
+    # (doc_intra_line_dedup rotated to the tail for it — green r8 +
+    # pytest-pinned zero-shuffle shape; the line family keeps
+    # doc_line_dedup + streaming_line_dedup_parity in-window)
+    "doc_dup_clusters", "doc_line_dedup", "doc_exact_substr_dedup",
     "doc_dup_keep_longest",
     # sampling / export family (exact_k re-verifies the null-safe
     # pre-filter edit; doc_temperature_resample rotated to the tail —
@@ -126,7 +130,7 @@ _PRIORITY = [
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
-    "emb_hamming_topk",
+    "emb_hamming_topk", "doc_intra_line_dedup",
     "doc_frame_sample", "emb_pq_topk", "doc_source_mix",
     "doc_hash_split", "doc_resize_images", "bucketed_colocated_join",
     "doc_stratified_sample", "emb_knn_join",

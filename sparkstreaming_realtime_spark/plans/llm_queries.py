@@ -1323,6 +1323,75 @@ def doc_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.remove_dup_chunks(_t(spark, sf_dir, "documents"), w=_C4_W)
 
 
+#: ExactSubstr window width in tokens (Lee et al. use 50-token BPE
+#: spans on web-scale corpora; the fixture's docs are short, so the
+#: registry pins a width that actually fires on them — ~1,100
+#: repeated windows at sf0.001)
+_XSUB_W = 10
+
+_XSUB_SEP = "chr(31)"
+
+_EXACT_SUBSTR_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_toks_sql("text")} AS t FROM documents
+  WHERE text IS NOT NULL),
+wins AS (
+  SELECT doc_id, unnest(range(0, len(t) - {_XSUB_W} + 1)) AS pos, t
+  FROM toked WHERE len(t) >= {_XSUB_W}),
+fps AS (
+  SELECT doc_id, pos,
+         {oracle_hash60_sql(
+             f"array_to_string(t[pos + 1 : pos + {_XSUB_W}], {_XSUB_SEP})"
+         )} AS fp
+  FROM wins),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+  FROM fps),
+rem AS (SELECT doc_id, pos FROM ranked WHERE rn >= 2),
+toks AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS i
+  FROM toked),
+cov AS (
+  SELECT DISTINCT k.doc_id, k.i
+  FROM toks k JOIN rem r ON r.doc_id = k.doc_id
+   AND k.i >= r.pos AND k.i < r.pos + {_XSUB_W}),
+kept AS (
+  SELECT k.doc_id, k.i, k.tok
+  FROM toks k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.i = k.i
+  WHERE c.i IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT td.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       len(td.t)::BIGINT AS n_tokens,
+       (len(td.t) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM toked td LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register(
+    "doc_exact_substr_dedup",
+    oracle=_EXACT_SUBSTR_ORACLE,
+    tags=("LLM", "dedup"),
+)
+def doc_exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style arbitrary-offset repeated-substring removal
+    (operators/dedup.py:exact_substr_dedup; Lee et al. 2022): every
+    all-but-first corpus occurrence of any ≥10-token span is cut via
+    the sliding-window identity — overlapping width-10 window
+    fingerprints, global (doc_id, pos) keep-first rank, covered
+    tokens removed, documents reassembled in order. Completes the
+    dedup family's last gap vs doc_remove_dup_spans (C4), whose
+    fixed non-overlapping chunk grid misses spans at arbitrary
+    alignment."""
+    return dd.exact_substr_dedup(
+        _t(spark, sf_dir, "documents"), w=_XSUB_W
+    )
+
+
 _LINE_DEDUP_MIN_DOCS = 2
 
 _LINE_DEDUP_ORACLE = f"""

@@ -1984,6 +1984,59 @@ def test_intra_line_dedup_keeps_first_occurrence_zero_shuffle(spark):
     assert out[3]["text_clean"] == "a" and out[3]["n_removed"] == 2
 
 
+def test_exact_substr_removes_arbitrary_offset_repeats(spark):
+    """ExactSubstr (Lee et al. 2022): an all-but-first occurrence of
+    a >=w-token span is cut REGARDLESS of its offset inside the doc —
+    the case remove_dup_chunks' fixed chunk grid misses. Doc 1 holds
+    the first occurrence (kept whole); doc 2 repeats the span
+    starting at token 3 (cut); doc 3 shares nothing (untouched)."""
+    span = " ".join(f"w{i}" for i in range(10))
+    docs = _docs(
+        spark,
+        [
+            (1, f"{span} tail1"),
+            (2, f"a b c {span}"),
+            (3, "completely different text entirely here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dd.exact_substr_dedup(docs, w=10).collect()}
+    assert out[1]["text_clean"] == f"{span} tail1"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "a b c"
+    assert out[2]["n_removed"] == 10
+    assert out[3]["n_removed"] == 0
+
+
+def test_exact_substr_within_doc_and_long_span(spark):
+    """A repeat INSIDE one document cuts the second occurrence, and a
+    repeated span longer than w is removed in full (the sliding
+    windows tile it), with the overlap-region tokens counted once."""
+    span12 = " ".join(f"t{i}" for i in range(12))  # 12 > w=10
+    docs = _docs(
+        spark,
+        [
+            (1, f"{span12} mid {span12}"),
+            (2, None),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dd.exact_substr_dedup(docs, w=10).collect()}
+    # doc 2 (null text) dropped, like the line-dedup family
+    assert sorted(out) == [1]
+    assert out[1]["text_clean"] == f"{span12} mid"
+    assert out[1]["n_removed"] == 12
+    assert out[1]["n_tokens"] == 25
+
+
+def test_exact_substr_short_docs_pass_through(spark):
+    """Docs under w tokens generate no windows and survive verbatim
+    (normalized) — nothing is silently lost."""
+    docs = _docs(spark, [(1, "Short Doc"), (2, "short doc")])
+    out = {r["doc_id"]: r for r in dd.exact_substr_dedup(docs, w=10).collect()}
+    assert out[1]["text_clean"] == "short doc"  # tokenize lowercases
+    assert out[2]["text_clean"] == "short doc"
+    assert out[1]["n_removed"] == 0 and out[2]["n_removed"] == 0
+
+
 def test_line_dedup_family_drops_null_text_consistently(spark):
     """NULL text must vanish from BOTH line operators the same way —
     line_dedup's posexplode drops it structurally; intra_line_dedup

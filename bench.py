@@ -128,6 +128,13 @@ HEADLINE = [
     # r9: the Arrow matmul assignment path (k=96 — above the
     # LARGE_K_ASSIGN dispatch cutover through training and serving)
     "emb_cells_arrow_assign",
+    # r9 session 2: arbitrary-offset repeated-substring removal
+    # (ExactSubstr, Lee et al. 2022 — sliding-window hashes, linear in
+    # tokens) and the deterministic inverted-index Jaccard twin of the
+    # MinHash pair query (df-capped postings — linear at fixed cap)
+    "doc_exact_substr_dedup",
+    "doc_ngram_jaccard_dedup",
+    "doc_topk_similar",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

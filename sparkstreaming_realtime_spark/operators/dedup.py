@@ -267,6 +267,163 @@ def near_dup_pairs(
     )
 
 
+#: Inverted-index df cap: grams whose posting list exceeds this are
+#: dropped before the candidate self-join. Work is then bounded by
+#: cap·|postings|/2 — LINEAR in corpus size at fixed cap (unlike a
+#: pinned LSH band width, whose pair count grows N²/2^bits). The cap
+#: is also a semantic filter: a gram shared by >cap docs is
+#: boilerplate, and boilerplate-only overlap is exactly the evidence
+#: near-dup detection should ignore.
+NGRAM_DF_CAP = 128
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    shingle_n: int = 2,
+    df_cap: int = NGRAM_DF_CAP,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a df-capped inverted
+    index — the deterministic sibling of ``near_dup_pairs``.
+
+    Where MinHash-LSH finds a pair only with probability
+    1-(1-J^r)^b, this operator finds EVERY pair that shares at least
+    one non-boilerplate shingle (document frequency ≤ ``df_cap``) —
+    candidate generation is the classic inverted-index self-join
+    (postings list per gram, pairs within a list), then the same
+    exact-Jaccard verification as the MinHash path.
+
+    Scale shape (the 100 TB contract): shingles are hashed to 8 bytes
+    before the explode-shuffle; the df filter is a two-phase count +
+    join (map-side partial agg, no window); posting lists longer than
+    ``df_cap`` never reach the self-join, so candidate pairs are
+    ≤ df_cap/2 × |postings| — linear in corpus tokens at fixed cap.
+    No pinned knob goes quadratic here, so unlike the pinned SemDeDup
+    twins this needs no corpus-size guard.
+
+    Recall trade (documented, inherent): a true near-dup pair whose
+    every shared gram exceeds ``df_cap`` is missed. At threshold-grade
+    similarity the pair shares ~J/(1+J) of its grams, so this requires
+    *all* of them to be corpus-boilerplate — raise ``df_cap`` if the
+    corpus really is that degenerate."""
+    sh = shingle_sets(spread(docs), text_col, id_col, n=shingle_n)
+    # feeds three subtrees (postings + both verify sides): materialize
+    # once, same rationale as near_dup_pairs
+    sh = materialize(sh)
+    postings = sh.select(
+        F.col(id_col),
+        F.explode("shingles").alias("__g"),
+    ).select(F.col(id_col), (hash60(F.col("__g"))).alias("__gh"))
+    # two-phase df filter: df=1 grams can't pair, df>cap grams are
+    # boilerplate — both leave the plan before the pairwise join
+    kept = (
+        postings.groupBy("__gh")
+        .agg(F.count("*").alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= df_cap))
+        .select("__gh")
+    )
+    postings = postings.join(kept, "__gh")
+    a = postings.select("__gh", F.col(id_col).alias("doc_a"))
+    b = postings.select("__gh", F.col(id_col).alias("doc_b"))
+    cands = (
+        a.join(b, "__gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact-Jaccard verify: identical expression shape to
+    # near_dup_pairs (sizes hoisted; |a ∪ b| = |a|+|b|-|a ∩ b|)
+    sa = sh.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("shingles").alias("__sa"),
+        F.size("shingles").alias("__na"),
+    )
+    sb = sh.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shingles").alias("__sb"),
+        F.size("shingles").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter.cast("double")
+                / (F.col("__na") + F.col("__nb") - inter), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def topk_similar_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.3,
+    shingle_n: int = 2,
+    df_cap: int = NGRAM_DF_CAP,
+) -> DataFrame:
+    """Per-document top-k most-similar neighbors by exact n-gram
+    Jaccard — text-side similarity search, the lexical complement of
+    the embedding kNN family in operators/similarity.py.
+
+    Built on :func:`ngram_jaccard_pairs` (df-capped inverted index,
+    linear at fixed cap), symmetrized, then group-top-k per document
+    via ``slice(sort_array(collect_list(struct)))`` — a hash
+    aggregate with map-side partial collect, NOT a rank window over
+    the corpus-wide pair set. Per-group state is bounded: a doc's
+    threshold-passing neighbor count is capped by its gram count ×
+    df_cap. Ties break on neighbor id, so output is deterministic.
+
+    Returns (doc_id, rank, nbr_id, jaccard), rank 1-based."""
+    pairs = ngram_jaccard_pairs(
+        docs, text_col, id_col, threshold, shingle_n, df_cap
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias(id_col),
+        F.col("doc_b").alias("nbr_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias(id_col),
+            F.col("doc_a").alias("nbr_id"),
+            "jaccard",
+        )
+    )
+    # struct sort is lexicographic ascending → lead with -jaccard so
+    # the best neighbor sorts first, then nbr_id as the tie-break
+    top = sym.groupBy(id_col).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("jaccard")).alias("__nj"),
+                        F.col("nbr_id").alias("nbr_id"),
+                        F.col("jaccard").alias("jaccard"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("__top")
+    )
+    return top.select(
+        F.col(id_col), F.posexplode("__top").alias("__pos", "__s")
+    ).select(
+        id_col,
+        (F.col("__pos") + 1).cast("bigint").alias("rank"),
+        F.col("__s.nbr_id").alias("nbr_id"),
+        F.col("__s.jaccard").alias("jaccard"),
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

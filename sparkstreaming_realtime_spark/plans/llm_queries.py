@@ -158,6 +158,95 @@ def doc_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.6)
 
 
+def _ngram_jaccard_oracle() -> str:
+    """Inverted-index candidates (df-capped posting self-join) + the
+    same exact-Jaccard verify as the minhash chain."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql()} AS s FROM toks),
+ph AS (SELECT doc_id, {oracle_hash60_sql("g")} AS gh
+       FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+kept AS (SELECT gh FROM ph GROUP BY gh
+         HAVING count(*) BETWEEN 2 AND {dd.NGRAM_DF_CAP}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM ph a JOIN kept k ON a.gh = k.gh
+                   JOIN ph b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(x.s, y.s))::DOUBLE
+               / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+  FROM cand c JOIN sh x ON c.doc_a = x.doc_id
+              JOIN sh y ON c.doc_b = y.doc_id)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.6
+"""
+
+
+@register(
+    "doc_ngram_jaccard_dedup",
+    oracle=_ngram_jaccard_oracle(),
+    tags=("LLM", "dedup"),
+)
+def doc_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a df-capped inverted
+    index (operators/dedup.py:ngram_jaccard_pairs) — deterministic
+    recall for every pair sharing ≥1 non-boilerplate shingle, where
+    the MinHash twin is probabilistic. Candidate work is bounded by
+    df_cap·|postings|/2: linear in corpus tokens at fixed cap, so the
+    knob is scale-safe by construction (no corpus-size guard needed,
+    unlike the pinned SemDeDup band widths)."""
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
+def _topk_similar_oracle(k: int = 3, threshold: float = 0.3) -> str:
+    """Symmetrized inverted-index pairs + per-doc row_number top-k —
+    the window is the oracle's (small-data) formulation; the Spark
+    side is a group-top-k hash aggregate."""
+    return f"""
+WITH toks AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
+sh AS (SELECT doc_id, {_shingles_sql()} AS s FROM toks),
+ph AS (SELECT doc_id, {oracle_hash60_sql("g")} AS gh
+       FROM (SELECT doc_id, unnest(s) AS g FROM sh)),
+kept AS (SELECT gh FROM ph GROUP BY gh
+         HAVING count(*) BETWEEN 2 AND {dd.NGRAM_DF_CAP}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM ph a JOIN kept kk ON a.gh = kk.gh
+                   JOIN ph b ON a.gh = b.gh AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_intersect(x.s, y.s))::DOUBLE
+               / len(list_distinct(list_concat(x.s, y.s))), 6) AS jaccard
+  FROM cand c JOIN sh x ON c.doc_a = x.doc_id
+              JOIN sh y ON c.doc_b = y.doc_id
+  WHERE round(len(list_intersect(x.s, y.s))::DOUBLE
+              / len(list_distinct(list_concat(x.s, y.s))), 6)
+        >= {threshold}),
+sym AS (SELECT doc_a AS doc_id, doc_b AS nbr_id, jaccard FROM verified
+        UNION ALL
+        SELECT doc_b, doc_a, jaccard FROM verified),
+r AS (SELECT doc_id, nbr_id, jaccard,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY jaccard DESC, nbr_id) AS rank
+      FROM sym)
+SELECT doc_id, rank, nbr_id, jaccard FROM r WHERE rank <= {k}
+"""
+
+
+@register(
+    "doc_topk_similar",
+    oracle=_topk_similar_oracle(),
+    tags=("LLM", "similarity"),
+)
+def doc_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 most-similar neighbors by exact n-gram
+    Jaccard (operators/dedup.py:topk_similar_docs) — lexical
+    similarity search beside the embedding kNN family. Group-top-k is
+    a ``slice(sort_array(collect_list(struct)))`` hash aggregate with
+    map-side partials; no rank window rides the corpus-wide pair set."""
+    return dd.topk_similar_docs(_t(spark, sf_dir, "documents"))
+
+
 @register("doc_dup_clusters", oracle=_dup_clusters_oracle(), tags=("LLM", "dedup"))
 def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster assignment (operators/dedup.py:dup_clusters):

@@ -47,6 +47,79 @@ def test_near_dup_ignores_low_overlap(spark):
     assert dd.near_dup_pairs(docs, threshold=0.3).count() == 0
 
 
+def test_ngram_jaccard_pairs_finds_reordered_text(spark):
+    # same fixture as the minhash test — the inverted-index path must
+    # find the pair deterministically (no LSH miss probability)
+    a = "spark query engine reads parquet fast " * 4
+    b = "engine reads parquet fast spark query engine reads parquet fast " * 3
+    docs = _docs(spark, [(1, a), (2, b), (3, "totally different words here")])
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] >= 0.5
+
+
+def test_ngram_jaccard_df_cap_drops_boilerplate_only_overlap(spark):
+    # 3 identical docs: every gram has df=3. With df_cap=2 no gram
+    # survives the posting filter → zero pairs despite jaccard 1.0;
+    # at the default cap all C(3,2) pairs appear with jaccard 1.0.
+    docs = _docs(spark, [(i, "same text every time really") for i in range(3)])
+    assert dd.ngram_jaccard_pairs(docs, threshold=0.9, df_cap=2).count() == 0
+    full = dd.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert sorted((r["doc_a"], r["doc_b"]) for r in full) == [
+        (0, 1), (0, 2), (1, 2)
+    ]
+    assert all(r["jaccard"] == 1.0 for r in full)
+
+
+def test_ngram_jaccard_is_superset_of_minhash_at_same_threshold(spark):
+    """On the sf0.001 corpus the deterministic inverted-index pairs
+    must contain every MinHash-LSH pair (LSH can only miss), and the
+    exact-Jaccard values must agree bit-for-bit on the common pairs —
+    both paths verify with the identical expression shape."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.near_dup_pairs(docs, threshold=0.6).collect()
+    }
+    ng = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    assert set(mh) <= set(ng)
+    assert all(ng[k] == v for k, v in mh.items())
+
+
+def test_topk_similar_docs_ranks_by_jaccard_with_id_tiebreak(spark):
+    # doc 1's neighbors: 2 (near-copy, high J) and 3 (partial overlap,
+    # lower J) — rank must order them by jaccard desc; 4 is unrelated
+    a = "spark query engine reads parquet fast " * 4
+    b = "engine reads parquet fast spark query engine reads parquet fast " * 3
+    c = "spark query engine reads parquet fast but then does other things entirely"
+    docs = _docs(spark, [(1, a), (2, b), (3, c), (4, "nothing shared at all")])
+    out = dd.topk_similar_docs(docs, k=2, threshold=0.1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["nbr_id"]))
+    assert sorted(by_doc[1]) == [(1, 2), (2, 3)]
+    assert by_doc[2][0] == (1, 1)
+    assert 4 not in by_doc
+    # ranks are 1-based and dense per doc
+    assert all(
+        sorted(rk for rk, _ in v) == list(range(1, len(v) + 1))
+        for v in by_doc.values()
+    )
+
+
+def test_topk_similar_docs_k_truncates(spark):
+    # 4 identical docs: each has 3 jaccard-1.0 neighbors; k=2 keeps
+    # the two smallest nbr ids (tie-break on id)
+    docs = _docs(spark, [(i, "same text every time really") for i in range(4)])
+    out = dd.topk_similar_docs(docs, k=2, threshold=0.5).collect()
+    assert len(out) == 8
+    nbrs0 = sorted(r["nbr_id"] for r in out if r["doc_id"] == 0)
+    assert nbrs0 == [1, 2]
+
+
 def test_max_bucket_caps_degenerate_buckets(spark):
     # 5 identical docs → one bucket of 5; cap of 4 drops it entirely
     docs = _docs(spark, [(i, "same text every time really") for i in range(5)])

@@ -41,17 +41,44 @@ DIMS = ("nation", "region")
 BASE = 1_000_000_000  # > any sf0.1 id
 
 
+def _letter_perm(src: str, i: int) -> str:
+    """Deterministic non-identity permutation of ``src`` for copy
+    ``i`` — seeded shuffle, re-seeded on the (astronomically unlikely)
+    identity draw so no copy is ever a verbatim text twin of copy 0.
+    Distinct copies get distinct seeds, and random 26-letter
+    permutations collide with probability ~n²/26! — never."""
+    import random
+
+    seed = i
+    while True:
+        perm = "".join(random.Random(seed).sample(src, len(src)))
+        if perm != src:
+            return perm
+        seed += 1_000_003  # pragma: no cover — P(identity) = 1/26!
+
+
 def _copy(df: DataFrame, table: str, i: int) -> DataFrame:
     out = df
     for c in OFFSET_COLS.get(table, ()):
         out = out.withColumn(c, F.col(c) + F.lit(i * BASE))
     if table == "documents" and i > 0:
-        # deterministic per-copy letter rotation: decorrelates copies
-        # (different shingles/fingerprints) while within-copy dup
-        # structure — the thing the dedup ops measure — is preserved
+        # deterministic per-copy letter PERMUTATION: decorrelates
+        # copies (different shingles/fingerprints) while within-copy
+        # dup structure — the thing the dedup ops measure — is
+        # preserved. A seeded permutation, NOT a rotation: the old
+        # ``src[i:] + src[:i]`` is the IDENTITY for every i >= 26
+        # (Python slicing caps at the string end), so a factor-100
+        # fixture carried ~74 verbatim twins of every base doc and
+        # the dedup probes measured a quadratically densified fixture
+        # artifact (doc_dup_keep_longest read ×270 at ×100; its tail
+        # joins measure 1.7 s — the pair graph was the whole cost).
+        # Same bug class the embeddings sign-flip mask fixed for the
+        # vector side; this is the text analog. 26! permutations
+        # never cycle; _letter_perm rejects the identity.
         src = "abcdefghijklmnopqrstuvwxyz"
-        dst = src[i:] + src[:i]
-        out = out.withColumn("text", F.translate("text", src, dst))
+        out = out.withColumn(
+            "text", F.translate("text", src, _letter_perm(src, i))
+        )
     if table == "embeddings" and i > 0:
         # circular-shift the vector per copy: copies point in
         # ~orthogonal directions (a shifted Gaussian vector is a fresh

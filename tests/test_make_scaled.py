@@ -34,3 +34,33 @@ def test_copy_transforms_are_distinct_past_the_shift_period(spark):
     assert len(seen) == 9
     # copy 0 is the identity (base rows keep their vectors)
     assert vec(0) == tuple(round(float(j), 4) for j in range(1, 65))
+
+
+def test_document_transforms_are_distinct_and_never_identity(spark):
+    """The text analog of the embedding-injectivity bug (r9): the old
+    per-copy letter ROTATION ``src[i:] + src[:i]`` is the identity for
+    every i >= 26 (slicing caps at the string end), so a ×100 fixture
+    carried ~74 verbatim twins of every base doc and the document
+    dedup probes measured a quadratic fixture artifact. The seeded
+    permutation must be non-identity and pairwise distinct."""
+    from scripts.make_scaled import _copy, _letter_perm
+
+    src = "abcdefghijklmnopqrstuvwxyz"
+    # the exact historical failure: copies 26..99 were identity
+    perms = {i: _letter_perm(src, i) for i in range(1, 101)}
+    assert all(p != src for p in perms.values())
+    assert len(set(perms.values())) == len(perms)
+    # deterministic across calls (fixture rebuilds must reproduce)
+    assert _letter_perm(src, 27) == perms[27]
+
+    base = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+
+    def text(i: int) -> str:
+        return _copy(base, "documents", i).collect()[0]["text"]
+
+    texts = {i: text(i) for i in (0, 1, 25, 26, 27, 52, 99)}
+    assert texts[0] == "the quick brown fox jumps over the lazy dog"
+    assert len(set(texts.values())) == len(texts)

@@ -118,6 +118,17 @@ PROBE = [
     # fixed while N grows means N·k dot products, linear in N; the
     # probe confirms the mapInPandas path scales at scan bandwidth
     "emb_cells_arrow_assign",
+    # r9 session: ExactSubstr sliding-window dedup — ~n_tokens hash
+    # rows (×w the C4 chunker's row count, the price of arbitrary
+    # alignment), one content-hash window, one doc-keyed collect;
+    # linear by construction, the probe verifies it
+    "doc_exact_substr_dedup",
+    # r9 session 2: the deterministic inverted-index Jaccard family —
+    # candidate pairs ≤ df_cap/2 × |postings| (linear at the fixed
+    # per-gram cap, NOT a corpus-sized knob), and its per-doc
+    # group-top-k neighbor ranking (hash aggregate, no corpus window)
+    "doc_ngram_jaccard_dedup",
+    "doc_topk_similar",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

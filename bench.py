@@ -135,6 +135,9 @@ HEADLINE = [
     "doc_exact_substr_dedup",
     "doc_ngram_jaccard_dedup",
     "doc_topk_similar",
+    # r9 session 2: topic-balanced corpus selection — persisted-
+    # quantizer cell assignment + hash-ranked exact-k quota per cell
+    "emb_cluster_balanced_sample",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

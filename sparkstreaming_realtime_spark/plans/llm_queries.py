@@ -588,6 +588,53 @@ def emb_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BALANCED_K = 12
+
+
+def _cluster_balanced_sample_oracle() -> str:
+    """Lloyd replay (shared CTE chain) + the exact_k_sample rank:
+    hash60(vec_id) ascending within each cell, first K win."""
+    rank_h = oracle_hash60_sql("vec_id::VARCHAR")
+    return f"""
+WITH {_kmeans_ctes()},
+ranked AS (SELECT vec_id, cell::INTEGER AS cell,
+                  row_number() OVER (PARTITION BY cell
+                      ORDER BY {rank_h}, vec_id) AS rn
+           FROM afin)
+SELECT vec_id, cell FROM ranked WHERE rn <= {_BALANCED_K}
+"""
+
+
+@register(
+    "emb_cluster_balanced_sample",
+    oracle=_cluster_balanced_sample_oracle(),
+    tags=("LLM", "sampling", "clustering"),
+)
+def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced corpus selection: cap every k-means cluster at
+    K vectors — the curation step that keeps a web-scale corpus from
+    being dominated by its biggest topic clusters (the selection
+    policy SemDeDup-style pipelines apply after cluster profiling;
+    cluster-diversity quotas per DataComp/DsDm practice).
+
+    Composition of two already-oracle-replayed pieces, zero new
+    moving parts: the session's persisted IVF coarse quantizer
+    assigns cells (one scan — literal argmax under LARGE_K_ASSIGN,
+    Arrow matmul above it), then ``sampling.exact_k_sample`` takes a
+    deterministic hash-ranked quota per cell — its hash-threshold
+    pre-filter bounds every window partition at ~4K rows no matter
+    how big the cluster, so a 10-billion-vector cell never sorts
+    corpus-scale data. Oracle replays Lloyd + the rank in SQL."""
+    from ..operators import sampling as sp
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = sim.load_centroids(spark, _ivf_index_path(spark, sf_dir))
+    assigned = sim.assign_cells_frame(emb, cents)
+    return sp.exact_k_sample(
+        assigned, "cell", k=_BALANCED_K, key_col="vec_id"
+    )
+
+
 def _l2_sql(a: str, b: str) -> str:
     """Squared L2 with the same zip-then-fold shape as
     functions.vectors.l2_sq."""

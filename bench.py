@@ -138,6 +138,9 @@ HEADLINE = [
     # r9 session 2: topic-balanced corpus selection — persisted-
     # quantizer cell assignment + hash-ranked exact-k quota per cell
     "emb_cluster_balanced_sample",
+    # r9 session 2: online ANN serving parity — 4 query micro-batches
+    # through the persisted IVF index, batch-keyed idempotent sink
+    "streaming_ivf_serve_parity",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

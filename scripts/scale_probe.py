@@ -129,6 +129,16 @@ PROBE = [
     # group-top-k neighbor ranking (hash aggregate, no corpus window)
     "doc_ngram_jaccard_dedup",
     "doc_topk_similar",
+    # r9 session 2: topic-balanced selection — one assignment scan +
+    # a pre-filtered per-cell quota window (~4K rows per partition
+    # regardless of cluster size); should probe ~linear-in-scan
+    "emb_cluster_balanced_sample",
+    # r9 session 2: online serve parity — per-batch probes-bounded
+    # pruned scans; cost tracks query count × cell size, not corpus
+    "streaming_ivf_serve_parity",
+    # probe-only: the same serve core through an auto_k_cells index
+    # (fixed cell size) — the production knob; see _ivf_serve_auto_k
+    "emb_ivf_serve_auto_k",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the
@@ -193,12 +203,51 @@ def _sdc_auto_k(spark, sf_dir: str):
     )
 
 
+def _ivf_serve_auto_k(spark, sf_dir: str):
+    # the PRODUCTION serve economics: index built at auto_k_cells(n)
+    # (fixed ~cell size), query batch = vec_id % 41. Total serve work
+    # is then |queries| × probes × cell_size — linear in N when the
+    # query rate scales with the corpus. The registry parity serves
+    # through the fixed-IVF_CELLS index its oracle replays, which at
+    # ×100 means 100×-bigger cells AND 100× more queries — quadratic
+    # by knob, exactly like the pinned SemDeDup twins; this EXTRA row
+    # measures the same serve core at the knob a 100 TB deployment
+    # uses. (One-shot, no streaming harness: the micro-batch split is
+    # measured by the registry row; serve economics are what scale.)
+    import os
+    import tempfile
+
+    from sparkstreaming_realtime_spark.materialize import track_session_dir
+    from sparkstreaming_realtime_spark.operators import similarity as sim
+    from sparkstreaming_realtime_spark.plans.llm_queries import _EMB_DIM
+    from sparkstreaming_realtime_spark.sources.files import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = sim.auto_k_cells(n)
+    tag = f"{spark.sparkContext.applicationId}_{abs(hash(sf_dir)) % 10**8}_k{k}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_auto_{tag}")
+    if not os.path.exists(os.path.join(path, "centroids")):
+        sim.build_ivf_index(emb, _EMB_DIM, path, n_cells=k)
+        track_session_dir(path)
+    corpus = sim.read_ivf_corpus(spark, path)
+    queries = corpus.filter(F.col("vec_id") % 41 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    return sim.ivf_serve(
+        spark, path, queries, k=5, probes=2,
+        exclude=F.col("vec_id") % 41 != 0,
+    )
+
+
 #: probe-only entries: operator paths worth scale-measuring that no
 #: registry query exercises with these exact knobs
 EXTRA = {
     "doc_dup_clusters_star": _dup_clusters_star,
     "emb_semantic_dedup_clustered_banded_auto": _sdc_banded_auto,
     "emb_semantic_dedup_clustered_auto_k": _sdc_auto_k,
+    "emb_ivf_serve_auto_k": _ivf_serve_auto_k,
 }
 
 

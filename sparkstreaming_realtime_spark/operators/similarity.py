@@ -2016,15 +2016,49 @@ def ivf_knn_join(
     (emb_ivf_recall_curve measures it).
 
     Returns (query_id, vec_id, cos, rank) like :func:`knn_join`."""
+    corpus = read_ivf_corpus(spark, index_path)
+    queries = corpus.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("__qv")
+    )
+    return ivf_serve(
+        spark,
+        index_path,
+        queries,
+        k=k,
+        probes=probes,
+        id_col=id_col,
+        exclude=F.col(id_col) % query_mod != 0,
+    )
+
+
+def ivf_serve(
+    spark,
+    index_path: str,
+    queries,
+    k: int = 5,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    exclude=None,
+):
+    """Serve one query batch through the persisted IVF index — the
+    retrieval core behind :func:`ivf_knn_join` (which derives its
+    query batch from the corpus) and the streaming serve parity
+    (which receives query micro-batches from a stream). Because each
+    query's result depends only on its own vector and the static
+    index, serving a query set in ANY batch partition returns the
+    identical row set — the property the streaming parity gates.
+
+    ``queries``: DataFrame (query_id, __qv). ``exclude``: optional
+    boolean Column over corpus rows to drop from the candidate side
+    (e.g. the query set itself for self-retrieval batches).
+
+    Returns (query_id, ``id_col``, cos, rank), rank ≤ k per query."""
     from pyspark.sql import Window
 
     from ..functions.vectors import cosine_similarity
 
     cents = spark.read.parquet(f"{index_path}/centroids")
     corpus = read_ivf_corpus(spark, index_path)
-    queries = corpus.filter(F.col(id_col) % query_mod == 0).select(
-        F.col(id_col).alias("query_id"), F.col("embedding").alias("__qv")
-    )
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("__ccos"), F.asc("cell")
     )
@@ -2040,9 +2074,8 @@ def ivf_knn_join(
         .filter(F.col("__rn") <= probes)
         .select("query_id", "__qv", "cell")
     )
-    cands = corpus.filter(F.col(id_col) % query_mod != 0).join(
-        F.broadcast(routed), "cell"
-    )
+    cand_src = corpus if exclude is None else corpus.filter(exclude)
+    cands = cand_src.join(F.broadcast(routed), "cell")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))
     return (
         cands.select(

@@ -1055,6 +1055,76 @@ def emb_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_ivf_serve_parity",
+    oracle=_ivf_knn_join_oracle(),
+    tags=("LLM", "similarity", "streaming"),
+)
+def streaming_ivf_serve_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE ANN serving under the batch oracle: the query set
+    arrives as a real Structured Streaming source in 4 micro-batches
+    (maxFilesPerTrigger=1 over a 4-file spill), each batch retrieves
+    its top-k through the PERSISTED IVF index inside foreachBatch
+    (operators/similarity.py:ivf_serve — the same core
+    emb_ivf_knn_join runs one-shot), and results land in a
+    batch-id-keyed idempotent layout. Because a query's result
+    depends only on its own vector and the static index, the union
+    over micro-batches must hash-equal the one-shot batched join —
+    the oracle IS emb_ivf_knn_join's Lloyd-replay oracle, unchanged.
+    This is the production serve loop: continuous query stream,
+    frozen index, per-batch probes-bounded partition-pruned scans."""
+    import os
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import read_sink
+
+    idx = _ivf_index_path(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    root = engine_tmpdir("ivf_serve_parity_")
+    qdir = os.path.join(root, "queries")
+    # spill the query batch as 4 files → 4 real micro-batches
+    emb.filter(F.col("vec_id") % _KNN_JOIN_MOD == 0).select(
+        "vec_id", "embedding"
+    ).repartition(4).write.mode("overwrite").parquet(qdir)
+    schema = spark.read.parquet(qdir).schema
+    qstream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(qdir)
+    )
+    out = os.path.join(root, "served")
+
+    def serve_batch(batch_df, batch_id: int) -> None:
+        queries = batch_df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+        )
+        res = sim.ivf_serve(
+            spark,
+            idx,
+            queries,
+            k=_KNN_JOIN_K,
+            probes=_IVF_KNN_PROBES,
+            exclude=F.col("vec_id") % _KNN_JOIN_MOD != 0,
+        )
+        # overwrite-by-batch-dir: replayed epochs land idempotently
+        res.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
+
+    q = run_available_now(
+        qstream,
+        serve_batch,
+        checkpoint=os.path.join(root, "ckpt"),
+        query_name="ivfserve_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return read_sink(spark, out)
+
+
 def _ivf_recall_oracle() -> str:
     it = sim.IVF_ITERS
     probe_ctes = ",\n".join(

@@ -1592,6 +1592,47 @@ def test_ivf_knn_join_plan_prunes_and_broadcasts(spark, tmp_path):
         assert len(ranks) <= 3
 
 
+def test_ivf_serve_is_batch_partition_independent(spark, tmp_path):
+    """The streaming-serve contract: serving the query set in ANY
+    micro-batch split returns the identical row set as the one-shot
+    batched join, because each query's result depends only on its own
+    vector and the static index. Split the ivf_knn_join query set
+    into 3 arbitrary slices, serve each independently, union, and
+    compare row-for-row."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0], 0) for i in range(60)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(emb, dim=3, path=path, n_cells=2, iters=1)
+    one_shot = {
+        (r["query_id"], r["vec_id"], r["cos"], r["rank"])
+        for r in sim.ivf_knn_join(
+            spark, path, k=3, probes=1, query_mod=10
+        ).collect()
+    }
+    corpus = sim.read_ivf_corpus(spark, path)
+    served = set()
+    from pyspark.sql import functions as FF
+
+    for slice_no in range(3):
+        qs = corpus.filter(
+            (FF.col("vec_id") % 10 == 0)
+            & (FF.col("vec_id") % 3 == slice_no)
+        ).select(
+            FF.col("vec_id").alias("query_id"),
+            FF.col("embedding").alias("__qv"),
+        )
+        served |= {
+            (r["query_id"], r["vec_id"], r["cos"], r["rank"])
+            for r in sim.ivf_serve(
+                spark, path, qs, k=3, probes=1,
+                exclude=FF.col("vec_id") % 10 != 0,
+            ).collect()
+        }
+    assert served == one_shot and one_shot
+
+
 def test_remove_dup_chunks_cuts_all_but_first_and_reassembles(spark):
     """C4 span removal: the duplicated chunk survives only at its
     first (doc_id, idx) occurrence; unique text reassembles exactly;

@@ -141,6 +141,9 @@ HEADLINE = [
     # r9 session 2: online ANN serving parity — 4 query micro-batches
     # through the persisted IVF index, batch-keyed idempotent sink
     "streaming_ivf_serve_parity",
+    # r9 session 2: serving through the AUTO-K index (fixed ~512-
+    # vector cells at any N — the production knob, driver-hashed)
+    "emb_ivf_auto_topk",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first
@@ -152,6 +155,7 @@ HEADLINE = [
 #: a phantom 6-9x "regression" two verdicts chased).
 INDEX_BUILDERS = [
     "emb_ivf_topk",
+    "emb_ivf_auto_topk",
     "emb_ivfpq_topk",
     "emb_ivf_append_topk",
     "emb_ivf_compact_topk",

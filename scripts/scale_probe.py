@@ -139,6 +139,9 @@ PROBE = [
     # probe-only: the same serve core through an auto_k_cells index
     # (fixed cell size) — the production knob; see _ivf_serve_auto_k
     "emb_ivf_serve_auto_k",
+    # r9 session 2: single-query serving through the auto-k index —
+    # per-query cost is probes × ~512 vectors at ANY corpus size
+    "emb_ivf_auto_topk",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

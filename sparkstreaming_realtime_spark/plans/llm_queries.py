@@ -2409,6 +2409,78 @@ def emb_semantic_dedup_clustered_auto(
     return sim.semantic_dedup_clustered(emb, cents, threshold=0.4)
 
 
+def _ivf_auto_oracle(probes: int) -> str:
+    """The IVF serve oracle with the cell count DERIVED from
+    count(*) (same clamp as auto_k_cells) — the production-knob index
+    under the hash gate. Body identical to ``_ivf_oracle``; only the
+    seed cutoff differs."""
+    it = sim.IVF_ITERS
+    return f"""
+WITH {_kmeans_ctes(n_cells_sql=_AUTOK_SQL)},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {_QUERY_VEC_ID}),
+best AS (SELECT c.cell FROM c{it} c, q
+         ORDER BY round({_cos_sql("c.centroid", "q.qv")}, 6) DESC, c.cell
+         LIMIT {probes})
+SELECT e.vec_id, e.label,
+       round({_cos_sql("e.embedding", "q.qv")}, 6) AS cos
+FROM afin e JOIN best USING (cell), q
+WHERE e.vec_id <> {_QUERY_VEC_ID}
+ORDER BY cos DESC, e.vec_id
+LIMIT 10
+"""
+
+
+#: one persisted AUTO-K IVF index per (session, sf_dir) — the
+#: production-knob sibling of _IVF_INDEX_CACHE (fixed IVF_CELLS,
+#: which the bulk of the serving oracles replay)
+_IVF_AUTO_INDEX_CACHE: dict[tuple[str, ...], str] = {}
+
+
+def _ivf_auto_index_path(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_AUTO_INDEX_CACHE:
+        import os
+        import re
+        import tempfile
+
+        from ..materialize import track_session_dir
+
+        emb = _t(spark, sf_dir, "embeddings")
+        k = _autok(emb.count())
+        tag = re.sub(r"[^A-Za-z0-9_]", "_", "_".join(key))
+        path = os.path.join(
+            tempfile.gettempdir(), f"spark_graft_ivfauto_{tag}"
+        )
+        sim.build_ivf_index(emb, _EMB_DIM, path, n_cells=k)
+        track_session_dir(path)
+        _IVF_AUTO_INDEX_CACHE[key] = path
+    return _IVF_AUTO_INDEX_CACHE[key]
+
+
+@register(
+    "emb_ivf_auto_topk",
+    oracle=_ivf_auto_oracle(1),
+    tags=("LLM", "similarity", "auto-scale"),
+)
+def emb_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 from a persisted index built at the PRODUCTION cell
+    count (k = clamp(N/512, 8, 1024) — fixed ~512-vector cells at any
+    corpus size, so per-query serve cost is probes × 512 vectors
+    FOREVER, where the fixed-IVF_CELLS registry index's cells grow
+    with N: the r9 ×100 probe measured the streaming serve through
+    the fixed-k index at ×112.5 vs the auto-k serve core's
+    near-flat economics). The driver-hash closes the asymmetry where
+    only fixed-k serving was oracle-gated: the oracle re-derives k
+    from count(*) with the same clamp and replays Lloyd + routing +
+    the pruned scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _ivf_auto_index_path(spark, sf_dir)
+    q = sim.query_vector(emb, _QUERY_VEC_ID)
+    return sim.ivf_search(
+        spark, idx, q, k=10, exclude_id=_QUERY_VEC_ID, probes=1
+    )
+
+
 #: forces the Arrow matmul assignment path: k strictly above the
 #: LARGE_K_ASSIGN=64 dispatch cutover at EVERY test SF (the auto-k
 #: queries only cross it past ~33k vectors, so until r9 the Arrow

@@ -399,3 +399,61 @@ def test_components_budget_fuzz_all_strategies_agree(spark):
             )
         )
         assert got == expected, f"strategy divergence at max_iters={max_iters}"
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+            ),
+            min_size=0,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=7,
+    )
+)
+def test_ngram_jaccard_uncapped_equals_brute_force(spark, texts):
+    """With the df cap effectively off, the inverted-index candidate
+    set covers EVERY pair with at least one shared shingle — which is
+    every pair with jaccard > 0 — so ngram_jaccard_pairs must equal
+    the brute-force all-pairs answer exactly. Small-vocab corpora
+    force real overlaps; empty and single-token texts exercise the
+    whole-text-shingle fallback."""
+    from sparkstreaming_realtime_spark.functions.text import _py_tokenize
+    from sparkstreaming_realtime_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    threshold = 0.5
+
+    def shingles(text: str) -> set[str]:
+        toks = _py_tokenize(text)
+        if len(toks) >= 2:
+            return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        return {" ".join(toks)}
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    expect = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            j = inter / union
+            if j >= threshold:
+                expect[(a, b)] = j
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=threshold, df_cap=10**6
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for k, j in expect.items():
+        assert abs(got[k] - j) < 5e-7

@@ -43,18 +43,26 @@ BASE = 1_000_000_000  # > any sf0.1 id
 
 def _letter_perm(src: str, i: int) -> str:
     """Deterministic non-identity permutation of ``src`` for copy
-    ``i`` — seeded shuffle, re-seeded on the (astronomically unlikely)
-    identity draw so no copy is ever a verbatim text twin of copy 0.
-    Distinct copies get distinct seeds, and random 26-letter
-    permutations collide with probability ~n²/26! — never."""
-    import random
+    ``i`` — letters sorted by a per-(seed, letter) md5 digest, so the
+    permutation depends only on the md5 SPEC, never on random-module
+    internals (r9 ADVICE: random.Random(seed).sample()'s output
+    sequence is not guaranteed stable across Python versions, so a
+    fixture regenerated on a different interpreter could silently
+    differ from the one behind recorded probe artifacts). Re-seeded
+    on the (astronomically unlikely) identity draw so no copy is ever
+    a verbatim text twin of copy 0; distinct seeds give independent
+    digests, colliding with probability ~n²/26! — never."""
+    import hashlib
 
     seed = i
     while True:
-        perm = "".join(random.Random(seed).sample(src, len(src)))
+        perm = "".join(
+            sorted(src, key=lambda ch: hashlib.md5(
+                f"{seed}:{ch}".encode()).hexdigest())
+        )
         if perm != src:
             return perm
-        seed += 1_000_003  # pragma: no cover — P(identity) = 1/26!
+        seed += 1_000_003  # pragma: no cover — P(identity) ~ 1/26!
 
 
 def _copy(df: DataFrame, table: str, i: int) -> DataFrame:

@@ -217,6 +217,7 @@ def _ivf_serve_auto_k(spark, sf_dir: str):
     # measures the same serve core at the knob a 100 TB deployment
     # uses. (One-shot, no streaming harness: the micro-batch split is
     # measured by the registry row; serve economics are what scale.)
+    import hashlib
     import os
     import tempfile
 
@@ -229,10 +230,25 @@ def _ivf_serve_auto_k(spark, sf_dir: str):
     emb = read_table(spark, sf_dir, "embeddings")
     n = emb.count()
     k = sim.auto_k_cells(n)
-    tag = f"{spark.sparkContext.applicationId}_{abs(hash(sf_dir)) % 10**8}_k{k}"
+    # hashlib, not hash(): PYTHONHASHSEED randomizes str hash per
+    # process, so abs(hash(sf_dir)) paths were non-reproducible across
+    # probe runs (r9 ADVICE); md5 of the abspath is stable forever
+    dir_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tag = f"{spark.sparkContext.applicationId}_{dir_tag}_k{k}"
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_auto_{tag}")
-    if not os.path.exists(os.path.join(path, "centroids")):
+    # gate rebuild on a COMPLETION marker, not on the centroids dir: a
+    # build that crashed after writing centroids but before the corpus
+    # left a partial index that later probe rows in the same session
+    # would serve and fail on (r9 ADVICE)
+    done = os.path.join(path, "_PROBE_BUILD_DONE")
+    if not os.path.exists(done):
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)  # partial build
         sim.build_ivf_index(emb, _EMB_DIM, path, n_cells=k)
+        with open(done, "w") as f:
+            f.write("ok\n")
         track_session_dir(path)
     corpus = sim.read_ivf_corpus(spark, path)
     queries = corpus.filter(F.col("vec_id") % 41 == 0).select(

@@ -70,19 +70,56 @@ _TMP_DIRS: list[str] = []
 _SESSION_DIRS: list[str] = []
 
 
+#: directories the single process-exit sweep (:func:`_exit_sweep`)
+#: will rmtree — every engine_tmpdir not yet swept by release_all
+#: plus every session dir. ONE atexit handler total (r9 ADVICE: one
+#: handler per dir grew the atexit table unboundedly over long
+#: sessions); registered lazily on first tracked dir.
+_EXIT_SWEEP_DIRS: list[str] = []
+_EXIT_SWEEP_REGISTERED = False
+
+
+def _exit_sweep() -> None:  # pragma: no cover — runs at interpreter exit
+    import shutil
+
+    for d in _EXIT_SWEEP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _EXIT_SWEEP_DIRS.clear()
+
+
+def _track_for_exit(path: str) -> None:
+    global _EXIT_SWEEP_REGISTERED
+    if path not in _EXIT_SWEEP_DIRS:
+        _EXIT_SWEEP_DIRS.append(path)
+    if not _EXIT_SWEEP_REGISTERED:
+        import atexit
+
+        atexit.register(_exit_sweep)
+        _EXIT_SWEEP_REGISTERED = True
+
+
 def engine_tmpdir(prefix: str) -> str:
     """mkdtemp that the engine OWNS: tracked for the per-query sweep
     in :func:`release_all` and belt-and-braces rmtree'd at process
-    exit. Every engine-internal scratch dir (parity sinks, streaming
-    checkpoints, layout fixtures) must come from here — a bare
-    tempfile.mkdtemp in query code is a leak by construction."""
-    import atexit
-    import shutil
+    exit (one shared atexit handler, not one per dir). Every
+    engine-internal scratch dir (parity sinks, streaming checkpoints,
+    layout fixtures) must come from here — a bare tempfile.mkdtemp in
+    query code is a leak by construction.
+
+    LIFECYCLE CONTRACT: dirs from here live until the NEXT
+    :func:`release_all` (the registry calls it on entry to each
+    query). A caller holding a LAZY DataFrame that reads from one of
+    these dirs must collect it before the next registry query's
+    entry — after the sweep the path is gone and the read fails with
+    a missing-path error. Parity queries satisfy this by contract
+    (the driver collects each query's result before invoking the
+    next); anything longer-lived belongs in :func:`track_session_dir`
+    instead."""
     import tempfile
 
     path = tempfile.mkdtemp(prefix=prefix)
     _TMP_DIRS.append(path)
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    _track_for_exit(path)
     return path
 
 
@@ -90,12 +127,9 @@ def track_session_dir(path: str) -> None:
     """Register a session-lived engine dir (persisted index builds)
     for removal at process exit only — release_all() must NOT touch
     it, later queries in this session serve from it."""
-    import atexit
-    import shutil
-
     if path not in _SESSION_DIRS:
         _SESSION_DIRS.append(path)
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _track_for_exit(path)
 
 #: the checkpoint dir ensure_checkpoint_dir() itself installed (None
 #: if the deployment configured one first). Engine-installed ⇒
@@ -126,8 +160,6 @@ def ensure_checkpoint_dir(spark) -> None:
     global _ENGINE_CKPT_DIR
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
-        import atexit
-        import shutil
         import tempfile
 
         path = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
@@ -139,7 +171,7 @@ def ensure_checkpoint_dir(spark) -> None:
         # touched — its retention belongs to the deployment), and
         # release_all() sweeps finished frames' rdd-N dirs between
         # queries (same ownership rule)
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _track_for_exit(path)
 
 
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -248,10 +280,16 @@ def release_all(clean_checkpoints: bool | None = None) -> None:
             keep.append(df)
     _LIVE_CKPT[:] = keep
     # per-query scratch dirs (engine_tmpdir): dead once the previous
-    # query's result is collected — same lifecycle as its blocks
+    # query's result is collected — same lifecycle as its blocks.
+    # (See engine_tmpdir's LIFECYCLE CONTRACT: a lazy frame reading
+    # one of these dirs must be collected before this sweep runs.)
     if _TMP_DIRS:
         import shutil
 
         for d in _TMP_DIRS:
             shutil.rmtree(d, ignore_errors=True)
+            # already gone — drop from the exit sweep so ITS list
+            # doesn't grow unboundedly over a long session either
+            if d in _EXIT_SWEEP_DIRS:
+                _EXIT_SWEEP_DIRS.remove(d)
         _TMP_DIRS.clear()

@@ -2023,6 +2023,33 @@ verified{s} AS (
 #: quadratic-by-construction plan (r5 verdict: ×11 at the ×10 probe).
 _LSH_PIN = 6
 
+#: exact fixture row counts from parquet FOOTERS, keyed
+#: (abspath(sf_dir), table) — feeds ``approx_count`` at every
+#: pinned-knob registry call site so the fixed-knob guard's corpus
+#: check never runs a Spark job at plan-build time (r9 ADVICE: the
+#: guard's eager emb.count() charged a full corpus count to every
+#: invocation, including both timed bench passes, and made plan
+#: construction side-effectful).
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _corpus_count(sf_dir: str, table: str = "embeddings") -> int:
+    """Exact row count of a fixture table read from parquet footer
+    metadata — no Spark job, so pinned-knob plan building stays lazy.
+    Footer counts are exact (parquet row-group metadata, not an
+    estimate), so the FIXED_KNOB_GUARD_N comparison is as
+    authoritative as ``df.count()``. Cached per (sf_dir, table);
+    the fixtures are immutable within a session."""
+    import os
+
+    key = (os.path.abspath(sf_dir), table)
+    if key not in _COUNT_CACHE:
+        import pyarrow.dataset as ds
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        _COUNT_CACHE[key] = ds.dataset(path, format="parquet").count_rows()
+    return _COUNT_CACHE[key]
+
 
 def _rh_oracle() -> str:
     return f"""
@@ -2044,6 +2071,7 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.rh_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4,
         bands=_LSH_PIN, rows_per_band=_LSH_PIN,
+        approx_count=_corpus_count(sf_dir),
     )
 
 
@@ -2258,6 +2286,7 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup(
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4,
         bands=_LSH_PIN, rows_per_band=_LSH_PIN,
+        approx_count=_corpus_count(sf_dir),
     )
 
 
@@ -2279,7 +2308,8 @@ def emb_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm_operators.py::test_semantic_dedup_auto_matches_dynamic_oracle
     additionally pins the multi-N behavior on synthetic corpora."""
     return sim.semantic_dedup(
-        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4
+        _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4,
+        approx_count=_corpus_count(sf_dir),
     )
 
 
@@ -2335,7 +2365,9 @@ def emb_semantic_dedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_semantic_dedup_clustered_auto's k=auto_k_cells(n)."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = sim.load_centroids(spark, _ivf_index_path(spark, sf_dir))
-    return sim.semantic_dedup_clustered(emb, cents, threshold=0.4)
+    return sim.semantic_dedup_clustered(
+        emb, cents, threshold=0.4, approx_count=_corpus_count(sf_dir)
+    )
 
 
 #: auto-k cell-count formula, shared verbatim by the Spark query and
@@ -2402,11 +2434,13 @@ def emb_semantic_dedup_clustered_auto(
     the oracle re-derives k from count(*) with the same clamp and
     replays everything."""
     emb = _t(spark, sf_dir, "embeddings")
-    k = _autok(emb.count())
+    n = _corpus_count(sf_dir)
     cents = sim.train_kmeans_cells(
-        emb, dim=_EMB_DIM, n_cells=k, iters=sim.IVF_ITERS
+        emb, dim=_EMB_DIM, n_cells=_autok(n), iters=sim.IVF_ITERS
     )
-    return sim.semantic_dedup_clustered(emb, cents, threshold=0.4)
+    return sim.semantic_dedup_clustered(
+        emb, cents, threshold=0.4, approx_count=n
+    )
 
 
 def _ivf_auto_oracle(probes: int) -> str:
@@ -2446,7 +2480,7 @@ def _ivf_auto_index_path(spark: SparkSession, sf_dir: str) -> str:
         from ..materialize import track_session_dir
 
         emb = _t(spark, sf_dir, "embeddings")
-        k = _autok(emb.count())
+        k = _autok(_corpus_count(sf_dir))
         tag = re.sub(r"[^A-Za-z0-9_]", "_", "_".join(key))
         path = os.path.join(
             tempfile.gettempdir(), f"spark_graft_ivfauto_{tag}"
@@ -2589,6 +2623,7 @@ def emb_semantic_dedup_clustered_banded(
     return sim.semantic_dedup_clustered_banded(
         emb, cents, dim=_EMB_DIM, threshold=0.4,
         bands=_LSH_PIN, rows_per_band=_LSH_PIN,
+        approx_count=_corpus_count(sf_dir),
     )
 
 

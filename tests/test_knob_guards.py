@@ -138,3 +138,34 @@ def test_autok_registry_alias_is_shared():
     from sparkstreaming_realtime_spark.plans import llm_queries
 
     assert llm_queries._autok is sim.auto_k_cells
+
+
+def test_pinned_registry_plan_building_runs_zero_spark_jobs(spark, sf_dir, monkeypatch):
+    """r9 ADVICE: the fixed-knob guard's corpus check used to run an
+    eager emb.count() Spark job at plan-BUILD time on every pinned
+    registry invocation (both timed bench passes included). The
+    registry now feeds the guard from parquet footer metadata
+    (llm_queries._corpus_count), so building any pinned-knob plan
+    must touch zero Spark actions — pinned here by making count()
+    explode."""
+    from pyspark.sql import DataFrame
+
+    from sparkstreaming_realtime_spark.plans import llm_queries as lq
+    from sparkstreaming_realtime_spark.plans.queries import queries
+
+    # footer count == df.count() (exactness of the metadata path)
+    spark_n = lq._t(spark, sf_dir, "embeddings").count()
+    assert lq._corpus_count(sf_dir) == spark_n
+
+    def boom(self):
+        raise AssertionError("plan build ran an eager count() job")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    qs = queries()
+    for name in (
+        "emb_near_dup_lsh",
+        "emb_semantic_dedup",
+        "emb_semantic_dedup_auto",
+        "emb_semantic_dedup_clustered_banded",
+    ):
+        qs[name](spark, sf_dir)  # plan only — never collected

@@ -194,3 +194,32 @@ def test_parity_query_leaves_no_orphan_tmpdirs(spark, sf_dir):
     release_all()
     after = {p for pat in pats for p in glob.glob(pat)}
     assert after - before == set(), f"orphans: {after - before}"
+
+
+def test_exit_sweep_is_one_handler_and_tracks_both_dir_kinds(spark):
+    """r9 ADVICE: engine_tmpdir used to register one atexit rmtree
+    PER DIRECTORY — unbounded handler growth over a long session.
+    Now a single shared sweep callback owns every engine dir: tmp
+    dirs leave the exit list when release_all sweeps them, session
+    dirs stay until _exit_sweep() itself runs."""
+    from sparkstreaming_realtime_spark import materialize as m
+
+    d1 = m.engine_tmpdir("t_exit_a_")
+    assert m._EXIT_SWEEP_REGISTERED  # lazily registered, exactly once
+    assert d1 in m._EXIT_SWEEP_DIRS
+    release_all()
+    # swept dirs leave the exit list too — neither list grows forever
+    assert d1 not in m._EXIT_SWEEP_DIRS and not os.path.exists(d1)
+
+    import tempfile
+
+    d2 = tempfile.mkdtemp(prefix="t_exit_session_")
+    m.track_session_dir(d2)
+    m.track_session_dir(d2)  # idempotent — one entry
+    assert m._EXIT_SWEEP_DIRS.count(d2) == 1
+    release_all()
+    assert os.path.isdir(d2)  # session dirs survive the query sweep
+    m._exit_sweep()  # what atexit will run
+    assert not os.path.exists(d2)
+    assert not m._EXIT_SWEEP_DIRS
+    m._SESSION_DIRS.remove(d2)

@@ -1,0 +1,110 @@
+"""Lexical retrieval: BM25 ranking over the document corpus.
+
+The reference serves keyword search through Elasticsearch's
+``match`` query (PublishDaoImpl.java:58-61 — analyzed match-AND,
+which functions/text.py:match_all_terms already reproduces as a
+boolean predicate). What the boolean form misses is the RANKING: ES
+scores matches with BM25 (its default similarity since 5.0), so "the
+top documents for these terms" is reference-visible behavior with no
+engine-side counterpart until now. A training-data pipeline needs
+the same primitive for corpus triage: given seed terms, surface the
+most relevant documents (positive mining, targeted decontamination,
+eval-set curation).
+
+BM25 (Robertson/Sparck Jones, the Okapi form ES documents):
+
+    score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    idf(t)      = ln(1 + (N − df + 0.5) / (df + 0.5))
+
+Scale shape (100 TB corpus, tiny query):
+
+- The explode/tf scan filters to the query's terms BEFORE the
+  grouping shuffle — per-term state is O(matching docs), never
+  O(corpus vocabulary).
+- Document lengths come from ``size(tokenize(text))`` in the same
+  projection — a pure map, no length shuffle.
+- ``df`` and the (N, avgdl) scalars are one tiny aggregate each,
+  broadcast back (explicit ``F.broadcast``) — the only wide exchange
+  is the per-(doc, term) tf groupBy, keyed by doc_id for the final
+  per-doc sum.
+- Top-k is ``orderBy().limit(k)`` → TakeOrdered, no global sort.
+
+Everything is built-in column math (ln/division in whole-stage
+codegen); zero UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+#: Okapi defaults, shared with the registry oracle (ES uses the same).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for ``query_terms``.
+
+    Returns (id_col, bm25, n_hit_terms) — score rounded to 4 dp for
+    engine-portable hashing, ties broken by ascending id. Documents
+    matching no query term never appear (their score is 0 by
+    definition, and emitting the whole corpus for a query would be
+    absurd at scale); ``n_hit_terms`` lets callers demand match-AND
+    semantics (n_hit_terms == len(query_terms)) without a second
+    scan."""
+    if not query_terms:
+        raise ValueError("bm25_search needs at least one query term")
+    terms = sorted({t.lower() for t in query_terms})
+
+    # one corpus scan feeds both signals: per-doc length (pure map)
+    # and the query-term postings (filter BEFORE the shuffle)
+    toked = docs.select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    )
+    dl = toked.select(id_col, F.size("__toks").alias("dl"))
+    postings = toked.select(
+        id_col, F.explode("__toks").alias("term")
+    ).filter(F.col("term").isin(terms))
+
+    tf = postings.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # df per query term: tf already holds one row per (doc, term)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # corpus scalars: N over ALL docs, avgdl over ALL docs (a
+    # zero-token doc counts length 0 — same convention in the oracle)
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("__s", idf * norm)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("__s"), 4).alias("bm25"),
+            F.count("*").alias("n_hit_terms"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

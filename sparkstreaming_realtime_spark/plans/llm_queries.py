@@ -2688,6 +2688,54 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=20)
 
 
+#: BM25 registry query terms: one RARE term ("dup" — df 25/500 at
+#: sf0.01, so its idf dominates and rare-term docs rank first) plus
+#: two common ones, exercising the idf spread end to end.
+_BM25_TERMS = ("dup", "spark", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, {_toks_sql("text")} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM toked),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+postings AS (SELECT doc_id, unnest(toks) AS term FROM toked),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM postings
+  WHERE term IN ('dup', 'spark', 'vector') GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id,
+       round(sum(
+         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         * tf * ({_BM25_K1} + 1)
+         / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+       ), 4) AS bm25,
+       count(*) AS n_hit_terms
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("doc_bm25_search", oracle=_BM25_ORACLE, tags=("LLM", "text", "retrieval"))
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 (Okapi k1=1.2 b=0.75 — ES's default
+    similarity, the RANKED form of the reference's analyzed match
+    query, PublishDaoImpl.java:58-61) for a three-term query
+    (operators/retrieval.py:bm25_search). One corpus scan feeds both
+    doc lengths (pure map — size(tokenize)) and query-term postings
+    (term filter BEFORE the tf shuffle); df and the (N, avgdl)
+    scalars broadcast back; TakeOrdered top-k. The oracle replays
+    the exact formula over the same token alphabet."""
+    from ..operators.retrieval import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10
+    )
+
+
 _BPE_ORACLE = rf"""
 SELECT lang,
        sum(len({_toks_sql("text")}))::BIGINT AS word_tokens,

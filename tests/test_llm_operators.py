@@ -2192,3 +2192,50 @@ def test_assign_cells_arrow_matches_literal_argmax(spark):
     big = sim.assign_cells_frame(emb, cents)
     assert "MapInPandas" not in small._jdf.queryExecution().logical().toString()
     assert "MapInPandas" in big._jdf.queryExecution().logical().toString()
+
+
+def test_bm25_search_matches_hand_computed_okapi(spark):
+    """BM25 (operators/retrieval.py) against a by-hand Okapi
+    computation on a 4-doc corpus: exact idf/tf-norm formula, docs
+    matching no query term absent, ties impossible by construction."""
+    import math
+
+    from sparkstreaming_realtime_spark.operators.retrieval import bm25_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "banana banana banana durian"),
+            (4, "cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_search(docs, ["apple", "banana"], k=10)
+    got = [(r.doc_id, r.bm25, r.n_hit_terms) for r in out.collect()]
+
+    n, avgdl = 4, 3.0
+    dls = {1: 3, 2: 2, 3: 4}
+    tfs = {1: {"apple": 2, "banana": 1}, 2: {"apple": 1}, 3: {"banana": 3}}
+    dfq = {"apple": 2, "banana": 2}
+
+    def idf(df):
+        return math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def norm(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    expect = sorted(
+        (
+            (
+                d,
+                round(sum(idf(dfq[t]) * norm(tf, dls[d])
+                          for t, tf in terms.items()), 4),
+                len(terms),
+            )
+            for d, terms in tfs.items()
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert got == expect
+    assert all(r[0] != 4 for r in got)  # cherry-only doc never appears

@@ -3087,3 +3087,65 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.col("n_name").alias("nation"))
         .orderBy("s_name")
     )
+
+
+# --- record linkage: blocked fuzzy entity matching ------------------
+
+#: segment-blocking knobs shared by the Spark query and its oracle:
+#: 6 segments (pigeonhole needs max_dist+1=3; doubling the count
+#: makes each block more selective on the synthetic fixed-prefix
+#: names), edit cap 2, degenerate blocks (constant name prefix puts
+#: a whole nation in one block) dropped past 200 rows — capped rows
+#: still pair through their other, more selective segments.
+_FUZZY_SEGS, _FUZZY_DIST, _FUZZY_CAP = 6, 2, 200
+
+_FUZZY_ORACLE = f"""
+WITH segs AS (
+  SELECT c_custkey, c_name, c_nationkey, i,
+         substring(c_name,
+                   ((i * len(c_name)) // {_FUZZY_SEGS} + 1)::INT,
+                   (((i + 1) * len(c_name)) // {_FUZZY_SEGS}
+                    - (i * len(c_name)) // {_FUZZY_SEGS})::INT) AS seg
+  FROM customer, range({_FUZZY_SEGS}) t(i)),
+small AS (
+  SELECT c_nationkey, i, seg FROM segs
+  GROUP BY 1, 2, 3 HAVING count(*) <= {_FUZZY_CAP}),
+blocked AS (SELECT s.* FROM segs s JOIN small USING (c_nationkey, i, seg)),
+cands AS (
+  SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM blocked a JOIN blocked b USING (c_nationkey, i, seg)
+  WHERE a.c_custkey < b.c_custkey)
+SELECT id_a, id_b, levenshtein(ca.c_name, cb.c_name) AS dist
+FROM cands
+JOIN customer ca ON ca.c_custkey = id_a
+JOIN customer cb ON cb.c_custkey = id_b
+WHERE levenshtein(ca.c_name, cb.c_name) <= {_FUZZY_DIST}
+"""
+
+
+@register(
+    "customer_fuzzy_match",
+    oracle=_FUZZY_ORACLE,
+    tags=("linkage", "dedup", "extension"),
+)
+def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the customer table
+    (operators/linkage.py:blocked_fuzzy_pairs): nation pre-block +
+    PassJoin-style segment co-blocking (6 segments — pigeonhole: ≤2
+    substitutions on equal-length keys must leave ≥4 segments
+    intact), degenerate blocks capped at 200, candidates verified
+    with THRESHOLDED levenshtein ≤ 2 (the fuzzy analog of the
+    reference's exact term match, PublishDaoImpl.java:58-61). The
+    oracle replays the segment arithmetic, the cap, and the verify
+    in SQL."""
+    from ..operators.linkage import blocked_fuzzy_pairs
+
+    return blocked_fuzzy_pairs(
+        _t(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        text_col="c_name",
+        block_cols=("c_nationkey",),
+        max_dist=_FUZZY_DIST,
+        n_segments=_FUZZY_SEGS,
+        max_block=_FUZZY_CAP,
+    )

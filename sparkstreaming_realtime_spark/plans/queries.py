@@ -859,6 +859,57 @@ def hourly_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sliding_window_rollup",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '30 minutes', ts)
+               - i * INTERVAL '30 minutes' AS win_start
+      FROM events, range(2) t(i))
+    SELECT win_start,
+           win_start + INTERVAL '1 hour' AS win_end,
+           event_type,
+           count(*)::BIGINT AS n,
+           {_money_sum_sql("value", 2)} AS sum_value
+    FROM assigned GROUP BY 1, 2, 3
+    """,
+    tags=("T6", "streaming-capable", "extension"),
+)
+def sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1 h windows every 30 min — each event
+    lands in exactly duration/slide = 2 windows): the overlapping
+    upgrade of hourly_window_rollup via native
+    ``F.window(ts, '1 hour', '30 minutes')``. Spark expands the
+    window assignment as a generator in the same stage as the scan
+    (no pre-shuffle fan-out materialization), then one partial-agg
+    shuffle keyed (window, event_type) — the identical plan runs
+    under Structured Streaming with a watermark, which is the point:
+    overlapping windows are the standard streaming rollup the
+    reference's string-split hour bucketing cannot express. The
+    oracle replays the assignment as a range(2) fan-out off the
+    30-minute time_bucket (both windows of an event are always
+    valid: for s = bucket(ts) and s = bucket(ts)−30 m, ts ∈
+    [s, s+1 h) holds by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            _money_sum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Order wide-table / joins (J1-J5, F10) — orders⋈lineitem plays
 # order_info⋈order_detail; customer/nation play the dims.
@@ -1161,6 +1212,63 @@ def streaming_hourly_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFram
         .writeStream.format("memory")
         .queryName(name)
         .option("checkpointLocation", engine_tmpdir("swr_ckpt_"))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "streaming_sliding_rollup_parity",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT event_type, value, ts,
+             time_bucket(INTERVAL '30 minutes', ts)
+               - i * INTERVAL '30 minutes' AS win_start
+      FROM events, range(2) t(i))
+    SELECT win_start,
+           win_start + INTERVAL '1 hour' AS win_end,
+           event_type,
+           count(*)::BIGINT AS n,
+           {_money_sum_sql("value", 2)} AS sum_value
+    FROM assigned
+    GROUP BY 1, 2, 3
+    HAVING win_start + INTERVAL '1 hour'
+           <= (SELECT max(ts) FROM events) - INTERVAL 2 HOURS
+    """,
+    tags=("T6", "T7", "streaming"),
+)
+def streaming_sliding_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sliding-window rollup under REAL Structured Streaming
+    (streaming/pipelines.py:streaming_sliding_rollup): file source →
+    overlapping 1 h/30 min window state → AvailableNow → memory sink,
+    append mode. Append emits exactly the windows the final watermark
+    (max event time − 2 h) has closed — the oracle replays both the
+    2-windows-per-event assignment AND that emission rule, so the
+    overlap arithmetic and watermark finalization are driver-hashed
+    together (the tumbling twin streaming_hourly_rollup_parity can't
+    catch a slide-alignment bug by construction)."""
+    from ..materialize import engine_tmpdir
+    import uuid
+
+    from ..sources.files import events_with_ts
+    from ..streaming.pipelines import streaming_sliding_rollup
+
+    _t(spark, sf_dir, "events")  # sets the nanos read conf
+    raw = _stream_t(spark, sf_dir, "events")
+    ev = events_with_ts(raw).select(
+        F.col("ts").cast("timestamp").alias("event_time"),
+        "event_type",
+        "value",
+    )
+    name = "slw_" + uuid.uuid4().hex[:8]
+    q = (
+        streaming_sliding_rollup(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", engine_tmpdir("slw_ckpt_"))
         .trigger(availableNow=True)
         .outputMode("append")
         .start()

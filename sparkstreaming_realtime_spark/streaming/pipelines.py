@@ -157,6 +157,36 @@ def streaming_hourly_rollup(
     )
 
 
+def streaming_sliding_rollup(
+    events: DataFrame,
+    ts: str = "event_time",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    lateness: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window rollup — the overlapping-window
+    form of :func:`streaming_hourly_rollup` (each event lands in
+    duration/slide windows; Spark expands the assignment as a
+    generator pre-shuffle, so state is per-(window, type) exactly
+    like the tumbling case, just slide-aligned). Append mode emits
+    each window once, when the watermark passes window_end."""
+    return (
+        events.withWatermark(ts, lateness)
+        .groupBy(F.window(ts, duration, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            money_sum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def streaming_user_sessions(
     events: DataFrame,
     ts: str = "event_time",

@@ -1051,6 +1051,108 @@ def _verify_cosine_pairs(
     )
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+    approx_count: int | None = None,
+    allow_fixed_knobs: bool = False,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (the semantic
+    sibling of dedup.decontaminate's 5-gram overlap, per the
+    contamination analyses in GPT-3 App. C / SemDeDup §5): flag every
+    TRAIN vector whose cosine to some EVAL vector is ≥ ``threshold``.
+
+    Candidates come from a CROSS-frame sign-LSH bucket join — both
+    frames hash through the SAME hyperplanes, so a train row is only
+    compared to eval rows sharing a band bucket, never |train|·|eval|
+    all-pairs. The exact-cosine verify joins vectors back by id
+    (payload never rides the bucket shuffle) and reuses the 6dp fold
+    of :func:`_verify_cosine_pairs` arithmetic.
+
+    Scale shape: the eval set is small and fixed while train grows,
+    so per-bucket work is |bucket∩train|·|bucket∩eval| — linear in N
+    at N-derived band width. A PINNED width on a train corpus over
+    :data:`FIXED_KNOB_GUARD_N` raises unless ``allow_fixed_knobs``
+    (same footgun class as rh_near_dup_pairs' measured ×422 at ×100).
+
+    Returns (``id_col``, top_eval_id, max_cos): one row per
+    contaminated train vector, its best-matching eval vector
+    (max cos, ties to the smallest eval id) and that cosine —
+    anti-join the result against train to get the clean corpus."""
+    from ..functions.vectors import dot, l2_norm
+
+    if rows_per_band is None:
+        n = approx_count if approx_count is not None else train.count()
+        auto_bands, rows_per_band = auto_lsh_params(
+            n, base_bands=bands if bands is not None else RH_BANDS
+        )
+        if bands is None:
+            bands = auto_bands
+    else:
+        if not allow_fixed_knobs:
+            n = approx_count if approx_count is not None else train.count()
+            if n > FIXED_KNOB_GUARD_N:
+                _guard_fixed_knobs(
+                    n, f"explicit rows_per_band={rows_per_band} pins "
+                    "the LSH bucket count while the train corpus grows"
+                )
+        if bands is None:
+            bands = RH_BANDS
+    planes = random_hyperplanes(bands * rows_per_band, dim)
+    tb = rh_band_buckets(train, planes, id_col, bands, rows_per_band)
+    eb = rh_band_buckets(evalset, planes, id_col, bands, rows_per_band)
+    cands = (
+        tb.select("bucket", F.col(id_col).alias("__tid"))
+        .join(
+            eb.select("bucket", F.col(id_col).alias("__eid")), "bucket"
+        )
+        .select("__tid", "__eid")
+        .distinct()
+    )
+    tv = train.select(
+        F.col(id_col).alias("__tid"),
+        F.col(vec_col).alias("__tv"),
+        l2_norm(vec_col).alias("__tn"),
+    )
+    ev = evalset.select(
+        F.col(id_col).alias("__eid"),
+        F.col(vec_col).alias("__ev"),
+        l2_norm(vec_col).alias("__en"),
+    )
+    verified = (
+        cands.join(tv, "__tid")
+        .join(ev, "__eid")
+        .withColumn(
+            "__cos",
+            F.round(
+                dot("__tv", "__ev") / (F.col("__tn") * F.col("__en")), 6
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+    )
+    # one agg, no window: max over (cos, -eval_id) picks the highest
+    # rounded cosine, ties to the SMALLEST eval id — deterministic in
+    # both engines
+    best = F.max(
+        F.struct(F.col("__cos"), (-F.col("__eid")).alias("__neg"))
+    ).alias("__best")
+    return (
+        verified.groupBy("__tid")
+        .agg(best)
+        .select(
+            F.col("__tid").alias(id_col),
+            (-F.col("__best.__neg")).alias("top_eval_id"),
+            F.col("__best.__cos").alias("max_cos"),
+        )
+    )
+
+
 def truncated_overlap_curve(
     emb: DataFrame,
     query_id: int,

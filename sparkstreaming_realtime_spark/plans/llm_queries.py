@@ -1966,6 +1966,31 @@ def doc_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _rh_band_list_sql(n_bands: int, n_rows: int) -> str:
+    """The sign-LSH band-key list as DuckDB SQL literals — identical
+    plane set and key format to rh_band_buckets at the same geometry.
+    Shared by the self-join oracle chain (:func:`_rh_ctes`) and the
+    cross-frame decontamination oracle."""
+    planes = sim.random_hyperplanes(n_bands * n_rows, _EMB_DIM)
+
+    def dot_lit(plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip(embedding, {arr}), "
+            f"p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+        )
+
+    bits = [f"(CASE WHEN {dot_lit(p)} >= 0 THEN 1 ELSE 0 END)" for p in planes]
+    return ", ".join(
+        "'{b}'".format(b=b)
+        + "".join(
+            f" || ':' || {bits[b * n_rows + r]}::VARCHAR"
+            for r in range(n_rows)
+        )
+        for b in range(n_bands)
+    )
+
+
 def _rh_ctes(
     n_bands: int | None = None,
     n_rows: int | None = None,
@@ -1982,24 +2007,7 @@ def _rh_ctes(
     width-adaptive auto oracle)."""
     n_bands = sim.RH_BANDS if n_bands is None else n_bands
     n_rows = sim.RH_ROWS if n_rows is None else n_rows
-    planes = sim.random_hyperplanes(n_bands * n_rows, _EMB_DIM)
-
-    def dot_lit(plane: list[float]) -> str:
-        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
-        return (
-            f"list_sum(list_transform(list_zip(embedding, {arr}), "
-            f"p -> p[1]::DOUBLE * p[2]::DOUBLE))"
-        )
-
-    bits = [f"(CASE WHEN {dot_lit(p)} >= 0 THEN 1 ELSE 0 END)" for p in planes]
-    bands = ", ".join(
-        "'{b}'".format(b=b)
-        + "".join(
-            f" || ':' || {bits[b * n_rows + r]}::VARCHAR"
-            for r in range(n_rows)
-        )
-        for b in range(n_bands)
-    )
+    bands = _rh_band_list_sql(n_bands, n_rows)
     s = suffix
     return f"""buckets{s} AS (
   SELECT vec_id, unnest([{bands}]) AS bucket FROM embeddings {gate}),
@@ -2071,6 +2079,69 @@ def emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.rh_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), dim=_EMB_DIM, threshold=0.4,
         bands=_LSH_PIN, rows_per_band=_LSH_PIN,
+        approx_count=_corpus_count(sf_dir),
+    )
+
+
+#: the eval-set carve-out for semantic decontamination: every 13th
+#: vector plays the benchmark, the rest play the train corpus
+_DECON_MOD = 13
+
+
+def _decon_oracle() -> str:
+    """Cross-frame decontamination replica: identical plane/band
+    literals on BOTH frames, bucket equi-join (train × eval, never
+    all-pairs), 6dp cosine verify, then per-train argmax with ties to
+    the smallest eval id (row_number replay of the Spark struct-max)."""
+    bands = _rh_band_list_sql(_LSH_PIN, _LSH_PIN)
+    return f"""
+WITH tb AS (
+  SELECT vec_id, unnest([{bands}]) AS bucket FROM embeddings
+  WHERE vec_id % {_DECON_MOD} <> 0),
+eb AS (
+  SELECT vec_id, unnest([{bands}]) AS bucket FROM embeddings
+  WHERE vec_id % {_DECON_MOD} = 0),
+cand AS (
+  SELECT DISTINCT t.vec_id AS tid, e.vec_id AS eid
+  FROM tb t JOIN eb e ON t.bucket = e.bucket),
+verified AS (
+  SELECT c.tid, c.eid,
+         round({_cos_sql("x.embedding", "y.embedding")}, 6) AS cos
+  FROM cand c JOIN embeddings x ON c.tid = x.vec_id
+              JOIN embeddings y ON c.eid = y.vec_id)
+SELECT vec_id, top_eval_id, max_cos FROM (
+  SELECT tid AS vec_id, eid AS top_eval_id, cos AS max_cos,
+         row_number() OVER (PARTITION BY tid ORDER BY cos DESC, eid)
+           AS rn
+  FROM verified WHERE cos >= 0.4)
+WHERE rn = 1
+"""
+
+
+@register(
+    "emb_semantic_decontaminate",
+    oracle=_decon_oracle(),
+    tags=("LLM", "similarity", "decontamination"),
+)
+def emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/similarity.py:semantic_decontaminate) — the semantic
+    sibling of doc_decontaminate's 5-gram overlap: train vectors
+    (vec_id % 13 != 0) within cosine 0.4 of any eval vector
+    (vec_id % 13 == 0) are flagged with their best eval match.
+    Candidates come from a CROSS-frame sign-LSH bucket join through
+    the SAME pinned 6×6 planes on both frames (the oracle bakes the
+    identical literals); per-bucket work is |train∩bucket| ×
+    |eval∩bucket|, never all-pairs. The per-train argmax is one
+    struct-max aggregate (no window), ties to the smallest eval id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semantic_decontaminate(
+        emb.filter(F.col("vec_id") % _DECON_MOD != 0),
+        emb.filter(F.col("vec_id") % _DECON_MOD == 0),
+        dim=_EMB_DIM,
+        threshold=0.4,
+        bands=_LSH_PIN,
+        rows_per_band=_LSH_PIN,
         approx_count=_corpus_count(sf_dir),
     )
 

@@ -2239,3 +2239,51 @@ def test_bm25_search_matches_hand_computed_okapi(spark):
     )
     assert got == expect
     assert all(r[0] != 4 for r in got)  # cherry-only doc never appears
+
+
+def test_semantic_decontaminate_flags_near_eval_train_vectors(spark):
+    """Cross-frame LSH decontamination: a train vector colinear with
+    an eval vector is flagged with that eval id and cos 1.0; an
+    orthogonal train vector never appears; ties break to the
+    smallest eval id."""
+    from sparkstreaming_realtime_spark.operators import similarity as sim
+
+    dim = 8
+
+    def v(i, hot, mag=1.0):
+        vec = [0.0] * dim
+        vec[hot] = mag
+        return (i, vec)
+
+    # eval 100 and 101 are IDENTICAL directions (tie case)
+    evalset = spark.createDataFrame(
+        [v(100, 0), v(101, 0, 2.0), v(102, 3)],
+        "vec_id long, embedding array<float>",
+    )
+    train = spark.createDataFrame(
+        [v(1, 0, 0.5), v(2, 5), v(3, 3, 4.0)],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.semantic_decontaminate(
+        train, evalset, dim=dim, threshold=0.9,
+        bands=4, rows_per_band=2, approx_count=3,
+    )
+    got = {r.vec_id: (r.top_eval_id, r.max_cos) for r in out.collect()}
+    assert got[1] == (100, 1.0)  # tie between 100/101 -> smaller id
+    assert got[3] == (102, 1.0)
+    assert 2 not in got  # orthogonal direction, never flagged
+
+
+def test_semantic_decontaminate_guards_pinned_width_at_scale(spark):
+    import pytest
+
+    from sparkstreaming_realtime_spark.operators import similarity as sim
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="FIXED_KNOB_GUARD_N"):
+        sim.semantic_decontaminate(
+            train, train, dim=2, bands=4, rows_per_band=4,
+            approx_count=sim.FIXED_KNOB_GUARD_N + 1,
+        )

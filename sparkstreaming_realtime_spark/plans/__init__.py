@@ -38,11 +38,15 @@ _PRIORITY = [
     "cdc_route_counts", "cdc_dim_snapshot",
     # NEW this round: byte-exact PCM16 audio features
     "doc_audio_windows",
-    # ES query-surface sentinel (A3)
-    "stats_by_item_segment",
+    # ES query-surface sentinel (A3) + NEW r10: its RANKED form
+    # (BM25 — ES's default similarity — over the document corpus)
+    "stats_by_item_segment", "doc_bm25_search",
     # joins / rollups / TPC-H / extension sentinels
     "order_wide_join", "hourly_window_rollup", "shipping_priority",
     "events_asof_last_order",
+    # NEW r10: overlapping-window rollup (batch + its streaming twin
+    # below) — the tumbling sentinel cannot catch slide-alignment bugs
+    "sliding_window_rollup",
     # NEW this round (never driver-checked): warehouse maintenance +
     # quality gate + z-order skipping
     "events_quality_expectations", "warehouse_compaction_roundtrip",
@@ -51,7 +55,7 @@ _PRIORITY = [
     # doc_tfidf_top_terms rotated to the tail — green r1–r5 — to make
     # room for the NEW k-means cluster-profile query)
     "doc_gopher_filters",
-    "doc_quality_bands", "doc_repetition_bands",
+    "doc_quality_bands",
     # r6 money-path edit: exact-div cents + wide charge accumulator
     "pricing_summary",
     # dedup / cluster / split family (doc_chunk_dedup_stride rotated
@@ -70,6 +74,10 @@ _PRIORITY = [
     # doc_line_dedup + streaming_line_dedup_parity in-window)
     "doc_dup_clusters", "doc_line_dedup", "doc_exact_substr_dedup",
     "doc_dup_keep_longest",
+    # NEW r10: record linkage — segment-blocked edit-distance entity
+    # resolution (doc_exact_dedup rotated to the tail for it — green
+    # r1-r9, the dedup family keeps five in-window rows)
+    "customer_fuzzy_match",
     # sampling / export family (exact_k re-verifies the null-safe
     # pre-filter edit; doc_temperature_resample rotated to the tail —
     # green r2–r5 — for the NEW two-level IVF-PQ query;
@@ -82,13 +90,13 @@ _PRIORITY = [
     # doc_audio_windows + emb_feature_extract keep multimodal
     # in-window)
     "emb_feature_extract",
-    "emb_kmeans_clusters", "emb_ivfpq_topk",
+    "emb_kmeans_clusters",
     # LLM dedup/similarity (re-verify the r6 width edits: the 6×6
     # re-pin, the width-adaptive auto oracle's first hash row, the
     # Hadoop-FS index maintenance behind append + NEW compact, and
     # the NEW binary sign-bit + Hamming two-stage search —
     # emb_truncated_overlap rotated to the tail for it, green r5)
-    "doc_exact_dedup", "doc_minhash_near_dup",
+    "doc_minhash_near_dup",
     "corpus_curation_funnel_v2", "emb_semantic_dedup",
     "emb_semantic_dedup_auto",
     # NEW r8: cluster-pruned SemDeDup (the published recipe — pairs
@@ -101,6 +109,10 @@ _PRIORITY = [
     # tail for it, green r6–r7, emb_ivf_knn_join keeps the kNN-join
     # shape verified in the r1–r7 union)
     "emb_semantic_dedup_clustered_auto",
+    # NEW r10: cross-frame LSH decontamination (emb_ivfpq_topk
+    # rotated to the tail for it — green r8s2-r9, emb_ivf_append/
+    # compact keep the persisted-index family in-window)
+    "emb_semantic_decontaminate",
     "emb_ivf_append_topk", "emb_ivf_compact_topk",
     # NEW r9: the Arrow matmul assignment path driver-hashed for the
     # first time (k=96 > LARGE_K_ASSIGN throughout training AND
@@ -111,7 +123,6 @@ _PRIORITY = [
     # warehouse sentinels (bucketed_colocated_join rotated to the
     # tail r8s2 — clustered/zordered/compaction/profile keep the
     # family in-window)
-    "clustered_point_lookup",
     "events_table_profile",
     # streaming parities (+ NEW r8: the idempotent-sink replay parity
     # — K5/T5's first driver-hashed row — and the observe-metrics
@@ -123,13 +134,20 @@ _PRIORITY = [
     "streaming_dau_dedup_parity", "streaming_scd2_parity",
     "streaming_quality_gate_parity",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",
-    "streaming_heavy_hitters_parity", "streaming_state_profile_parity",
+    "streaming_state_profile_parity",
+    # NEW r10: the sliding-window rollup under real streaming state
+    # (streaming_heavy_hitters_parity rotated to the tail for it —
+    # green r5-r9; the sketch family keeps doc_heavy_hitters_sketch's
+    # oracle and the replay pytest)
+    "streaming_sliding_rollup_parity",
     # NEW r8 session 2: incremental line-count maintenance + the
     # retroactive boilerplate gate (same oracle as doc_line_dedup)
     "streaming_line_dedup_parity",
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
+    "emb_ivfpq_topk", "doc_repetition_bands", "doc_exact_dedup",
+    "streaming_heavy_hitters_parity", "clustered_point_lookup",
     "emb_hamming_topk", "doc_intra_line_dedup",
     "doc_frame_sample", "emb_pq_topk", "doc_source_mix",
     "doc_hash_split", "doc_resize_images", "bucketed_colocated_join",

@@ -87,6 +87,20 @@ def _copy(df: DataFrame, table: str, i: int) -> DataFrame:
         out = out.withColumn(
             "text", F.translate("text", src, _letter_perm(src, i))
         )
+    if table == "customer" and i > 0:
+        # per-copy DIGIT permutation on c_name: Levenshtein is
+        # invariant under an alphabet bijection, so within-copy edit
+        # structure — what customer_fuzzy_match measures — is
+        # preserved, while cross-copy verbatim name twins disappear
+        # (a raw copy keeps c_name while offsetting c_custkey, so a
+        # ×100 fixture would carry 100 identical (nation, name) rows
+        # per base customer → C(100,2) zero-distance pairs each —
+        # the text-twin artifact class the documents permutation and
+        # the embeddings sign-flip already fix)
+        digits = "0123456789"
+        out = out.withColumn(
+            "c_name", F.translate("c_name", digits, _letter_perm(digits, i))
+        )
     if table == "embeddings" and i > 0:
         # circular-shift the vector per copy: copies point in
         # ~orthogonal directions (a shifted Gaussian vector is a fresh

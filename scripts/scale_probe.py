@@ -142,6 +142,26 @@ PROBE = [
     # r9 session 2: single-query serving through the auto-k index —
     # per-query cost is probes × ~512 vectors at ANY corpus size
     "emb_ivf_auto_topk",
+    # r10 session: BM25 retrieval (postings filtered to the query's
+    # terms BEFORE the tf shuffle + tiny broadcast scalars — should
+    # probe ~linear-in-scan), segment-blocked fuzzy linkage (cap
+    # drops degenerate blocks, survivors pair through selective
+    # segments — near-linear; needs the digit-permuted customer
+    # fixture or cross-copy verbatim names densify the pair graph
+    # quadratically by artifact), the overlapping-window rollup
+    # (2 windows/event — a constant fan-out, so ~2× the tumbling
+    # sentinel at every factor, ~linear absolute), and its streaming
+    # parity (same state shape as the hourly parity)
+    "doc_bm25_search",
+    "customer_fuzzy_match",
+    "sliding_window_rollup",
+    "streaming_sliding_rollup_parity",
+    # r10 probe-only: decontamination at the AUTO band width (the
+    # registry twin pins 6×6 for its static oracle and GUARD-raises
+    # past 50k train vectors; this is the knob a 100 TB caller gets —
+    # per-bucket work |train∩bucket|·|eval∩bucket| stays put as both
+    # the corpus and the bucket count grow)
+    "emb_semantic_decontaminate_auto",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the
@@ -260,6 +280,27 @@ def _ivf_serve_auto_k(spark, sf_dir: str):
     )
 
 
+def _decon_auto(spark, sf_dir: str):
+    # cross-frame LSH decontamination at the N-derived band width
+    # (the registry twin pins 6×6 for its static oracle — and past
+    # FIXED_KNOB_GUARD_N train vectors that pin raises by design)
+    from sparkstreaming_realtime_spark.operators import similarity as sim
+    from sparkstreaming_realtime_spark.plans.llm_queries import (
+        _DECON_MOD,
+        _EMB_DIM,
+    )
+    from sparkstreaming_realtime_spark.sources.files import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return sim.semantic_decontaminate(
+        emb.filter(F.col("vec_id") % _DECON_MOD != 0),
+        emb.filter(F.col("vec_id") % _DECON_MOD == 0),
+        dim=_EMB_DIM,
+        threshold=0.4,
+    )
+
+
 #: probe-only entries: operator paths worth scale-measuring that no
 #: registry query exercises with these exact knobs
 EXTRA = {
@@ -267,6 +308,7 @@ EXTRA = {
     "emb_semantic_dedup_clustered_banded_auto": _sdc_banded_auto,
     "emb_semantic_dedup_clustered_auto_k": _sdc_auto_k,
     "emb_ivf_serve_auto_k": _ivf_serve_auto_k,
+    "emb_semantic_decontaminate_auto": _decon_auto,
 }
 
 

@@ -2287,3 +2287,46 @@ def test_semantic_decontaminate_guards_pinned_width_at_scale(spark):
             train, train, dim=2, bands=4, rows_per_band=4,
             approx_count=sim.FIXED_KNOB_GUARD_N + 1,
         )
+
+
+def test_bm25_plan_broadcasts_scalars_and_takes_ordered_topk(spark, sf_dir):
+    """The BM25 scale claims, pinned as a plan test: the (N, avgdl)
+    scalars and the per-term df table reach the score join as
+    BroadcastExchanges (never a shuffled join on a 1-row frame), the
+    top-k is TakeOrdered (no global Sort), and no Python UDF appears
+    anywhere (pure codegen column math)."""
+    from sparkstreaming_realtime_spark.operators.retrieval import bm25_search
+    from sparkstreaming_realtime_spark.sources.files import read_table
+
+    df = bm25_search(
+        read_table(spark, sf_dir, "documents"), ["dup", "spark"], k=10
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_pairs_plan_has_no_cartesian_and_no_python(spark, sf_dir):
+    """Segment blocking must never degrade to an all-pairs plan: the
+    candidate join is an equi-join on the block key (no
+    CartesianProduct / BroadcastNestedLoopJoin), and the levenshtein
+    verify is JVM-side (no Python eval nodes)."""
+    from sparkstreaming_realtime_spark.operators.linkage import (
+        blocked_fuzzy_pairs,
+    )
+    from sparkstreaming_realtime_spark.sources.files import read_table
+
+    df = blocked_fuzzy_pairs(
+        read_table(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        text_col="c_name",
+        block_cols=("c_nationkey",),
+        max_dist=2,
+        n_segments=6,
+        max_block=200,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -72,6 +72,11 @@ _PRIORITY = [
     # (doc_intra_line_dedup rotated to the tail for it — green r8 +
     # pytest-pinned zero-shuffle shape; the line family keeps
     # doc_line_dedup + streaming_line_dedup_parity in-window)
+    # NEW r10: integer-arithmetic PageRank — the numeric iterative
+    # loop beside the set-valued components family (emb_feature_extract
+    # rotated to the tail for it — green r2-r9, multimodal keeps
+    # doc_audio_windows in-window)
+    "order_graph_pagerank",
     "doc_dup_clusters", "doc_line_dedup", "doc_exact_substr_dedup",
     "doc_dup_keep_longest",
     # NEW r10: record linkage — segment-blocked edit-distance entity
@@ -89,7 +94,6 @@ _PRIORITY = [
     # profiling; doc_resize_images rotated to the tail r8s2 —
     # doc_audio_windows + emb_feature_extract keep multimodal
     # in-window)
-    "emb_feature_extract",
     "emb_kmeans_clusters",
     # LLM dedup/similarity (re-verify the r6 width edits: the 6×6
     # re-pin, the width-adaptive auto oracle's first hash row, the
@@ -146,6 +150,7 @@ _PRIORITY = [
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
+    "emb_feature_extract",
     "emb_ivfpq_topk", "doc_repetition_bands", "doc_exact_dedup",
     "streaming_heavy_hitters_parity", "clustered_point_lookup",
     "emb_hamming_topk", "doc_intra_line_dedup",

@@ -3257,3 +3257,80 @@ def customer_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_segments=_FUZZY_SEGS,
         max_block=_FUZZY_CAP,
     )
+
+
+# --- iterative graph analytics: PageRank over the order graph -------
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """CTE-chain replay of the integer PageRank loop: identical
+    start/teleport/damping micro-units, identical truncating integer
+    division (DuckDB ``//`` == Spark ``div`` on positive bigints), so
+    every iterate is bit-identical and the final table hashes."""
+    from ..operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_START,
+        PR_TELEPORT,
+    )
+
+    chain = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        chain.append(f"""i{k} AS (
+  SELECT e.dst AS node,
+         ({PR_TELEPORT} + ({PR_DAMP_NUM} * sum(r.r // d.d))
+            // {PR_DAMP_DEN})::BIGINT AS r
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY 1)""")
+        prev = f"i{k}"
+    ctes = ",\n".join(chain)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+r0 AS (SELECT src AS node, {PR_START}::BIGINT AS r FROM deg),
+{ctes}
+SELECT node, r AS rank_micro FROM {prev}
+"""
+
+
+@register(
+    "order_graph_pagerank",
+    oracle=_pagerank_oracle(3),
+    tags=("graph", "iterative", "extension"),
+)
+def order_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the bidirectional
+    customer↔supplier order graph (operators/graph.py:pagerank) —
+    the graph-native form of the reference's hot-actor terms ranking
+    (EsTest.scala:128). All rank mass is INTEGER micro-units (the
+    money_sum/micro-nat trick), so every aggregation is an
+    order-independent bigint sum and the DuckDB oracle replays the
+    loop as a CTE chain bit-identically — double-precision PageRank
+    could never hash across engines. One shuffle per iteration;
+    lineage cut per round via materialize(eager=True)."""
+    from ..operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return pagerank(edges, iters=3)

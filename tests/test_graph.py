@@ -1,0 +1,44 @@
+"""Integer PageRank (operators/graph.py): hand-computed iterates on
+a tiny star graph — every value is pinned exactly because the whole
+loop is bigint arithmetic (truncating div), never float."""
+
+from __future__ import annotations
+
+from sparkstreaming_realtime_spark.operators.graph import pagerank
+
+
+def test_pagerank_matches_hand_computed_integer_iterates(spark):
+    # star: node 1 <-> {2, 3}; deg(1)=2, deg(2)=deg(3)=1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (3, 1)], "src long, dst long"
+    )
+    # hand-run: r0 = 1_000_000 each
+    # i1: r(1) = 150000 + 85*2_000_000//100          = 1_850_000
+    #     r(2) = r(3) = 150000 + 85*500_000//100     =   575_000
+    # i2: r(1) = 150000 + 85*1_150_000//100          = 1_127_500
+    #     r(2) = r(3) = 150000 + 85*925_000//100     =   936_250
+    # i3: r(1) = 150000 + 85*1_872_500//100          = 1_741_625
+    #     r(2) = r(3) = 150000 + (85*563_750)//100   =   629_187
+    for iters, expect in [
+        (1, {1: 1_850_000, 2: 575_000, 3: 575_000}),
+        (2, {1: 1_127_500, 2: 936_250, 3: 936_250}),
+        (3, {1: 1_741_625, 2: 629_187, 3: 629_187}),
+    ]:
+        got = {
+            r.node: r.rank_micro
+            for r in pagerank(edges, iters=iters).collect()
+        }
+        assert got == expect, f"iters={iters}"
+
+
+def test_pagerank_is_partitioning_independent(spark):
+    # the integer-sum claim: the same graph through a different
+    # physical partitioning produces identical micro-units
+    edges = [(i, (i * 7) % 23 + 100) for i in range(60)]
+    edges += [(d, s) for s, d in edges]  # bidirectional
+    a = spark.createDataFrame(edges, "src long, dst long")
+    b = a.repartition(17, "dst")
+    ra = {r.node: r.rank_micro for r in pagerank(a, iters=3).collect()}
+    rb = {r.node: r.rank_micro for r in pagerank(b, iters=3).collect()}
+    assert ra == rb
+    assert len(ra) == len({s for s, _ in edges})

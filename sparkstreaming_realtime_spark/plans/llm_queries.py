@@ -2146,6 +2146,72 @@ def emb_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_decontaminate_parity",
+    oracle=_decon_oracle(),
+    tags=("LLM", "similarity", "decontamination", "streaming"),
+)
+def streaming_decontaminate_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-TIME decontamination under the batch oracle: train
+    vectors arrive as a real Structured Streaming source in 4
+    micro-batches, each batch is flagged against the STATIC eval set
+    inside foreachBatch (the same semantic_decontaminate core the
+    one-shot query runs) into a batch-keyed idempotent layout. A
+    row's verdict depends only on (row, eval set) — batch-split
+    independent by construction — so the union over micro-batches
+    must hash-equal the one-shot result, and the oracle IS
+    emb_semantic_decontaminate's, unchanged. This is the production
+    shape: screen new training data against frozen benchmarks as it
+    lands, not in a later full-corpus pass."""
+    import os
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import read_sink
+
+    emb = _t(spark, sf_dir, "embeddings")
+    evalset = emb.filter(F.col("vec_id") % _DECON_MOD == 0)
+    root = engine_tmpdir("decon_parity_")
+    tdir = os.path.join(root, "train")
+    emb.filter(F.col("vec_id") % _DECON_MOD != 0).select(
+        "vec_id", "embedding"
+    ).repartition(4).write.mode("overwrite").parquet(tdir)
+    schema = spark.read.parquet(tdir).schema
+    tstream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(tdir)
+    )
+    out = os.path.join(root, "flagged")
+    n = _corpus_count(sf_dir)
+
+    def flag_batch(batch_df, batch_id: int) -> None:
+        res = sim.semantic_decontaminate(
+            batch_df,
+            evalset,
+            dim=_EMB_DIM,
+            threshold=0.4,
+            bands=_LSH_PIN,
+            rows_per_band=_LSH_PIN,
+            approx_count=n,
+        )
+        # overwrite-by-batch-dir: replayed epochs land idempotently
+        res.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
+
+    q = run_available_now(
+        tstream,
+        flag_batch,
+        checkpoint=os.path.join(root, "ckpt"),
+        query_name="decon_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return read_sink(spark, out)
+
+
 _AUDIO_RATE = 4000
 _AUDIO_MS = 32  # -> 128-sample windows
 

@@ -124,10 +124,6 @@ _PRIORITY = [
     # — green r6s3–r8, similarity family keeps 10+ in-window rows)
     "emb_cells_arrow_assign",
     "doc_lm_perplexity", "doc_pii_scrub",
-    # warehouse sentinels (bucketed_colocated_join rotated to the
-    # tail r8s2 — clustered/zordered/compaction/profile keep the
-    # family in-window)
-    "events_table_profile",
     # streaming parities (+ NEW r8: the idempotent-sink replay parity
     # — K5/T5's first driver-hashed row — and the observe-metrics
     # fold parity; doc_frame_sample and emb_pq_topk rotated to the
@@ -139,6 +135,10 @@ _PRIORITY = [
     "streaming_quality_gate_parity",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",
     "streaming_state_profile_parity",
+    # NEW r10: ingest-time decontamination (events_table_profile
+    # rotated to the tail for it — green r5-r9; the profiling family
+    # keeps streaming_state_profile_parity in-window)
+    "streaming_decontaminate_parity",
     # NEW r10: the sliding-window rollup under real streaming state
     # (streaming_heavy_hitters_parity rotated to the tail for it —
     # green r5-r9; the sketch family keeps doc_heavy_hitters_sketch's
@@ -150,7 +150,7 @@ _PRIORITY = [
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
-    "emb_feature_extract",
+    "emb_feature_extract", "events_table_profile",
     "emb_ivfpq_topk", "doc_repetition_bands", "doc_exact_dedup",
     "streaming_heavy_hitters_parity", "clustered_point_lookup",
     "emb_hamming_topk", "doc_intra_line_dedup",

@@ -156,6 +156,10 @@ PROBE = [
     "customer_fuzzy_match",
     "sliding_window_rollup",
     "streaming_sliding_rollup_parity",
+    # r10 session: integer PageRank — one edges⋈ranks shuffle per
+    # iteration over a linear-in-data edge list, lineage cut per
+    # round; should probe ~linear (3 fixed iterations at any N)
+    "order_graph_pagerank",
     # r10 probe-only: decontamination at the AUTO band width (the
     # registry twin pins 6×6 for its static oracle and GUARD-raises
     # past 50k train vectors; this is the knob a 100 TB caller gets —

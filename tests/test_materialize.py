@@ -219,7 +219,16 @@ def test_exit_sweep_is_one_handler_and_tracks_both_dir_kinds(spark):
     assert m._EXIT_SWEEP_DIRS.count(d2) == 1
     release_all()
     assert os.path.isdir(d2)  # session dirs survive the query sweep
-    m._exit_sweep()  # what atexit will run
-    assert not os.path.exists(d2)
-    assert not m._EXIT_SWEEP_DIRS
-    m._SESSION_DIRS.remove(d2)
+    # run the exit sweep against THIS test's dir only — running it on
+    # the shared list mid-session would delete the session's live
+    # persisted-index dirs out from under the IVF query cache (it
+    # did: 9 later oracle tests failed on a missing centroids path)
+    saved = m._EXIT_SWEEP_DIRS[:]
+    m._EXIT_SWEEP_DIRS[:] = [d2]
+    try:
+        m._exit_sweep()  # what atexit will run
+        assert not os.path.exists(d2)
+        assert not m._EXIT_SWEEP_DIRS
+    finally:
+        m._EXIT_SWEEP_DIRS[:] = [d for d in saved if d != d2]
+        m._SESSION_DIRS.remove(d2)

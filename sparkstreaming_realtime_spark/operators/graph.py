@@ -46,6 +46,7 @@ def pagerank(
     iters: int = 3,
     src: str = "src",
     dst: str = "dst",
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Integer-arithmetic PageRank over a directed edge list.
 
@@ -58,37 +59,49 @@ def pagerank(
     from ..materialize import ensure_checkpoint_dir, materialize
 
     ensure_checkpoint_dir(edges.sparkSession)
-    e = materialize(
-        edges.select(
-            F.col(src).cast("long").alias("__src"),
-            F.col(dst).cast("long").alias("__dst"),
-        ).distinct()
+    # pre-partition the (deduped) edge list by join key BEFORE the
+    # checkpoint: every iteration joins on __src, and a checkpointed
+    # frame keeps its partitioning, so the three per-iteration joins
+    # reuse this one exchange instead of re-shuffling the full edge
+    # list each round (the edge list is the big side — 120M rows at
+    # the ×100 probe; ranks is |nodes|, ~1% of it)
+    e = edges.select(
+        F.col(src).cast("long").alias("__src"),
+        F.col(dst).cast("long").alias("__dst"),
     )
+    if dedup_edges:
+        # callers whose edge list is distinct BY CONSTRUCTION (e.g. a
+        # union of two direction-disjoint distinct sets) pass
+        # dedup_edges=False and skip a full edge-list shuffle — at the
+        # ×100 probe that is a 100M-row dedup avoided
+        e = e.distinct()
+    e = materialize(e.repartition(F.col("__src")))
     deg = materialize(
         e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
     )
-    ranks = deg.select(
+    # carry out-degree INSIDE the rank frame: one edges⋈ranks join
+    # per iteration instead of edges⋈ranks⋈deg — the re-attach join
+    # after each aggregate is node-keyed (tiny side), never the edges
+    rd = deg.select(
         F.col("__src").alias("node"),
         F.lit(PR_START).cast("long").alias("rank_micro"),
+        F.col("__deg"),
     )
     for _ in range(iters):
-        contribs = (
-            e.join(ranks, e["__src"] == ranks["node"])
-            .join(deg, "__src")
-            .select(
-                F.col("__dst").alias("node"),
-                F.expr("rank_micro div __deg").alias("__c"),
-            )
+        contribs = e.join(rd, e["__src"] == rd["node"]).select(
+            F.col("__dst").alias("node"),
+            F.expr("rank_micro div __deg").alias("__c"),
         )
-        ranks = materialize(
-            contribs.groupBy("node").agg(
-                (
-                    F.lit(PR_TELEPORT)
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * sum(__c)) div {PR_DAMP_DEN}"
-                    )
-                ).cast("long").alias("rank_micro")
+        ranks = contribs.groupBy("node").agg(
+            (
+                F.lit(PR_TELEPORT)
+                + F.expr(f"({PR_DAMP_NUM} * sum(__c)) div {PR_DAMP_DEN}")
+            ).cast("long").alias("rank_micro")
+        )
+        rd = materialize(
+            ranks.join(
+                deg.select(F.col("__src").alias("node"), "__deg"), "node"
             ),
             eager=True,
         )
-    return ranks
+    return rd.select("node", "rank_micro")

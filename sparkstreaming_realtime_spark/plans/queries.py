@@ -3333,4 +3333,7 @@ def order_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return pagerank(edges, iters=3)
+    # distinct by construction: pairs is distinct and the two
+    # directions live in disjoint id ranges — skip the operator's
+    # safety dedup (a full edge-list shuffle at scale)
+    return pagerank(edges, iters=3, dedup_edges=False)

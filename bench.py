@@ -144,6 +144,18 @@ HEADLINE = [
     # r9 session 2: serving through the AUTO-K index (fixed ~512-
     # vector cells at any N — the production knob, driver-hashed)
     "emb_ivf_auto_topk",
+    # r10: the five new operator families — BM25 lexical retrieval,
+    # segment-blocked fuzzy record linkage, the sliding-window rollup
+    # pair (batch + watermarked streaming parity), cross-frame
+    # semantic decontamination (batch + ingest-time streaming
+    # parity), and integer-arithmetic PageRank
+    "doc_bm25_search",
+    "customer_fuzzy_match",
+    "sliding_window_rollup",
+    "streaming_sliding_rollup_parity",
+    "emb_semantic_decontaminate",
+    "streaming_decontaminate_parity",
+    "order_graph_pagerank",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

@@ -1,0 +1,108 @@
+"""Event-sequence analytics: ordered funnels and retention cohorts.
+
+The reference's DAU pipeline answers "who was active today"
+(DwdDauApp's first-visit filter + the hour rollup the endpoints
+serve); product analytics asks the two natural follow-ups — "how far
+do users get through an ORDERED sequence of actions" (funnel) and
+"do they come back" (retention) — and both are pure DataFrame
+compositions over the same events table.
+
+Funnel semantics (first-touch, strictly ordered): a user completes
+stage k at t_k = min ts of a stage-k event with ts > t_{k-1}
+(t_0 = −∞). This is the standard ordered-funnel definition
+(a later-stage event BEFORE the earlier stage does not count), and
+it is deliberately non-windowed — add a predicate upstream to bound
+the period. Each stage is one user-keyed aggregate joined back, so a
+k-stage funnel is k hash aggregates over user-keyed frames: the
+partitioning is established once and reused, never a per-user window
+sort over the whole event log.
+
+Retention semantics: a user's cohort is the date of their FIRST
+event; activity is distinct (user, date); the cell (cohort_date,
+day_offset) counts users of that cohort active exactly offset days
+later. Two aggregates and one broadcast-sized join back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered first-touch funnel. Returns one row per stage:
+    (stage_idx, stage, n_users) with n_users weakly decreasing by
+    construction — a user counts for stage k only if a stage-k event
+    exists strictly after their stage-(k−1) completion time."""
+    if not stages:
+        raise ValueError("funnel needs at least one stage")
+    u = F.col(user_col)
+    # completed: per-user frame accumulating t_1..t_k as columns
+    completed = None
+    for k, stage in enumerate(stages):
+        ev_k = events.filter(F.col(type_col) == stage).select(
+            u.alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if completed is None:
+            tk = ev_k.groupBy("__u").agg(F.min("__ts").alias(f"__t{k}"))
+            completed = tk
+        else:
+            prev = f"__t{k - 1}"
+            tk = (
+                ev_k.join(completed.select("__u", prev), "__u")
+                .filter(F.col("__ts") > F.col(prev))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias(f"__t{k}"))
+            )
+            completed = completed.join(tk, "__u", "left")
+    counts = completed.agg(
+        *[
+            F.count(F.col(f"__t{k}")).alias(f"__n{k}")
+            for k in range(len(stages))
+        ]
+    )
+    # unpivot the single counts row into (stage_idx, stage, n_users)
+    pairs = []
+    for k, stage in enumerate(stages):
+        pairs += [F.lit(k), F.struct(F.lit(stage).alias("s"), F.col(f"__n{k}").alias("n"))]
+    return (
+        counts.select(
+            F.explode(F.create_map(*pairs)).alias("stage_idx", "__sn")
+        )
+        .select(
+            F.col("stage_idx").cast("int"),
+            F.col("__sn.s").alias("stage"),
+            F.col("__sn.n").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Retention matrix: (cohort_date, day_offset, n_active) — users
+    whose FIRST event fell on cohort_date and who were active exactly
+    day_offset days later (offset 0 = the cohort itself, so
+    n_active(c, 0) is the cohort size). Distinct activity first, so a
+    chatty user costs one row per active day, not per event."""
+    d = F.to_date(F.col(ts_col)).alias("__d")
+    active = events.select(
+        F.col(user_col).alias("__u"), d
+    ).distinct()
+    first = active.groupBy("__u").agg(F.min("__d").alias("__cohort"))
+    return (
+        active.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").cast("string").alias("cohort_date"),
+            F.datediff(F.col("__d"), F.col("__cohort")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )

@@ -42,19 +42,22 @@ _PRIORITY = [
     # (BM25 — ES's default similarity — over the document corpus)
     "stats_by_item_segment", "doc_bm25_search",
     # joins / rollups / TPC-H / extension sentinels
-    "order_wide_join", "hourly_window_rollup", "shipping_priority",
+    "order_wide_join", "hourly_window_rollup",
     "events_asof_last_order",
     # NEW r10: overlapping-window rollup (batch + its streaming twin
     # below) — the tumbling sentinel cannot catch slide-alignment bugs
     "sliding_window_rollup",
+    # NEW r10: event-sequence analytics — ordered funnel + retention
+    # cohorts (shipping_priority and doc_gopher_filters rotated to
+    # the tail for them — green r1-r9 / r3-r9; TPC-H keeps
+    # order_wide_join + pricing_summary in-window, text-quality keeps
+    # doc_quality_bands + doc_lm_perplexity)
+    "user_funnel", "user_retention_cohorts",
     # NEW this round (never driver-checked): warehouse maintenance +
     # quality gate + z-order skipping
     "events_quality_expectations", "warehouse_compaction_roundtrip",
     "zordered_two_dim_lookup",
-    # text-stats / quality family (sentinels + r6-edited;
-    # doc_tfidf_top_terms rotated to the tail — green r1–r5 — to make
-    # room for the NEW k-means cluster-profile query)
-    "doc_gopher_filters",
+    # text-stats / quality family (sentinels + r6-edited)
     "doc_quality_bands",
     # r6 money-path edit: exact-div cents + wide charge accumulator
     "pricing_summary",
@@ -151,6 +154,7 @@ _PRIORITY = [
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
     "emb_feature_extract", "events_table_profile",
+    "shipping_priority", "doc_gopher_filters",
     "emb_ivfpq_topk", "doc_repetition_bands", "doc_exact_dedup",
     "streaming_heavy_hitters_parity", "clustered_point_lookup",
     "emb_hamming_topk", "doc_intra_line_dedup",

@@ -3337,3 +3337,76 @@ def order_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # directions live in disjoint id ranges — skip the operator's
     # safety dedup (a full edge-list shuffle at scale)
     return pagerank(edges, iters=3, dedup_edges=False)
+
+
+# --- event-sequence analytics: funnel + retention --------------------
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+_FUNNEL_ORACLE = f"""
+WITH t0 AS (
+  SELECT user_id AS u, min(ts) AS t FROM events
+  WHERE event_type = '{_FUNNEL_STAGES[0]}' GROUP BY 1),
+t1 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+  JOIN t0 ON e.user_id = t0.u AND e.ts > t0.t
+  WHERE e.event_type = '{_FUNNEL_STAGES[1]}' GROUP BY 1),
+t2 AS (
+  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+  JOIN t1 ON e.user_id = t1.u AND e.ts > t1.t
+  WHERE e.event_type = '{_FUNNEL_STAGES[2]}' GROUP BY 1)
+SELECT 0 AS stage_idx, '{_FUNNEL_STAGES[0]}' AS stage,
+       (SELECT count(*) FROM t0)::BIGINT AS n_users
+UNION ALL
+SELECT 1, '{_FUNNEL_STAGES[1]}', (SELECT count(*) FROM t1)::BIGINT
+UNION ALL
+SELECT 2, '{_FUNNEL_STAGES[2]}', (SELECT count(*) FROM t2)::BIGINT
+"""
+
+
+@register(
+    "user_funnel",
+    oracle=_FUNNEL_ORACLE,
+    tags=("analytics", "sequence", "extension"),
+)
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered first-touch funnel view → click → purchase
+    (operators/funnel.py:funnel): a user completes stage k only with
+    a stage-k event STRICTLY after their stage-(k−1) completion time
+    — the sequence-aware follow-up to the reference's DAU "was
+    active" question (DwdDauApp's first-visit filter). Each stage is
+    one user-keyed aggregate joined back — k hash aggregates, never a
+    per-user window sort over the whole log. The oracle chains the
+    same min-ts CTEs."""
+    from ..operators.funnel import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), list(_FUNNEL_STAGES))
+
+
+_RETENTION_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events),
+first AS (SELECT u, min(d) AS cohort FROM active GROUP BY 1)
+SELECT cohort::VARCHAR AS cohort_date,
+       datediff('day', cohort, d)::INT AS day_offset,
+       count(*)::BIGINT AS n_active
+FROM active JOIN first USING (u)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "user_retention_cohorts",
+    oracle=_RETENTION_ORACLE,
+    tags=("analytics", "sequence", "extension"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention matrix (operators/funnel.py:retention_cohorts):
+    cohort = date of a user's FIRST event; cell (cohort_date,
+    day_offset) counts cohort members active exactly offset days
+    later (offset 0 = cohort size). Distinct (user, day) activity
+    first — a chatty user costs one row per active day, not per
+    event — then one tiny user-keyed join back."""
+    from ..operators.funnel import retention_cohorts
+
+    return retention_cohorts(_t(spark, sf_dir, "events"))

@@ -1,0 +1,65 @@
+"""Ordered funnel + retention cohorts (operators/funnel.py):
+sequence semantics pinned on hand-built event logs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from sparkstreaming_realtime_spark.operators.funnel import (
+    funnel,
+    retention_cohorts,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, t, dt.datetime(2024, 1, day, hour)) for u, t, day, hour in rows],
+        "user_id long, event_type string, ts timestamp",
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    ev = _ev(spark, [
+        # user 1 completes all three in order
+        (1, "view", 1, 1), (1, "click", 1, 2), (1, "purchase", 1, 3),
+        # user 2: click BEFORE view — click must not count
+        (2, "click", 1, 1), (2, "view", 1, 2),
+        # user 3: view only
+        (3, "view", 1, 1),
+        # user 4: purchase first, then view+click in order — purchase
+        # must not count (no purchase after the click)
+        (4, "purchase", 1, 1), (4, "view", 1, 2), (4, "click", 1, 3),
+    ])
+    out = {r.stage: (r.stage_idx, r.n_users) for r in funnel(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert out == {
+        "view": (0, 4),      # users 1,2,3,4 all viewed
+        "click": (1, 2),     # users 1 and 4 clicked after viewing
+        "purchase": (2, 1),  # only user 1
+    }
+
+
+def test_funnel_same_timestamp_does_not_complete_next_stage(spark):
+    # strict > : a click at EXACTLY the view instant doesn't count
+    ev = _ev(spark, [(1, "view", 1, 1), (1, "click", 1, 1)])
+    out = {r.stage: r.n_users for r in funnel(ev, ["view", "click"]).collect()}
+    assert out == {"view": 1, "click": 0}
+
+
+def test_retention_cohorts_counts_offsets_and_cohort_size(spark):
+    ev = _ev(spark, [
+        # user 1: first on day 1, returns day 2 and day 4
+        (1, "view", 1, 1), (1, "click", 2, 5), (1, "view", 4, 9),
+        # user 2: first on day 1, never returns (two events same day)
+        (2, "view", 1, 2), (2, "click", 1, 8),
+        # user 3: first on day 2
+        (3, "view", 2, 1),
+    ])
+    out = {(r.cohort_date, r.day_offset): r.n_active
+           for r in retention_cohorts(ev).collect()}
+    assert out == {
+        ("2024-01-01", 0): 2,  # cohort size day-1
+        ("2024-01-01", 1): 1,  # user 1 back on day 2
+        ("2024-01-01", 3): 1,  # user 1 back on day 4
+        ("2024-01-02", 0): 1,  # cohort size day-2
+    }

@@ -43,7 +43,6 @@ _PRIORITY = [
     "stats_by_item_segment", "doc_bm25_search",
     # joins / rollups / TPC-H / extension sentinels
     "order_wide_join", "hourly_window_rollup",
-    "events_asof_last_order",
     # NEW r10: overlapping-window rollup (batch + its streaming twin
     # below) — the tumbling sentinel cannot catch slide-alignment bugs
     "sliding_window_rollup",
@@ -53,6 +52,10 @@ _PRIORITY = [
     # order_wide_join + pricing_summary in-window, text-quality keeps
     # doc_quality_bands + doc_lm_perplexity)
     "user_funnel", "user_retention_cohorts",
+    # NEW r10: zero-filled time-series resample (events_asof_last_order
+    # rotated to the tail for it — green r4-r9, the as-of operator
+    # stays pytest-pinned and in the r1-r9 green union)
+    "events_gap_filled_resample",
     # NEW this round (never driver-checked): warehouse maintenance +
     # quality gate + z-order skipping
     "events_quality_expectations", "warehouse_compaction_roundtrip",
@@ -154,7 +157,7 @@ _PRIORITY = [
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
     "emb_feature_extract", "events_table_profile",
-    "shipping_priority", "doc_gopher_filters",
+    "shipping_priority", "doc_gopher_filters", "events_asof_last_order",
     "emb_ivfpq_topk", "doc_repetition_bands", "doc_exact_dedup",
     "streaming_heavy_hitters_parity", "clustered_point_lookup",
     "emb_hamming_topk", "doc_intra_line_dedup",

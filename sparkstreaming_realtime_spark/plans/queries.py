@@ -1221,6 +1221,72 @@ def streaming_hourly_rollup_parity(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "events_gap_filled_resample",
+    oracle=f"""
+    WITH a AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS slot, event_type,
+             count(*)::BIGINT AS n,
+             {_money_sum_sql("value", 2)} AS sum_value
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT min(slot) AS lo, max(slot) AS hi FROM a),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '15 minutes'))
+        AS slot FROM span),
+    types AS (SELECT DISTINCT event_type FROM a)
+    SELECT g.slot, t.event_type,
+           coalesce(a.n, 0)::BIGINT AS n,
+           coalesce(a.sum_value, 0.0) AS sum_value
+    FROM grid g CROSS JOIN types t
+    LEFT JOIN a ON a.slot = g.slot AND a.event_type = t.event_type
+    """,
+    tags=("T6", "timeseries", "extension"),
+)
+def events_gap_filled_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with ZERO-FILLED gaps: events bucketed to
+    a 15-minute grid per type, then every (slot, type) cell of the
+    observed span emitted — quiet intervals as explicit zeros, the
+    shape every downstream charting/anomaly job wants. Spark-first
+    gap generation: the grid is ``explode(sequence(lo, hi, 15 min))``
+    off the aggregate's own 1-row span — no driver-side loop, no
+    collect — cross-joined with the (broadcast, ≤|types|) type list,
+    LEFT-joining the real aggregate back. Grid size is span-bound,
+    independent of event count, so the fill cost never grows with
+    data volume."""
+    ev = _t(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _money_sum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("slot"), "event_type", "n", "sum_value")
+    )
+    from ..materialize import materialize
+
+    # the aggregate feeds three subtrees (span, types, the join back)
+    agg = materialize(agg)
+    span = agg.agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+    grid = span.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 15 MINUTES"))
+        ).alias("slot")
+    )
+    types = agg.select("event_type").distinct()
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(agg, ["slot", "event_type"], "left")
+        .select(
+            "slot",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "streaming_sliding_rollup_parity",
     oracle=f"""
     WITH assigned AS (

@@ -156,6 +156,13 @@ PROBE = [
     "customer_fuzzy_match",
     "sliding_window_rollup",
     "streaming_sliding_rollup_parity",
+    # r10 session 2: event-sequence analytics (stage aggregates and
+    # distinct-activity frames are user-keyed — linear) and the
+    # zero-filled resample (grid size is SPAN-bound, so the fill cost
+    # is constant while the aggregate scales with events)
+    "user_funnel",
+    "user_retention_cohorts",
+    "events_gap_filled_resample",
     # r10 session: integer PageRank — one edges⋈ranks shuffle per
     # iteration over a linear-in-data edge list, lineage cut per
     # round; should probe ~linear (3 fixed iterations at any N)

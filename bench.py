@@ -156,6 +156,10 @@ HEADLINE = [
     "emb_semantic_decontaminate",
     "streaming_decontaminate_parity",
     "order_graph_pagerank",
+    # r10 session 2: event-sequence analytics + span-bound gap fill
+    "user_funnel",
+    "user_retention_cohorts",
+    "events_gap_filled_resample",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

@@ -29,21 +29,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def funnel(
+def funnel_times(
     events: DataFrame,
     stages: list[str],
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Ordered first-touch funnel. Returns one row per stage:
-    (stage_idx, stage, n_users) with n_users weakly decreasing by
-    construction — a user counts for stage k only if a stage-k event
-    exists strictly after their stage-(k−1) completion time."""
+    """Per-user funnel completion times: (``__u``, __t0..__t{k−1}),
+    one row per user with at least a stage-0 event, __tk null where
+    the ordered chain stops. The per-user building block of
+    :func:`funnel`, exposed so the streaming sink can recompute the
+    times of TOUCHED users only (streaming/sinks.py:funnel_sink)."""
     if not stages:
         raise ValueError("funnel needs at least one stage")
     u = F.col(user_col)
-    # completed: per-user frame accumulating t_1..t_k as columns
     completed = None
     for k, stage in enumerate(stages):
         ev_k = events.filter(F.col(type_col) == stage).select(
@@ -61,7 +61,13 @@ def funnel(
                 .agg(F.min("__ts").alias(f"__t{k}"))
             )
             completed = completed.join(tk, "__u", "left")
-    counts = completed.agg(
+    return completed
+
+
+def funnel_counts_from_times(times: DataFrame, stages: list[str]) -> DataFrame:
+    """Fold a :func:`funnel_times` frame to the public funnel shape
+    (stage_idx, stage, n_users)."""
+    counts = times.agg(
         *[
             F.count(F.col(f"__t{k}")).alias(f"__n{k}")
             for k in range(len(stages))
@@ -80,6 +86,22 @@ def funnel(
             F.col("__sn.s").alias("stage"),
             F.col("__sn.n").cast("bigint").alias("n_users"),
         )
+    )
+
+
+def funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered first-touch funnel. Returns one row per stage:
+    (stage_idx, stage, n_users) with n_users weakly decreasing by
+    construction — a user counts for stage k only if a stage-k event
+    exists strictly after their stage-(k−1) completion time."""
+    return funnel_counts_from_times(
+        funnel_times(events, stages, user_col, type_col, ts_col), stages
     )
 
 

@@ -3449,6 +3449,54 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(_t(spark, sf_dir, "events"), list(_FUNNEL_STAGES))
 
 
+@register(
+    "streaming_funnel_parity",
+    oracle=_FUNNEL_ORACLE,
+    tags=("analytics", "sequence", "streaming"),
+)
+def streaming_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel maintained INCREMENTALLY across real
+    micro-batches (streaming/sinks.py:funnel_sink — the touched-user
+    recompute pattern of scd2_sink): events stream in 4 batches in
+    RANDOM order, so later batches deliver events earlier than ones
+    already processed, and a late stage-0 arrival must retroactively
+    move t_0 and cascade through the chain — funnel times are not
+    batch-decomposable, which is exactly what this parity pins. The
+    final per-user state folds to the same (stage, n_users) rows as
+    the one-shot batch funnel; the oracle is user_funnel's,
+    unchanged."""
+    import os
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import funnel_sink, read_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    root = engine_tmpdir("funnel_parity_")
+    src = os.path.join(root, "src")
+    ev.select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("event_time"),
+    ).repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    state = os.path.join(root, "state")
+    q = run_available_now(
+        stream,
+        funnel_sink(state, list(_FUNNEL_STAGES)),
+        checkpoint=os.path.join(root, "ckpt"),
+        query_name="funnel_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return read_funnel(spark, state, list(_FUNNEL_STAGES))
+
+
 _RETENTION_ORACLE = """
 WITH active AS (
   SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events),

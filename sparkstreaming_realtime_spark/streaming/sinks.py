@@ -390,3 +390,93 @@ def read_line_counts(spark, path: str) -> DataFrame:
         .groupBy("line_fp")
         .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
     )
+
+
+def funnel_sink(
+    path: str,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "event_time",
+    id_col: str = "event_id",
+):
+    """Incremental ORDERED-funnel maintenance: keep the per-user
+    first-touch completion times (operators/funnel.py:funnel_times)
+    current across micro-batches — the stateful-sequence sibling of
+    :func:`scd2_sink`, same touched-key recompute pattern.
+
+    Funnel times are NOT batch-decomposable (a late stage-0 event can
+    retroactively move t_0 and cascade through every later stage), so
+    the sink keeps two snapshot-swapped state tables under ``path``:
+
+    - ``events``: every funnel-stage event seen, deduped on
+      ``id_col`` — replays merge to the identical store, so
+      at-least-once delivery composes to exactly-once times (T5).
+    - ``times``: the per-user funnel_times frame. Per batch, ONLY the
+      users present in the batch recompute, from their full event
+      slice; untouched users carry over byte-for-byte — cost per
+      batch scales with the touched users' history, never the
+      corpus.
+
+    Crash ordering: events swaps BEFORE times. A crash between the
+    two replays the batch against the already-merged store — the
+    dedup makes the merge a no-op and the recompute is deterministic,
+    so every crash point converges to the same state. Read the live
+    funnel with :func:`read_funnel`."""
+    from ..operators.funnel import funnel_times
+
+    ev_path = os.path.join(path, "events")
+    t_path = os.path.join(path, "times")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_snapshot(ev_path)
+        _recover_snapshot(t_path)
+        incoming = batch_df.filter(
+            F.col(type_col).isin(list(stages))
+        ).select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("__type"),
+            F.col(ts_col).alias("__ts"),
+            F.col(id_col).alias("__id"),
+        )
+        if os.path.exists(ev_path):
+            merged = (
+                spark.read.parquet(ev_path)
+                .unionByName(incoming)
+                .dropDuplicates(["__id"])
+            )
+        else:
+            merged = incoming
+        # _swap_snapshot computes the plan into `.next` while the old
+        # directory is still in place, so no checkpoint is needed;
+        # afterwards RE-READ the swapped store so the recompute scans
+        # the new snapshot directly (no localCheckpoint — unreplicated
+        # executor-local blocks, the materialize.py r2 lesson)
+        _swap_snapshot(merged, ev_path)
+        store = spark.read.parquet(ev_path)
+        touched = incoming.select("__u").distinct()
+        recomputed = funnel_times(
+            store.join(touched, "__u", "left_semi"),
+            list(stages), user_col="__u", type_col="__type", ts_col="__ts",
+        )
+        if os.path.exists(t_path):
+            prior = spark.read.parquet(t_path)
+            out = prior.join(touched, "__u", "left_anti").unionByName(
+                recomputed
+            )
+        else:
+            out = recomputed
+        _swap_snapshot(out, t_path)
+
+    return write
+
+
+def read_funnel(spark, path: str, stages: list[str]) -> DataFrame:
+    """The live funnel (stage_idx, stage, n_users) from
+    :func:`funnel_sink` state."""
+    from ..operators.funnel import funnel_counts_from_times
+
+    return funnel_counts_from_times(
+        spark.read.parquet(os.path.join(path, "times")), list(stages)
+    )

@@ -63,3 +63,82 @@ def test_retention_cohorts_counts_offsets_and_cohort_size(spark):
         ("2024-01-01", 3): 1,  # user 1 back on day 4
         ("2024-01-02", 0): 1,  # cohort size day-2
     }
+
+
+def test_funnel_sink_late_stage0_cascades_and_replay_is_idempotent(
+    spark, tmp_path
+):
+    """The reason the funnel sink keeps raw events: a LATE stage-0
+    arrival must retroactively move t_0 and re-open the chain for
+    later stages already seen. Batch 1 delivers click@2 then view@3
+    (click doesn't count — it precedes the view); batch 2 delivers a
+    late view@1, after which the click@2 qualifies. Replaying batch 2
+    must change nothing (event_id dedup)."""
+    import datetime as dt
+
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        funnel_sink,
+        read_funnel,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [
+                (eid, u, t, dt.datetime(2024, 1, 1, h))
+                for eid, u, t, h in rows
+            ],
+            "event_id long, user_id long, event_type string,"
+            " event_time timestamp",
+        )
+
+    state = str(tmp_path / "funnel_state")
+    sink = funnel_sink(state, ["view", "click"])
+    b1 = batch([(1, 7, "click", 2), (2, 7, "view", 3)])
+    sink(b1, 0)
+    counts = {
+        r.stage: r.n_users
+        for r in read_funnel(spark, state, ["view", "click"]).collect()
+    }
+    assert counts == {"view": 1, "click": 0}
+
+    b2 = batch([(3, 7, "view", 1)])  # LATE: earlier than everything
+    sink(b2, 1)
+    counts = {
+        r.stage: r.n_users
+        for r in read_funnel(spark, state, ["view", "click"]).collect()
+    }
+    assert counts == {"view": 1, "click": 1}  # click@2 now qualifies
+
+    sink(b2, 1)  # replay: event_id dedup must make this a no-op
+    counts2 = {
+        r.stage: r.n_users
+        for r in read_funnel(spark, state, ["view", "click"]).collect()
+    }
+    assert counts2 == counts
+
+
+def test_funnel_sink_untouched_users_carry_over(spark, tmp_path):
+    import datetime as dt
+
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        funnel_sink,
+        read_funnel,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(eid, u, t, dt.datetime(2024, 1, 1, h)) for eid, u, t, h in rows],
+            "event_id long, user_id long, event_type string,"
+            " event_time timestamp",
+        )
+
+    state = str(tmp_path / "s2")
+    sink = funnel_sink(state, ["view", "click"])
+    sink(batch([(1, 1, "view", 1), (2, 1, "click", 2)]), 0)
+    # batch 2 touches ONLY user 2 — user 1's completed chain persists
+    sink(batch([(3, 2, "view", 5)]), 1)
+    counts = {
+        r.stage: r.n_users
+        for r in read_funnel(spark, state, ["view", "click"]).collect()
+    }
+    assert counts == {"view": 2, "click": 1}

@@ -163,6 +163,12 @@ PROBE = [
     "user_funnel",
     "user_retention_cohorts",
     "events_gap_filled_resample",
+    # r10 session 2: the incremental funnel sink — each of the 4
+    # batches merges the event store and recomputes touched users
+    # (at a random 4-way split that is ~every user every batch, the
+    # WORST case for the touched-key pattern; real streams touch a
+    # sliver)
+    "streaming_funnel_parity",
     # r10 session: integer PageRank — one edges⋈ranks shuffle per
     # iteration over a linear-in-data edge list, lineage cut per
     # round; should probe ~linear (3 fixed iterations at any N)

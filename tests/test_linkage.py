@@ -91,3 +91,40 @@ def test_blocked_fuzzy_pairs_rejects_too_few_segments(spark):
         blocked_fuzzy_pairs(
             df, id_col="id", text_col="name", max_dist=3, n_segments=3
         )
+
+
+def test_blocked_fuzzy_pairs_substitution_recall_fuzz(spark):
+    """The pigeonhole claim, fuzzed: for EVERY random equal-length
+    pair within substitution distance <= max_dist, segment blocking
+    (n_segments > max_dist) must surface the pair — exact recall, not
+    probabilistic. 60 seeded base strings, each with a <=2-substitution
+    twin at a random position mix, one DataFrame, one pass."""
+    import random
+
+    rng = random.Random(20260815)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    rows, expected = [], set()
+    for i in range(60):
+        n = rng.randint(6, 24)
+        base = "".join(rng.choice(alpha) for _ in range(n))
+        n_subs = rng.randint(1, 2)
+        pos = rng.sample(range(n), n_subs)
+        twin = list(base)
+        for p in pos:
+            twin[p] = rng.choice([c for c in alpha if c != base[p]])
+        twin = "".join(twin)
+        a, b = 2 * i, 2 * i + 1
+        rows += [(a, base), (b, twin)]
+        expected.add((a, b))
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in blocked_fuzzy_pairs(
+            df, id_col="id", text_col="name", max_dist=2, n_segments=3
+        ).collect()
+    }
+    # every planted pair found (exact recall for substitutions) —
+    # extra cross-pairs are allowed (random strings can collide
+    # within distance 2, and the verify keeps them, correctly)
+    missing = expected - got
+    assert not missing, f"pigeonhole recall violated: {sorted(missing)[:5]}"

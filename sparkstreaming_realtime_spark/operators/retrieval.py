@@ -95,14 +95,22 @@ def bm25_search(
         F.col("tf")
         + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
+    # Per-term scores quantize to integer micro-units BEFORE the
+    # per-doc sum: a double-precision Σ over partial aggregates is
+    # combine-order-dependent (partitioning-dependent), so a 4dp
+    # round could flip at a .00005 boundary and break engine parity.
+    # Integer addition is exactly associative — same convention as
+    # functions/money.py cents and lm.py micro-nats. Each per-term
+    # score itself is a fixed-order double expression, bit-identical
+    # across engines, so the micro-round input matches too.
     return (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
-        .withColumn("__s", idf * norm)
+        .withColumn("__s_micro", F.round(idf * norm * 1e6).cast("long"))
         .groupBy(id_col)
         .agg(
-            F.round(F.sum("__s"), 4).alias("bm25"),
+            F.round(F.sum("__s_micro") / 1e6, 4).alias("bm25"),
             F.count("*").alias("n_hit_terms"),
         )
         .orderBy(F.desc("bm25"), F.asc(id_col))

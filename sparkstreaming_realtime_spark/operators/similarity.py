@@ -886,6 +886,7 @@ def rh_band_buckets(
     bands: int = RH_BANDS,
     rows_per_band: int = RH_ROWS,
     carry: tuple[str, ...] = (),
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Explode each vector into ``bands`` bucket keys
     '<band>:<bit..bit>' — identical LSH-amplification shape to
@@ -902,12 +903,15 @@ def rh_band_buckets(
     ``carry`` names extra columns to ride along into the bucket
     frame (computed once per VECTOR, before the band explode) — the
     zero-extra-shuffle hook :func:`cluster_banded_near_dup_pairs`
-    uses to tag each bucket row with its k-means cell."""
+    uses to tag each bucket row with its k-means cell. ``vec_col``
+    names the vector column to hash (callers exposing their own
+    vec_col knob — e.g. semantic_decontaminate — must thread it here,
+    or a non-default column silently hashes the wrong array)."""
     sig = emb.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
         F.explode(
-            F.array(rh_signature_bits("embedding", planes))
+            F.array(rh_signature_bits(vec_col, planes))
         ).alias("__bits"),
     )
     bits = F.col("__bits")
@@ -1105,8 +1109,12 @@ def semantic_decontaminate(
         if bands is None:
             bands = RH_BANDS
     planes = random_hyperplanes(bands * rows_per_band, dim)
-    tb = rh_band_buckets(train, planes, id_col, bands, rows_per_band)
-    eb = rh_band_buckets(evalset, planes, id_col, bands, rows_per_band)
+    tb = rh_band_buckets(
+        train, planes, id_col, bands, rows_per_band, vec_col=vec_col
+    )
+    eb = rh_band_buckets(
+        evalset, planes, id_col, bands, rows_per_band, vec_col=vec_col
+    )
     cands = (
         tb.select("bucket", F.col(id_col).alias("__tid"))
         .join(

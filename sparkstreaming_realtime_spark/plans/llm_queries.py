@@ -2844,10 +2844,13 @@ tf AS (
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
 SELECT doc_id,
        round(sum(
-         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-         * tf * ({_BM25_K1} + 1)
-         / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
-       ), 4) AS bm25,
+         round(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * ({_BM25_K1} + 1)
+              / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)))
+           * 1e6
+         )::BIGINT
+       ) / 1e6, 4) AS bm25,
        count(*) AS n_hit_terms
 FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
 GROUP BY doc_id

@@ -3354,7 +3354,7 @@ def _pagerank_oracle(iters: int = 3) -> str:
     ctes = ",\n".join(chain)
     return f"""
 WITH pairs AS (
-  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000000 AS s
+  SELECT DISTINCT o_custkey AS c, -l_suppkey - 1 AS s
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
 edges AS (
   SELECT c AS src, s AS dst FROM pairs
@@ -3390,7 +3390,7 @@ def order_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
             F.col("o_custkey").alias("c"),
-            (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("s"),
+            (-F.col("l_suppkey") - F.lit(1)).alias("s"),
         )
         .distinct()
     )
@@ -3400,8 +3400,12 @@ def order_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     # distinct by construction: pairs is distinct and the two
-    # directions live in disjoint id ranges — skip the operator's
-    # safety dedup (a full edge-list shuffle at scale)
+    # directions live in disjoint id ranges — suppliers are NEGATED
+    # (s = -l_suppkey - 1 < 0 < every custkey), a namespace no scaled
+    # fixture can collide with (make_scaled's per-copy offset adds
+    # positive BASE multiples, so an additive supplier offset would
+    # merge with copy i+1's custkeys) — skip the operator's safety
+    # dedup (a full edge-list shuffle at scale)
     return pagerank(edges, iters=3, dedup_edges=False)
 
 

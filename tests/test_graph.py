@@ -42,3 +42,51 @@ def test_pagerank_is_partitioning_independent(spark):
     rb = {r.node: r.rank_micro for r in pagerank(b, iters=3).collect()}
     assert ra == rb
     assert len(ra) == len({s for s, _ in edges})
+
+def test_order_graph_supplier_namespace_disjoint_on_scaled_fixtures(spark):
+    """r10 ADVICE regression: the order-graph query namespaces
+    suppliers by NEGATION (s = -l_suppkey - 1), never by adding an
+    offset — make_scaled offsets copy i's keys by i * BASE
+    (1_000_000_000), so an additive supplier offset equal to BASE
+    merged copy i's suppliers with copy i+1's customers, silently
+    degenerating the x N probe graph. Replays the query's pairs
+    construction over a two-copy (factor-2) key layout and asserts
+    the two node namespaces stay disjoint and the graph stays exactly
+    two independent copies."""
+    from pyspark.sql import functions as F
+
+    from scripts.make_scaled import BASE
+
+    base_orders = [(ok, ok % 3 + 1) for ok in range(1, 7)]
+    base_lines = [(ok, ok % 2 + 1) for ok in range(1, 7)]
+    orders = spark.createDataFrame(
+        base_orders + [(ok + BASE, ck + BASE) for ok, ck in base_orders],
+        "o_orderkey long, o_custkey long",
+    )
+    lineitem = spark.createDataFrame(
+        base_lines + [(ok + BASE, sk + BASE) for ok, sk in base_lines],
+        "l_orderkey long, l_suppkey long",
+    )
+    pairs = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("c"),
+            (-F.col("l_suppkey") - F.lit(1)).alias("s"),
+        )
+        .distinct()
+    )
+    rows = pairs.collect()
+    custs = {r.c for r in rows}
+    supps = {r.s for r in rows}
+    assert custs & supps == set()
+    assert all(c > 0 for c in custs) and all(s < 0 for s in supps)
+    # two copies -> exactly 2x the distinct pairs of one copy, and no
+    # cross-copy edge (copy-0 customer never meets a copy-1 supplier)
+    base_pairs = {(ck, -sk - 1) for (ok, ck) in base_orders
+                  for (ok2, sk) in base_lines if ok == ok2}
+    assert len(rows) == 2 * len(base_pairs)
+    assert all(
+        (r.c < BASE) == (r.s > -BASE - 1) for r in rows
+    ), "cross-copy edge: customer and supplier from different copies"

@@ -2289,6 +2289,67 @@ def test_semantic_decontaminate_guards_pinned_width_at_scale(spark):
         )
 
 
+def test_semantic_decontaminate_honors_custom_vec_col(spark):
+    """r10 ADVICE regression: vec_col must thread through to the LSH
+    bucketing, not just the exact-cosine verify — the frames here
+    have NO 'embedding' column at all, so a stale hardcode in
+    rh_band_buckets would raise AnalysisException instead of
+    flagging the colinear pair."""
+    from sparkstreaming_realtime_spark.operators import similarity as sim
+
+    dim = 8
+
+    def v(i, hot, mag=1.0):
+        vec = [0.0] * dim
+        vec[hot] = mag
+        return (i, vec)
+
+    evalset = spark.createDataFrame(
+        [v(100, 0), v(102, 3)], "vec_id long, vecs array<float>"
+    )
+    train = spark.createDataFrame(
+        [v(1, 0, 0.5), v(2, 5)], "vec_id long, vecs array<float>"
+    )
+    out = sim.semantic_decontaminate(
+        train, evalset, dim=dim, threshold=0.9, vec_col="vecs",
+        bands=4, rows_per_band=2, approx_count=2,
+    )
+    got = {r.vec_id: (r.top_eval_id, r.max_cos) for r in out.collect()}
+    assert got == {1: (100, 1.0)}
+
+
+def test_bm25_scores_are_partitioning_independent(spark):
+    """r10 ADVICE regression: per-term scores quantize to integer
+    micro-units BEFORE the per-doc sum, so the 4dp score cannot flip
+    with Spark's partial-aggregation combine order — the same corpus
+    through different physical partitionings must produce identical
+    rounded scores."""
+    from sparkstreaming_realtime_spark.operators.retrieval import (
+        bm25_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(
+                ["spark"] * (i % 4 + 1)
+                + ["vector"] * (i % 3)
+                + ["filler"] * (i % 7)
+            ))
+            for i in range(1, 40)
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["spark", "vector"]
+    a = [tuple(r) for r in bm25_search(docs, terms, k=20).collect()]
+    b = [
+        tuple(r)
+        for r in bm25_search(
+            docs.repartition(13, "doc_id"), terms, k=20
+        ).collect()
+    ]
+    assert a == b
+
+
 def test_bm25_plan_broadcasts_scalars_and_takes_ordered_topk(spark, sf_dir):
     """The BM25 scale claims, pinned as a plan test: the (N, avgdl)
     scalars and the per-term df table reach the score join as

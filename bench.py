@@ -160,6 +160,11 @@ HEADLINE = [
     "user_funnel",
     "user_retention_cohorts",
     "events_gap_filled_resample",
+    # r11: KMV distinct-count sketch (batch estimate + streaming
+    # merge parity) and per-nation rolling/cumulative revenue windows
+    "doc_shingle_distinct_sketch",
+    "streaming_distinct_sketch_parity",
+    "revenue_rolling_windows",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

@@ -134,3 +134,80 @@ def heavy_hitters_check(
             .alias("within_bound"),
         )
     )
+
+
+# --- KMV distinct-count sketch (k minimum values) --------------------
+
+#: sketch size: k smallest distinct hash values. Relative std error
+#: ≈ 1/sqrt(k−2) ≈ 6.3% at 256; the state is 256 bigints, mergeable
+#: by union → re-take k smallest.
+KMV_K = 256
+#: hash60's range — the order-statistics normalizer.
+HASH_SPACE = 1 << 60
+
+
+def kmv_sketch(
+    items: DataFrame,
+    item_col: str = "item",
+    k: int = KMV_K,
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al.
+    2002; Beyer et al. 2007 "On synopses for distinct-value
+    estimation"): the ``k`` smallest DISTINCT hash60 values of the
+    item stream, as a ≤ k-row frame (h). Duplicates of an item hash
+    identically, so the sketch sees the distinct set by
+    construction; 60-bit hashing makes cross-item collisions
+    negligible (n²/2^61).
+
+    Unlike Spark's approx_count_distinct (HLL± registers, opaque and
+    engine-specific), the KMV state is EXACT integers both engines
+    reproduce bit-for-bit — the DuckDB oracle rebuilds the very same
+    k values — and it merges by union → re-take k smallest (min-like:
+    idempotent, associative, commutative), so per-batch sketches over
+    ANY batch split merge to the one-shot corpus sketch exactly
+    (streaming/sinks.py:kmv_sink).
+
+    Engine shape at 100 TB: the md5 hash is one narrow JVM-side
+    projection; a ``dense_rank ≤ k`` window partitioned by
+    ``spark_partition_id()`` prunes each partition to its k smallest
+    distinct values with ZERO exchange (one in-partition sort), so
+    the only shuffle carries ≤ k · n_partitions rows into the final
+    distinct + TakeOrdered — never O(corpus distinct)."""
+    from pyspark.sql import Window
+
+    hashed = items.select(hash60(F.col(item_col)).alias("h"))
+    w = Window.partitionBy(F.spark_partition_id()).orderBy("h")
+    pruned = (
+        hashed.withColumn("__r", F.dense_rank().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+    return pruned.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Fold a KMV sketch to its cardinality estimate (one row,
+    ``est_distinct``).
+
+    With U_(k) the k-th smallest of n distinct uniform hashes,
+    n̂ = (k−1)/U_(k) = (k−1)·2^60 / h_(k) — the unbiased KMV
+    estimator (Beyer et al. 2007 §3). Fewer than k distinct values
+    means the sketch IS the distinct set, so the count is returned
+    exactly — no small-range bias regime at all. The only float op
+    is one fixed-order division of exact integers ((k−1)·2^60 has
+    ≤ 53 significant bits for k ≤ 2^44, exact as a double), so the
+    estimate is bit-identical across engines."""
+    agg = sketch.agg(
+        F.count("*").cast("bigint").alias("__b"),
+        F.max("h").alias("__hk"),
+    )
+    numer = float((k - 1) * HASH_SPACE)
+    return agg.select(
+        F.when(F.col("__b") < k, F.col("__b"))
+        .otherwise(
+            F.round(F.lit(numer) / F.col("__hk").cast("double")).cast(
+                "bigint"
+            )
+        )
+        .alias("est_distinct")
+    )

@@ -59,7 +59,11 @@ _PRIORITY = [
     # NEW this round (never driver-checked): warehouse maintenance +
     # quality gate + z-order skipping
     "events_quality_expectations", "warehouse_compaction_roundtrip",
-    "zordered_two_dim_lookup",
+    # NEW r11: per-nation rolling/cumulative revenue windows over the
+    # pre-aggregated daily rollup (zordered_two_dim_lookup rotated to
+    # the tail for it — green r10; warehouse keeps
+    # warehouse_compaction_roundtrip + clustered/bucketed tail rows)
+    "revenue_rolling_windows",
     # text-stats / quality family (sentinels + r6-edited)
     "doc_quality_bands",
     # r6 money-path edit: exact-div cents + wide charge accumulator
@@ -129,7 +133,7 @@ _PRIORITY = [
     # final assignment; emb_hamming_topk rotated to the tail for it
     # — green r6s3–r8, similarity family keeps 10+ in-window rows)
     "emb_cells_arrow_assign",
-    "doc_lm_perplexity", "doc_pii_scrub",
+    "doc_lm_perplexity",
     # streaming parities (+ NEW r8: the idempotent-sink replay parity
     # — K5/T5's first driver-hashed row — and the observe-metrics
     # fold parity; doc_frame_sample and emb_pq_topk rotated to the
@@ -140,7 +144,6 @@ _PRIORITY = [
     "streaming_dau_dedup_parity", "streaming_scd2_parity",
     "streaming_quality_gate_parity",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",
-    "streaming_state_profile_parity",
     # NEW r10: ingest-time decontamination (events_table_profile
     # rotated to the tail for it — green r5-r9; the profiling family
     # keeps streaming_state_profile_parity in-window)
@@ -153,9 +156,19 @@ _PRIORITY = [
     # NEW r8 session 2: incremental line-count maintenance + the
     # retroactive boilerplate gate (same oracle as doc_line_dedup)
     "streaming_line_dedup_parity",
+    # NEW r11: the KMV distinct-count sketch pair — the estimate with
+    # its accuracy audit, and the union->k-smallest merge under real
+    # micro-batches (doc_pii_scrub and streaming_state_profile_parity
+    # rotated to the tail for them — green r2-r10 / r5-r10; the
+    # quality family keeps doc_quality_bands + events_quality_
+    # expectations in-window, profiling keeps events_table_profile's
+    # r1-r10 union green)
+    "doc_shingle_distinct_sketch", "streaming_distinct_sketch_parity",
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
+    "doc_pii_scrub", "streaming_state_profile_parity",
+    "zordered_two_dim_lookup",
     "emb_feature_extract", "events_table_profile",
     "shipping_priority", "doc_gopher_filters", "events_asof_last_order",
     "emb_ivfpq_topk", "doc_repetition_bands", "doc_exact_dedup",

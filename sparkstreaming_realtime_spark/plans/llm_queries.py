@@ -1859,6 +1859,130 @@ def streaming_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFram
     return read_count_min(spark, path)
 
 
+def _kmv_sketch_sql() -> str:
+    """Shared oracle CTE fragment: the ≤ k-row KMV sketch over the
+    documents bigram-shingle stream (the dedup-space item domain —
+    same shingles as dedup.shingle_sets)."""
+    from ..operators import sketches as sk
+
+    return f"""
+toked AS (SELECT doc_id, {_toks_sql("text")} AS t FROM documents),
+items AS (
+  SELECT unnest({_shingles_sql()}) AS item FROM toked),
+h AS (SELECT {oracle_hash60_sql("item")} AS h FROM items),
+sk AS (SELECT DISTINCT h FROM h ORDER BY h LIMIT {sk.KMV_K})"""
+
+
+def _distinct_sketch_oracle() -> str:
+    from ..operators import sketches as sk
+
+    k = sk.KMV_K
+    numer = (k - 1) * sk.HASH_SPACE  # ≤ 53 significant bits — exact double
+    return f"""
+WITH {_kmv_sketch_sql()},
+agg AS (SELECT count(*)::BIGINT AS b, max(h) AS hk FROM sk),
+est AS (
+  SELECT CASE WHEN b < {k} THEN b
+         ELSE CAST(round({numer}::DOUBLE / hk::DOUBLE) AS BIGINT)
+         END AS est_distinct FROM agg),
+exact AS (SELECT count(DISTINCT item)::BIGINT AS exact_distinct FROM items)
+SELECT est_distinct, exact_distinct,
+       round(100.0 * abs(est_distinct - exact_distinct)
+             / exact_distinct, 2) AS rel_err_pct
+FROM est, exact
+"""
+
+
+@register(
+    "doc_shingle_distinct_sketch",
+    oracle=_distinct_sketch_oracle(),
+    tags=("LLM", "sketch"),
+)
+def doc_shingle_distinct_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct bigram-shingle cardinality from a 256-value KMV
+    sketch (operators/sketches.py:kmv_sketch; Bar-Yossef 2002 /
+    Beyer 2007), with the exact count and relative error beside it
+    as the accuracy audit — the dedup-rate denominator ("how much
+    unique content is in this corpus") that replaces a corpus-wide
+    distinct at 100 TB (the exact column is the sf-small gate check,
+    not part of the scaled operator). Unlike approx_count_distinct's
+    HLL± registers, the KMV state is engine-portable exact integers:
+    the DuckDB oracle rebuilds the very same 256 hash values and must
+    land on the SAME estimate — the estimator's only float op is one
+    fixed-order division. Shingle domain matches dedup.shingle_sets
+    (per-doc distinct bigrams), so the answer is exactly 'distinct
+    shingles the MinHash pass would see'."""
+    from ..materialize import materialize
+    from ..operators import sketches as sk
+    from ..operators.dedup import shingle_sets
+
+    items = materialize(
+        shingle_sets(_t(spark, sf_dir, "documents")).select(
+            F.explode("shingles").alias("item")
+        )
+    )
+    est = sk.kmv_estimate(sk.kmv_sketch(items))
+    exact = items.agg(
+        F.count_distinct("item").cast("bigint").alias("exact_distinct")
+    )
+    err = F.round(
+        100.0
+        * F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct"),
+        2,
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_distinct", "exact_distinct", err.alias("rel_err_pct")
+    )
+
+
+def _kmv_values_oracle() -> str:
+    return f"""
+WITH {_kmv_sketch_sql()}
+SELECT h FROM sk
+"""
+
+
+@register(
+    "streaming_distinct_sketch_parity",
+    oracle=_kmv_values_oracle(),
+    tags=("LLM", "sketch", "streaming"),
+)
+def streaming_distinct_sketch_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The KMV MERGE property under real Structured Streaming:
+    documents stream in micro-batches, each batch folds to its own
+    ≤ k-row sketch (streaming/sinks.py:kmv_sink, idempotent
+    per-batch directories), and union → k smallest over the
+    per-batch sketches must equal the one-shot corpus sketch
+    EXACTLY — the merge is min-like (idempotent), so unlike
+    count-min's additive merge this parity holds even when the same
+    shingle recurs across batches: a corpus-top-k hash is top-k
+    within its own batch. The oracle rebuilds the corpus sketch from
+    scratch; all 256 integer values must match."""
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..operators.dedup import shingle_sets
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import kmv_sink, read_kmv
+
+    raw = _stream_t(spark, sf_dir, "documents")
+    items = shingle_sets(raw).select(F.explode("shingles").alias("item"))
+    path = engine_tmpdir("kmv_parity_") + "/sketch"
+    q = run_available_now(
+        items,
+        kmv_sink(path),
+        checkpoint=engine_tmpdir("kmv_parity_ckpt_"),
+        query_name="kmv_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return read_kmv(spark, path)
+
+
 def _lm_ppl_oracle() -> str:
     h = oracle_hash60_sql
     return f"""

@@ -3528,3 +3528,70 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.funnel import retention_cohorts
 
     return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+_ROLLING_ORACLE = """
+WITH daily AS (
+  SELECT n_name AS nation, o_orderdate::DATE AS d,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+  FROM orders o
+  JOIN customer c ON o_custkey = c_custkey
+  JOIN nation n ON c_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT nation, strftime(d, '%Y-%m-%d') AS dt, rev_cents,
+       (rev_cents - lag(rev_cents) OVER w)::BIGINT AS delta_rev_cents,
+       sum(rev_cents) OVER (
+         PARTITION BY nation ORDER BY d
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       )::BIGINT AS rolling_7d_rev_cents,
+       sum(rev_cents) OVER (
+         PARTITION BY nation ORDER BY d ROWS UNBOUNDED PRECEDING
+       )::BIGINT AS cum_rev_cents
+FROM daily
+WINDOW w AS (PARTITION BY nation ORDER BY d)
+"""
+
+
+@register(
+    "revenue_rolling_windows",
+    oracle=_ROLLING_ORACLE,
+    tags=("analytics", "timeseries", "extension"),
+)
+def revenue_rolling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation daily revenue with the three sequence metrics a
+    monitoring surface asks of any rollup (operators/timeseries.py:
+    rolling_metrics): day-over-day delta (lag), trailing-7-CALENDAR-
+    day rolling sum (RANGE frame over the day integer — gaps shorten
+    the frame, matching SQL RANGE semantics), and the running total.
+    Facts aggregate FIRST — one map-side-partial shuffle down to
+    nation x day rows — and every window runs over that tiny rollup
+    partitioned by nation, so no window ever sorts a fact row. All
+    values are integer cents (the money convention): windowed bigint
+    sums are order-independent, a windowed double would not be."""
+    from ..operators.timeseries import rolling_metrics
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    rolled = rolling_metrics(daily, "nation", "d", "rev_cents", days=7)
+    return rolled.select(
+        "nation",
+        F.date_format("d", "yyyy-MM-dd").alias("dt"),
+        "rev_cents",
+        "delta_rev_cents",
+        "rolling_7d_rev_cents",
+        "cum_rev_cents",
+    )

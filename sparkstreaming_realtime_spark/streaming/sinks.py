@@ -356,6 +356,44 @@ def read_count_min(spark, path: str) -> DataFrame:
     )
 
 
+def kmv_sink(path: str, item_col: str = "item", k: int | None = None):
+    """Streaming distinct-count sketch maintenance: each micro-batch
+    folds to its own ≤ k-row KMV sketch under a deterministic
+    ``batch=<id>`` directory (replays OVERWRITE — the T5 idempotence
+    move), and the live sketch is union → k smallest distinct over
+    the batch directories (operators/sketches.py:kmv_sketch — a
+    min-like merge: idempotent, associative, commutative — so
+    per-batch sketches over ANY batch split merge to the one-shot
+    corpus sketch exactly, even when the same item recurs across
+    batches: a corpus-top-k hash is top-k within its own batch).
+    Read with :func:`read_kmv`."""
+    from ..operators import sketches as sk
+
+    kk = sk.KMV_K if k is None else k
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        sketch = sk.kmv_sketch(batch_df, item_col, kk)
+        sketch.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+
+    return write
+
+
+def read_kmv(spark, path: str, k: int | None = None) -> DataFrame:
+    """Merge the per-batch KMV sketches: distinct over the union of
+    batch directories, re-take the k smallest (the order-statistics
+    merge — ≤ k·n_batches input rows, trivially small)."""
+    from ..operators import sketches as sk
+
+    kk = sk.KMV_K if k is None else k
+    return (
+        spark.read.option("basePath", path).parquet(f"{path}/batch=*")
+        .select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(kk)
+    )
+
+
 def line_count_sink(path: str, text_col: str = "text",
                     id_col: str = "doc_id"):
     """Streaming line-frequency maintenance for the boilerplate gate

@@ -1565,6 +1565,89 @@ def test_count_min_never_undercounts(spark):
         assert r["est_count"] >= r["true_count"]
 
 
+def test_kmv_sketch_exact_below_k_and_accurate_above(spark):
+    """KMV contract: below k distinct items the sketch IS the
+    distinct set and the estimate is EXACT; above k the estimate
+    lands within a few std errors (1/sqrt(k-2)) of truth. Duplicates
+    must not perturb either regime (same item → same hash)."""
+    from sparkstreaming_realtime_spark.operators import sketches as sk
+
+    # 40 distinct < k=64, each duplicated 3x
+    small = spark.createDataFrame(
+        [(f"item{i % 40}",) for i in range(120)], "item string"
+    )
+    est = sk.kmv_estimate(sk.kmv_sketch(small, k=64), k=64).collect()
+    assert est[0]["est_distinct"] == 40
+
+    # 5000 distinct >> k=256: expect within ~4 std errors (~25%)
+    big = spark.createDataFrame(
+        [(f"val{i}",) for i in range(5000)], "item string"
+    )
+    got = sk.kmv_estimate(sk.kmv_sketch(big)).collect()[0]["est_distinct"]
+    assert abs(got - 5000) / 5000 < 0.25, got
+
+
+def test_kmv_sketch_is_partitioning_independent_and_merges(spark):
+    """The sketch VALUES (not just the estimate) are a deterministic
+    function of the item set: any partitioning, any duplication, any
+    split into sub-sketches merged by union -> k smallest produces
+    the identical k hash values."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.operators import sketches as sk
+
+    items = spark.createDataFrame(
+        [(f"x{i % 700}",) for i in range(2100)], "item string"
+    )
+    k = 128
+    ref = [r.h for r in sk.kmv_sketch(items, k=k).collect()]
+    alt = [
+        r.h
+        for r in sk.kmv_sketch(items.repartition(17), k=k).collect()
+    ]
+    assert sorted(ref) == sorted(alt) and len(ref) == k
+
+    # merge property: split by hash parity, sketch each, union, re-take
+    a = items.filter(F.crc32(F.col("item")) % 2 == 0)
+    b = items.filter(F.crc32(F.col("item")) % 2 == 1)
+    merged = (
+        sk.kmv_sketch(a, k=k)
+        .unionByName(sk.kmv_sketch(b, k=k))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    assert sorted(r.h for r in merged.collect()) == sorted(ref)
+
+
+def test_kmv_prunes_map_side_before_any_exchange(spark):
+    """The 100 TB claim: every shuffle input is pre-pruned to <= k
+    (distinct) values per partition. Spark plans the dense_rank<=k
+    filter as a PARTIAL WindowGroupLimit below the window's Exchange
+    (rank-limit pushdown), so the exchange never carries O(corpus)
+    rows — the node order scan -> WindowGroupLimit Partial ->
+    Exchange is the invariant; a plan where the first Exchange sees
+    un-pruned rows is the regression this pins against. The top-k is
+    TakeOrderedAndProject (no global Sort)."""
+    from sparkstreaming_realtime_spark.operators import sketches as sk
+
+    items = spark.range(10000).selectExpr("cast(id as string) AS item")
+    plan = (
+        sk.kmv_sketch(items)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    # reading bottom-up: the DEEPEST Exchange must have a Partial
+    # WindowGroupLimit beneath it (plans print top-down, so 'below'
+    # in execution order = later in the string)
+    last_exchange = plan.rfind("Exchange hashpartitioning")
+    assert last_exchange != -1, plan
+    assert "WindowGroupLimit" in plan[last_exchange:], plan
+    assert "Partial" in plan[last_exchange:], plan
+
+
 def test_ivf_knn_join_plan_prunes_and_broadcasts(spark, tmp_path):
     """Batched ANN serving contract: the corpus side joins the tiny
     (query, cell) routing table by BROADCAST on the partition column

@@ -161,10 +161,13 @@ HEADLINE = [
     "user_retention_cohorts",
     "events_gap_filled_resample",
     # r11: KMV distinct-count sketch (batch estimate + streaming
-    # merge parity) and per-nation rolling/cumulative revenue windows
+    # merge parity + cross-corpus Jaccard overlap) and the rolling/
+    # anomaly pair over the per-nation daily revenue rollup
     "doc_shingle_distinct_sketch",
     "streaming_distinct_sketch_parity",
+    "corpus_overlap_sketch",
     "revenue_rolling_windows",
+    "revenue_anomaly_days",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

@@ -179,6 +179,17 @@ PROBE = [
     # per-bucket work |train∩bucket|·|eval∩bucket| stays put as both
     # the corpus and the bucket count grow)
     "emb_semantic_decontaminate_auto",
+    # r11 session: the KMV distinct sketch (map-side WindowGroupLimit
+    # prune → every shuffle carries ≤ k·partitions rows; should probe
+    # ~linear-in-scan with the md5 projection the only per-row cost),
+    # its streaming merge parity (4 batch sketches + a ≤ k·batches
+    # merge — same scan, constant merge), and the rolling revenue
+    # windows (facts aggregate FIRST; the windows run over the
+    # nation × day rollup whose size is data-INDEPENDENT at fixed
+    # date span, so the probe should track the rollup shuffle only)
+    "doc_shingle_distinct_sketch",
+    "streaming_distinct_sketch_parity",
+    "revenue_rolling_windows",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

@@ -211,3 +211,52 @@ def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
         )
         .alias("est_distinct")
     )
+
+
+def kmv_overlap(
+    items_a: DataFrame,
+    items_b: DataFrame,
+    item_col: str = "item",
+    k: int = KMV_K,
+) -> DataFrame:
+    """Jaccard overlap between two item streams from their KMV
+    sketches (Beyer et al. 2007 §5, the set-algebra payoff of the
+    k-minimum-values state): with A_k, B_k the per-corpus sketches
+    and M the k smallest of A_k ∪ B_k (itself the sketch of A ∪ B —
+    closure under union is the KMV property),
+
+        Ĵ = |M ∩ A_k ∩ B_k| / |M|
+
+    — each of M's values is a uniform sample of A ∪ B, and it lies in
+    both A and B exactly when it's in both sketches (a top-|M| hash
+    of the union is top-k in each side it belongs to). When the union
+    has fewer than k distinct values, M IS the union and the answer
+    is exact — same no-small-range-bias property as kmv_estimate.
+
+    Everything after the two corpus scans is ≤ 2k integers: the
+    membership joins and counts are sketch-sized. One row out:
+    (k_used, inter_in_topk, jaccard_est)."""
+    a = kmv_sketch(items_a, item_col, k)
+    b = kmv_sketch(items_b, item_col, k)
+    m = a.unionByName(b).distinct().orderBy("h").limit(k)
+    flagged = m.join(
+        F.broadcast(a.withColumn("__ina", F.lit(1))), "h", "left"
+    ).join(F.broadcast(b.withColumn("__inb", F.lit(1))), "h", "left")
+    return flagged.agg(
+        F.count("*").cast("bigint").alias("k_used"),
+        F.sum(
+            (
+                F.col("__ina").isNotNull() & F.col("__inb").isNotNull()
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("inter_in_topk"),
+    ).select(
+        "k_used",
+        "inter_in_topk",
+        F.round(
+            F.col("inter_in_topk").cast("double")
+            / F.col("k_used").cast("double"),
+            4,
+        ).alias("jaccard_est"),
+    )

@@ -62,8 +62,11 @@ _PRIORITY = [
     # NEW r11: per-nation rolling/cumulative revenue windows over the
     # pre-aggregated daily rollup (zordered_two_dim_lookup rotated to
     # the tail for it — green r10; warehouse keeps
-    # warehouse_compaction_roundtrip + clustered/bucketed tail rows)
-    "revenue_rolling_windows",
+    # warehouse_compaction_roundtrip + clustered/bucketed tail rows),
+    # and the exact-integer z-score anomaly tripwire over the same
+    # rollup (emb_ivf_compact_topk rotated to the tail — green r6-r10,
+    # emb_ivf_append_topk keeps the persisted-index family in-window)
+    "revenue_rolling_windows", "revenue_anomaly_days",
     # text-stats / quality family (sentinels + r6-edited)
     "doc_quality_bands",
     # r6 money-path edit: exact-div cents + wide charge accumulator
@@ -87,7 +90,7 @@ _PRIORITY = [
     # rotated to the tail for it — green r2-r9, multimodal keeps
     # doc_audio_windows in-window)
     "order_graph_pagerank",
-    "doc_dup_clusters", "doc_line_dedup", "doc_exact_substr_dedup",
+    "doc_dup_clusters", "doc_line_dedup",
     "doc_dup_keep_longest",
     # NEW r10: record linkage — segment-blocked edit-distance entity
     # resolution (doc_exact_dedup rotated to the tail for it — green
@@ -127,7 +130,7 @@ _PRIORITY = [
     # rotated to the tail for it — green r8s2-r9, emb_ivf_append/
     # compact keep the persisted-index family in-window)
     "emb_semantic_decontaminate",
-    "emb_ivf_append_topk", "emb_ivf_compact_topk",
+    "emb_ivf_append_topk",
     # NEW r9: the Arrow matmul assignment path driver-hashed for the
     # first time (k=96 > LARGE_K_ASSIGN throughout training AND
     # final assignment; emb_hamming_topk rotated to the tail for it
@@ -156,19 +159,23 @@ _PRIORITY = [
     # NEW r8 session 2: incremental line-count maintenance + the
     # retroactive boilerplate gate (same oracle as doc_line_dedup)
     "streaming_line_dedup_parity",
-    # NEW r11: the KMV distinct-count sketch pair — the estimate with
-    # its accuracy audit, and the union->k-smallest merge under real
-    # micro-batches (doc_pii_scrub and streaming_state_profile_parity
-    # rotated to the tail for them — green r2-r10 / r5-r10; the
-    # quality family keeps doc_quality_bands + events_quality_
-    # expectations in-window, profiling keeps events_table_profile's
-    # r1-r10 union green)
+    # NEW r11: the KMV distinct-count sketch family — the estimate
+    # with its accuracy audit, the union->k-smallest merge under real
+    # micro-batches, and the cross-corpus Jaccard overlap from the
+    # same sketch algebra (doc_pii_scrub, streaming_state_profile_
+    # parity, doc_exact_substr_dedup rotated to the tail for them —
+    # green r2-r10 / r5-r10 / r9-r10; the quality family keeps
+    # doc_quality_bands + events_quality_expectations in-window,
+    # profiling keeps events_table_profile's r1-r10 union green, the
+    # dedup family keeps five in-window rows)
     "doc_shingle_distinct_sketch", "streaming_distinct_sketch_parity",
+    "corpus_overlap_sketch",
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
     "doc_pii_scrub", "streaming_state_profile_parity",
-    "zordered_two_dim_lookup",
+    "zordered_two_dim_lookup", "doc_exact_substr_dedup",
+    "emb_ivf_compact_topk",
     "emb_feature_extract", "events_table_profile",
     "shipping_priority", "doc_gopher_filters", "events_asof_last_order",
     "emb_ivfpq_topk", "doc_repetition_bands", "doc_exact_dedup",

@@ -1983,6 +1983,101 @@ def streaming_distinct_sketch_parity(
     return read_kmv(spark, path)
 
 
+def _overlap_sketch_oracle() -> str:
+    from ..operators import sketches as sk
+
+    k = sk.KMV_K
+    return f"""
+WITH toked AS (SELECT doc_id, lang, {_toks_sql("text")} AS t FROM documents),
+items AS (
+  SELECT lang = 'en' AS is_a, unnest({_shingles_sql()}) AS item
+  FROM toked),
+ha AS (SELECT DISTINCT {oracle_hash60_sql("item")} AS h
+       FROM items WHERE is_a),
+hb AS (SELECT DISTINCT {oracle_hash60_sql("item")} AS h
+       FROM items WHERE NOT is_a),
+ak AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+bk AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+m AS (SELECT DISTINCT h FROM (SELECT h FROM ak UNION ALL SELECT h FROM bk)
+      ORDER BY h LIMIT {k}),
+est AS (
+  SELECT count(*)::BIGINT AS k_used,
+         sum((m.h IN (SELECT h FROM ak)
+              AND m.h IN (SELECT h FROM bk))::INT)::BIGINT
+           AS inter_in_topk
+  FROM m),
+a AS (SELECT DISTINCT item FROM items WHERE is_a),
+b AS (SELECT DISTINCT item FROM items WHERE NOT is_a),
+exact AS (
+  SELECT (SELECT count(*) FROM a JOIN b USING (item))::BIGINT AS inter,
+         (SELECT count(*) FROM (
+            SELECT item FROM a UNION SELECT item FROM b))::BIGINT AS uni)
+SELECT k_used, inter_in_topk,
+       round(inter_in_topk::DOUBLE / k_used::DOUBLE, 4) AS jaccard_est,
+       round(inter::DOUBLE / uni::DOUBLE, 4) AS exact_jaccard
+FROM est, exact
+"""
+
+
+@register(
+    "corpus_overlap_sketch",
+    oracle=_overlap_sketch_oracle(),
+    tags=("LLM", "sketch"),
+)
+def corpus_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-level Jaccard overlap between the English and
+    non-English document corpora, estimated from two 256-value KMV
+    sketches (operators/sketches.py:kmv_overlap; Beyer 2007 §5 —
+    Ĵ = |M ∩ A_k ∩ B_k| / |M| over the union sketch M), with the
+    exact Jaccard beside it as the accuracy audit. The
+    cross-corpus-contamination / shared-boilerplate primitive: "how
+    much content do these two sources share" answered from 2k
+    integers instead of a corpus-pair distinct-join — at 100 TB the
+    two sketch scans are the entire cost and everything after is
+    sketch-sized. The oracle rebuilds both sketches bit-for-bit; the
+    only float ops are two fixed-order divisions."""
+    from ..materialize import materialize
+    from ..operators import sketches as sk
+    from ..operators.dedup import shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    shingled = materialize(
+        shingle_sets(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            (F.col("lang") == "en").alias("is_a"),
+            F.explode("shingles").alias("item"),
+        )
+    )
+    est = sk.kmv_overlap(
+        shingled.filter("is_a").select("item"),
+        shingled.filter("NOT is_a").select("item"),
+    )
+    a = shingled.filter("is_a").select("item").distinct()
+    b = shingled.filter("NOT is_a").select("item").distinct()
+    exact = (
+        a.join(b, "item")
+        .agg(F.count("*").cast("bigint").alias("__inter"))
+        .crossJoin(
+            F.broadcast(
+                a.unionByName(b)
+                .distinct()
+                .agg(F.count("*").cast("bigint").alias("__uni"))
+            )
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "k_used",
+        "inter_in_topk",
+        "jaccard_est",
+        F.round(
+            F.col("__inter").cast("double")
+            / F.col("__uni").cast("double"),
+            4,
+        ).alias("exact_jaccard"),
+    )
+
+
 def _lm_ppl_oracle() -> str:
     h = oracle_hash60_sql
     return f"""

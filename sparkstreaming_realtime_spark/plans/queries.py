@@ -3595,3 +3595,76 @@ def revenue_rolling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rolling_7d_rev_cents",
         "cum_rev_cents",
     )
+
+
+_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT n_name AS nation, o_orderdate::DATE AS d,
+         sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+  FROM orders o
+  JOIN customer c ON o_custkey = c_custkey
+  JOIN nation n ON c_nationkey = n_nationkey
+  GROUP BY 1, 2),
+stats AS (
+  SELECT nation, d, rev_cents,
+         count(rev_cents) OVER w AS n,
+         sum(rev_cents::HUGEINT) OVER w AS s,
+         sum(rev_cents::HUGEINT * rev_cents) OVER w AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY nation ORDER BY d
+               RANGE BETWEEN INTERVAL 28 DAY PRECEDING
+                         AND INTERVAL 1 DAY PRECEDING))
+SELECT nation, strftime(d, '%Y-%m-%d') AS dt, rev_cents,
+       n::BIGINT AS baseline_n, s::BIGINT AS baseline_sum
+FROM stats
+WHERE n >= 8
+  AND (rev_cents::HUGEINT * n - s) * (rev_cents::HUGEINT * n - s) * (n - 1)
+      > 9 * (n * ss - s * s) * n
+"""
+
+
+@register(
+    "revenue_anomaly_days",
+    oracle=_ANOMALY_ORACLE,
+    tags=("analytics", "timeseries", "quality", "extension"),
+)
+def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift tripwire over the same nation x day rollup
+    as revenue_rolling_windows (operators/timeseries.py:anomaly_days):
+    flag every day whose revenue sits outside 3 sample standard
+    deviations of its own trailing-28-day baseline (current day
+    EXCLUDED from the baseline judging it). The z-test is EXACT
+    integer arithmetic — (x*n − s)^2*(n−1) > 9*(n*ss − s^2)*n in
+    decimal(38,0)/HUGEINT — so the flag set is bit-deterministic
+    across engines where a float z-score would flip at boundaries.
+    Windows run over the tiny pre-aggregated rollup, never a fact
+    row."""
+    from ..operators.timeseries import anomaly_days
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    flagged = anomaly_days(
+        daily, "nation", "d", "rev_cents",
+        trailing=28, min_baseline=8, z=3,
+    )
+    return flagged.select(
+        "nation",
+        F.date_format("d", "yyyy-MM-dd").alias("dt"),
+        "rev_cents",
+        "baseline_n",
+        "baseline_sum",
+    )

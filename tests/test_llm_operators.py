@@ -2474,3 +2474,28 @@ def test_fuzzy_pairs_plan_has_no_cartesian_and_no_python(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_overlap_extremes_and_midrange(spark):
+    """Jaccard from sketches: disjoint corpora -> 0, identical -> 1
+    (both EXACT below k); a constructed 1/3 overlap estimates near
+    1/3 with k=128 samples."""
+    from sparkstreaming_realtime_spark.operators import sketches as sk
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(500)], "item string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(500)], "item string")
+    r = sk.kmv_overlap(a, b, k=64).collect()[0]
+    assert r.inter_in_topk == 0 and r.jaccard_est == 0.0
+
+    same = sk.kmv_overlap(a, a, k=64).collect()[0]
+    assert same.jaccard_est == 1.0 and same.k_used == 64
+
+    # |A| = |B| = 1000, |A ∩ B| = 500 -> J = 500/1500 = 1/3
+    xa = spark.createDataFrame(
+        [(f"s{i}",) for i in range(1000)], "item string"
+    )
+    xb = spark.createDataFrame(
+        [(f"s{i}",) for i in range(500, 1500)], "item string"
+    )
+    mid = sk.kmv_overlap(xa, xb, k=128).collect()[0]
+    assert 0.20 < mid.jaccard_est < 0.47, mid

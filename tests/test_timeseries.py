@@ -59,3 +59,50 @@ def test_rolling_metrics_partitioning_independent(spark):
         )
     )
     assert a == b
+
+
+def test_anomaly_days_flags_exact_integer_zscore(spark):
+    """Hand-built series: 30 flat days then a spike. The spike must
+    flag; the flat days must not (zero variance + zero deviation);
+    a mild wiggle within 3 sigma must not. Baseline EXCLUDES the
+    current day."""
+    import datetime as dt
+
+    from sparkstreaming_realtime_spark.operators.timeseries import (
+        anomaly_days,
+    )
+
+    base = dt.date(2024, 1, 1)
+    rows = [("a", base + dt.timedelta(days=i), 1000) for i in range(30)]
+    rows[29] = ("a", base + dt.timedelta(days=29), 50_000)  # spike
+    # series b: alternating 1000/1010 — within 3 sigma always
+    rows += [
+        ("b", base + dt.timedelta(days=i), 1000 + 10 * (i % 2))
+        for i in range(30)
+    ]
+    daily = spark.createDataFrame(rows, "k string, d date, v long")
+    got = anomaly_days(
+        daily, "k", "d", "v", trailing=28, min_baseline=8, z=3
+    ).collect()
+    assert [(r.k, str(r.d), r.v) for r in got] == [
+        ("a", "2024-01-30", 50_000)
+    ]
+    # the spike's baseline is the 28 flat days before it
+    assert got[0].baseline_n == 28 and got[0].baseline_sum == 28_000
+
+
+def test_anomaly_days_zero_variance_flags_any_deviation(spark):
+    import datetime as dt
+
+    from sparkstreaming_realtime_spark.operators.timeseries import (
+        anomaly_days,
+    )
+
+    base = dt.date(2024, 1, 1)
+    rows = [("a", base + dt.timedelta(days=i), 500) for i in range(10)]
+    rows.append(("a", base + dt.timedelta(days=10), 501))
+    daily = spark.createDataFrame(rows, "k string, d date, v long")
+    got = anomaly_days(
+        daily, "k", "d", "v", trailing=28, min_baseline=8, z=3
+    ).collect()
+    assert [(r.k, str(r.d)) for r in got] == [("a", "2024-01-11")]

@@ -168,6 +168,10 @@ HEADLINE = [
     "corpus_overlap_sketch",
     "revenue_rolling_windows",
     "revenue_anomaly_days",
+    # r11 session 2: grouped KMV + the incremental-rollup anomaly
+    # parity
+    "doc_lang_distinct_sketch",
+    "streaming_anomaly_parity",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

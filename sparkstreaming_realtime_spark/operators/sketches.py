@@ -260,3 +260,66 @@ def kmv_overlap(
             4,
         ).alias("jaccard_est"),
     )
+
+
+def kmv_sketch_grouped(
+    items: DataFrame,
+    group_col: str,
+    item_col: str = "item",
+    k: int = KMV_K,
+) -> DataFrame:
+    """Per-group KMV sketches in ONE pass: the k smallest distinct
+    hash60 values for every group, as a (group, h) frame with ≤ k
+    rows per group — the sketch as a GROUPED aggregate, so "distinct
+    items per language / per source / per shard" costs one scan
+    regardless of group count.
+
+    Same map-side shape as :func:`kmv_sketch` with the group key
+    joined into the window partition: dense_rank ≤ k per
+    (input partition, group) plans as a partial WindowGroupLimit, so
+    the shuffle carries ≤ k rows per (partition, group); the final
+    per-group top-k is a row_number over the ≤ k·n_partitions
+    surviving rows per group."""
+    from pyspark.sql import Window
+
+    hashed = items.select(
+        F.col(group_col), hash60(F.col(item_col)).alias("h")
+    )
+    pre = Window.partitionBy(
+        F.spark_partition_id(), group_col
+    ).orderBy("h")
+    pruned = (
+        hashed.withColumn("__r", F.dense_rank().over(pre))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+        .distinct()
+    )
+    final = Window.partitionBy(group_col).orderBy("h")
+    return (
+        pruned.withColumn("__r", F.row_number().over(final))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def kmv_estimate_grouped(
+    sketch: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group cardinality estimates from a grouped KMV sketch —
+    one row per group (group, est_distinct), same estimator and
+    exact-below-k contract as :func:`kmv_estimate`."""
+    numer = float((k - 1) * HASH_SPACE)
+    agg = sketch.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("__b"),
+        F.max("h").alias("__hk"),
+    )
+    return agg.select(
+        F.col(group_col),
+        F.when(F.col("__b") < k, F.col("__b"))
+        .otherwise(
+            F.round(F.lit(numer) / F.col("__hk").cast("double")).cast(
+                "bigint"
+            )
+        )
+        .alias("est_distinct"),
+    )

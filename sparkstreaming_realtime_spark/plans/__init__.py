@@ -91,7 +91,6 @@ _PRIORITY = [
     # doc_audio_windows in-window)
     "order_graph_pagerank",
     "doc_dup_clusters", "doc_line_dedup",
-    "doc_dup_keep_longest",
     # NEW r10: record linkage — segment-blocked edit-distance entity
     # resolution (doc_exact_dedup rotated to the tail for it — green
     # r1-r9, the dedup family keeps five in-window rows)
@@ -131,11 +130,6 @@ _PRIORITY = [
     # compact keep the persisted-index family in-window)
     "emb_semantic_decontaminate",
     "emb_ivf_append_topk",
-    # NEW r9: the Arrow matmul assignment path driver-hashed for the
-    # first time (k=96 > LARGE_K_ASSIGN throughout training AND
-    # final assignment; emb_hamming_topk rotated to the tail for it
-    # — green r6s3–r8, similarity family keeps 10+ in-window rows)
-    "emb_cells_arrow_assign",
     "doc_lm_perplexity",
     # streaming parities (+ NEW r8: the idempotent-sink replay parity
     # — K5/T5's first driver-hashed row — and the observe-metrics
@@ -170,12 +164,20 @@ _PRIORITY = [
     # dedup family keeps five in-window rows)
     "doc_shingle_distinct_sketch", "streaming_distinct_sketch_parity",
     "corpus_overlap_sketch",
+    # NEW r11 session 2: per-group KMV (one-pass per-language
+    # vocabulary estimates) and the anomaly tripwire over an
+    # incrementally-maintained rollup (doc_dup_keep_longest and
+    # emb_cells_arrow_assign rotated to the tail — green r8-r10 /
+    # r9-r10; dedup keeps four in-window rows, the Arrow matmul path
+    # stays pytest-pinned and in the r9-r10 green union)
+    "doc_lang_distinct_sketch", "streaming_anomaly_parity",
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
     "doc_pii_scrub", "streaming_state_profile_parity",
     "zordered_two_dim_lookup", "doc_exact_substr_dedup",
-    "emb_ivf_compact_topk",
+    "emb_ivf_compact_topk", "doc_dup_keep_longest",
+    "emb_cells_arrow_assign",
     "emb_feature_extract", "events_table_profile",
     "shipping_priority", "doc_gopher_filters", "events_asof_last_order",
     "emb_ivfpq_topk", "doc_repetition_bands", "doc_exact_dedup",

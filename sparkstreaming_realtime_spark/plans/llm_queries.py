@@ -1983,6 +1983,77 @@ def streaming_distinct_sketch_parity(
     return read_kmv(spark, path)
 
 
+def _lang_distinct_sketch_oracle() -> str:
+    from ..operators import sketches as sk
+
+    k = sk.KMV_K
+    numer = (k - 1) * sk.HASH_SPACE
+    return f"""
+WITH toked AS (SELECT doc_id, lang, {_toks_sql("text")} AS t FROM documents),
+items AS (SELECT lang, unnest({_shingles_sql()}) AS item FROM toked),
+h AS (SELECT DISTINCT lang, {oracle_hash60_sql("item")} AS h FROM items),
+sk AS (
+  SELECT lang, h FROM (
+    SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+    FROM h) WHERE r <= {k}),
+agg AS (
+  SELECT lang, count(*)::BIGINT AS b, max(h) AS hk FROM sk GROUP BY 1),
+est AS (
+  SELECT lang, CASE WHEN b < {k} THEN b
+               ELSE CAST(round({numer}::DOUBLE / hk::DOUBLE) AS BIGINT)
+               END AS est_distinct FROM agg),
+exact AS (
+  SELECT lang, count(DISTINCT item)::BIGINT AS exact_distinct
+  FROM items GROUP BY 1)
+SELECT lang, est_distinct, exact_distinct,
+       round(100.0 * abs(est_distinct - exact_distinct)
+             / exact_distinct, 2) AS rel_err_pct
+FROM est JOIN exact USING (lang)
+"""
+
+
+@register(
+    "doc_lang_distinct_sketch",
+    oracle=_lang_distinct_sketch_oracle(),
+    tags=("LLM", "sketch"),
+)
+def doc_lang_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-shingle cardinality from GROUPED KMV
+    sketches built in one corpus pass (operators/sketches.py:
+    kmv_sketch_grouped — the sketch as a grouped aggregate: k
+    smallest distinct hashes per group, map-side WindowGroupLimit
+    prune per (partition, group)), with the exact per-group counts
+    and relative error as the audit. The per-source vocabulary /
+    content-diversity profile a mixing pipeline reads before
+    weighting sources — one scan for ANY number of groups, where
+    exact per-group distincts cost a corpus-wide shuffle each."""
+    from ..materialize import materialize
+    from ..operators import sketches as sk
+    from ..operators.dedup import shingle_sets
+
+    docs = _t(spark, sf_dir, "documents")
+    items = materialize(
+        shingle_sets(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("lang", F.explode("shingles").alias("item"))
+    )
+    est = sk.kmv_estimate_grouped(
+        sk.kmv_sketch_grouped(items, "lang"), "lang"
+    )
+    exact = items.groupBy("lang").agg(
+        F.count_distinct("item").cast("bigint").alias("exact_distinct")
+    )
+    err = F.round(
+        100.0
+        * F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct"),
+        2,
+    )
+    return est.join(exact, "lang").select(
+        "lang", "est_distinct", "exact_distinct", err.alias("rel_err_pct")
+    )
+
+
 def _overlap_sketch_oracle() -> str:
     from ..operators import sketches as sk
 

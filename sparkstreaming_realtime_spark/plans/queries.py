@@ -3668,3 +3668,63 @@ def revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "baseline_n",
         "baseline_sum",
     )
+
+
+@register(
+    "streaming_anomaly_parity",
+    oracle=_ANOMALY_ORACLE,
+    tags=("analytics", "timeseries", "quality", "streaming"),
+)
+def streaming_anomaly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anomaly tripwire over an INCREMENTALLY-maintained rollup:
+    orders stream in micro-batches, each batch's per-(nation, day)
+    cent sums land in idempotent batch directories
+    (streaming/sinks.py:rollup_sum_sink — integer sums merge over ANY
+    batch split), and anomaly_days runs at READ time over the merged
+    rollup — the architecture where the fact scan is incremental and
+    a detector change (z, window, min_baseline) never reprocesses
+    facts. A late batch can retroactively change any day's sum AND
+    its successors' baselines; the merge-then-detect order makes that
+    correct by construction. Must equal the one-shot batch query
+    bit-for-bit (same oracle as revenue_anomaly_days)."""
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..operators.timeseries import anomaly_days
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import read_rollup_sum, rollup_sum_sink
+
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    stream = (
+        _stream_t(spark, sf_dir, "orders")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.to_date("o_orderdate").alias("d"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+    )
+    path = engine_tmpdir("rollup_parity_") + "/rollup"
+    q = run_available_now(
+        stream,
+        rollup_sum_sink(path, ("nation", "d"), "rev_cents"),
+        checkpoint=engine_tmpdir("rollup_parity_ckpt_"),
+        query_name="anom_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    daily = read_rollup_sum(spark, path, ("nation", "d"), "rev_cents")
+    flagged = anomaly_days(
+        daily, "nation", "d", "rev_cents",
+        trailing=28, min_baseline=8, z=3,
+    )
+    return flagged.select(
+        "nation",
+        F.date_format("d", "yyyy-MM-dd").alias("dt"),
+        "rev_cents",
+        "baseline_n",
+        "baseline_sum",
+    )

@@ -518,3 +518,39 @@ def read_funnel(spark, path: str, stages: list[str]) -> DataFrame:
     return funnel_counts_from_times(
         spark.read.parquet(os.path.join(path, "times")), list(stages)
     )
+
+
+def rollup_sum_sink(path: str, key_cols: tuple[str, ...],
+                    value_col: str = "v"):
+    """Streaming additive-rollup maintenance: each micro-batch's
+    per-key integer sums land in their own ``batch=<id>`` directory
+    (deterministic location → replays OVERWRITE, T5), and the live
+    rollup is the key-wise SUM over batch directories — integer sums
+    are associative+commutative, so ANY batch split merges to the
+    one-shot batch rollup exactly. The read-side detectors
+    (operators/timeseries.py rolling_metrics / anomaly_days) then run
+    over the merged rollup: the expensive half (fact scan +
+    aggregation) is incremental per batch; the windows/z-tests apply
+    at read time over key × day rows, so a detector change never
+    reprocesses facts. Read with :func:`read_rollup_sum`."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(*key_cols)
+            .agg(F.sum(value_col).cast("bigint").alias(value_col))
+            .write.mode("overwrite")
+            .parquet(f"{path}/batch={batch_id}")
+        )
+
+    return write
+
+
+def read_rollup_sum(spark, path: str, key_cols: tuple[str, ...],
+                    value_col: str = "v") -> DataFrame:
+    """Merge the per-batch rollups: key-wise integer SUM over the
+    batch directories."""
+    return (
+        spark.read.option("basePath", path).parquet(f"{path}/batch=*")
+        .groupBy(*key_cols)
+        .agg(F.sum(value_col).cast("bigint").alias(value_col))
+    )

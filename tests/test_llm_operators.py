@@ -2499,3 +2499,48 @@ def test_kmv_overlap_extremes_and_midrange(spark):
     )
     mid = sk.kmv_overlap(xa, xb, k=128).collect()[0]
     assert 0.20 < mid.jaccard_est < 0.47, mid
+
+
+def test_kmv_grouped_matches_per_group_single_sketches(spark):
+    """The grouped sketch must equal running kmv_sketch per group —
+    same k values, same estimates — while costing one pass."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.operators import sketches as sk
+
+    items = spark.createDataFrame(
+        [(f"g{i % 3}", f"item{i % 400}") for i in range(2000)],
+        "g string, item string",
+    )
+    k = 64
+    grouped = sk.kmv_sketch_grouped(items, "g", k=k)
+    got = {
+        g: sorted(r.h for r in rows)
+        for g, rows in (
+            (g, grouped.filter(F.col("g") == g).collect())
+            for g in ("g0", "g1", "g2")
+        )
+    }
+    for g in ("g0", "g1", "g2"):
+        solo = sorted(
+            r.h
+            for r in sk.kmv_sketch(
+                items.filter(F.col("g") == g).select("item"), k=k
+            ).collect()
+        )
+        assert got[g] == solo, g
+    ests = {
+        r.g: r.est_distinct
+        for r in sk.kmv_estimate_grouped(grouped, "g", k=k).collect()
+    }
+    truth = {
+        r.g: r.n
+        for r in items.groupBy("g")
+        .agg(F.count_distinct("item").alias("n"))
+        .collect()
+    }
+    # every group's distinct count (~400) >> k=64 -> estimator
+    # regime; 1/sqrt(62) ~ 13% std error, assert within ~4 sigma
+    for g in ("g0", "g1", "g2"):
+        assert truth[g] > k
+        assert abs(ests[g] - truth[g]) / truth[g] < 0.5, (g, ests[g], truth[g])

@@ -1925,7 +1925,8 @@ def cluster_banded_near_dup_pairs(
     planes = random_hyperplanes(bands * rows_per_band, dim)
     tagged = emb.withColumn("__cell", assign_cell(vec_col, cents))
     buckets = rh_band_buckets(
-        tagged, planes, id_col, bands, rows_per_band, carry=("__cell",)
+        tagged, planes, id_col, bands, rows_per_band,
+        carry=("__cell",), vec_col=vec_col,
     )
     keyed = materialize(
         buckets.select(

@@ -2544,3 +2544,31 @@ def test_kmv_grouped_matches_per_group_single_sketches(spark):
     for g in ("g0", "g1", "g2"):
         assert truth[g] > k
         assert abs(ests[g] - truth[g]) / truth[g] < 0.5, (g, ests[g], truth[g])
+
+
+def test_cluster_banded_pairs_honor_custom_vec_col(spark):
+    """Same bug class as the semantic_decontaminate r10 ADVICE: the
+    cell∩band candidate generator exposes vec_col and must thread it
+    into BOTH the cell assignment and the LSH bucketing — frames here
+    have no 'embedding' column at all."""
+    from sparkstreaming_realtime_spark.operators import similarity as sim
+
+    dim = 8
+
+    def v(i, hot, mag=1.0):
+        vec = [0.0] * dim
+        vec[hot] = mag
+        return (i, vec)
+
+    emb = spark.createDataFrame(
+        [v(1, 0), v(2, 0, 2.0), v(3, 5)], "vec_id long, vecs array<float>"
+    )
+    cents = [
+        (0, [1.0] + [0.0] * 7),
+        (1, [0.0] * 5 + [1.0] + [0.0] * 2),
+    ]
+    out = sim.cluster_banded_near_dup_pairs(
+        emb, cents, dim=dim, threshold=0.9, vec_col="vecs",
+        bands=4, rows_per_band=2, approx_count=3,
+    )
+    assert sorted((r.vec_a, r.vec_b) for r in out.collect()) == [(1, 2)]

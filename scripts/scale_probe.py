@@ -190,6 +190,15 @@ PROBE = [
     "doc_shingle_distinct_sketch",
     "streaming_distinct_sketch_parity",
     "revenue_rolling_windows",
+    # r11 session 2: cross-corpus overlap (two sketch scans + ≤ 2k-
+    # integer algebra — should track the shingle scans), grouped KMV
+    # (same scan, per-group prune), the anomaly tripwire (same rollup
+    # as rolling windows + one more window pass), and its incremental
+    # streaming twin (per-batch rollup sums + detector at read)
+    "corpus_overlap_sketch",
+    "doc_lang_distinct_sketch",
+    "revenue_anomaly_days",
+    "streaming_anomaly_parity",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

@@ -169,9 +169,10 @@ HEADLINE = [
     "revenue_rolling_windows",
     "revenue_anomaly_days",
     # r11 session 2: grouped KMV + the incremental-rollup anomaly
-    # parity
+    # parity + market-basket co-purchase lift
     "doc_lang_distinct_sketch",
     "streaming_anomaly_parity",
+    "part_copurchase_pairs",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

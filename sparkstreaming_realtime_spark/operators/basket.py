@@ -1,0 +1,112 @@
+"""Market-basket co-occurrence: within-group pair enumeration with
+association metrics.
+
+The reference's serving layer answers single-entity popularity (ES
+terms aggs, EsTest.scala:128); the immediate next analytics question
+— "which items appear TOGETHER" — needs pair enumeration inside each
+basket, the canonical a-priori first pass (Agrawal & Srikant 1994's
+L2 candidates). The same shape powers co-occurrence statistics over
+training corpora (token/document co-occurrence, PMI tables).
+
+Engine shape at 100 TB: the within-basket self-join is keyed by the
+BASKET id — pairs never cross baskets, so the shuffle is one
+hash-partition of the (basket, item) list and per-basket work is
+C(k, 2) with k = items per basket, bounded by the basket width (13
+in TPC-H lineitem, bounded by construction in most retail/log
+schemas; a `max_basket` cap drops degenerate baskets LOUDLY, same
+semantics as the LSH max_bucket caps). No corpus-wide window, no
+cross join; support counts partial-aggregate map-side.
+
+Association metrics stay engine-deterministic: supports are exact
+bigints; lift = (pair_n · N) / (n_a · n_b) is ONE fixed-order double
+division rounded 4dp (numerator/denominator exact int64 — pair_n·N
+bounded by baskets² ≈ 10^18 at 10^9 baskets, inside int64; past that
+the column widens to decimal the same way money_sum's wide mode
+does)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def copurchase_pairs(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item_id",
+    k: int = 20,
+    min_pair_support: int = 2,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Top-``k`` co-occurring item pairs with support and lift.
+
+    Input: (basket_col, item_col) rows, duplicates allowed (an item
+    twice in one basket counts once — presence, not quantity: the
+    frame dedupes per basket first, which also bounds the pair fan-out
+    at C(distinct items, 2)).
+
+    Returns (item_a, item_b, pair_n, n_a, n_b, lift) with
+    item_a < item_b, ordered by (pair_n desc, item_a, item_b), top-k
+    via TakeOrdered. ``lift`` > 1 means the pair co-occurs more often
+    than independent popularity predicts — rounded to 4dp from exact
+    integer counts, so it hashes across engines.
+
+    ``max_basket`` drops baskets wider than the cap ENTIRELY (a
+    degenerate mega-basket contributes C(width, 2) pairs and no
+    signal — the max_bucket move from the LSH joins)."""
+    present = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    if max_basket is not None:
+        width = present.groupBy("__b").agg(
+            F.count("*").alias("__w")
+        )
+        present = present.join(
+            width.filter(F.col("__w") <= max_basket).select("__b"), "__b"
+        )
+    n_baskets = present.select("__b").distinct().agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    item_n = present.groupBy("__i").agg(
+        F.count("*").cast("bigint").alias("__in")
+    )
+    a = present.select(F.col("__b"), F.col("__i").alias("item_a"))
+    b = present.select(F.col("__b"), F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_support)
+    )
+    # item popularity scales with the CATALOG, not the corpus — like
+    # the customer dim in order_wide_join it gets no forced broadcast:
+    # AQE picks BHJ while it fits and falls back to SMJ beyond. The
+    # 1-row basket count does broadcast.
+    na = item_n.select(
+        F.col("__i").alias("item_a"), F.col("__in").alias("n_a")
+    )
+    nb = item_n.select(
+        F.col("__i").alias("item_b"), F.col("__in").alias("n_b")
+    )
+    enriched = (
+        pairs.join(na, "item_a")
+        .join(nb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return (
+        enriched.select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("pair_n") * F.col("__n")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_n"), F.asc("item_a"), F.asc("item_b"))
+        .limit(k)
+    )

@@ -102,11 +102,12 @@ _PRIORITY = [
     # exact_k keeps the family in-window — for the NEW
     # streaming_line_dedup_parity)
     "doc_exact_k_sample",
-    # multimodal / embedding family (+ NEW r6: k-means cluster
-    # profiling; doc_resize_images rotated to the tail r8s2 —
-    # doc_audio_windows + emb_feature_extract keep multimodal
-    # in-window)
-    "emb_kmeans_clusters",
+    # NEW r11 session 2: market-basket co-purchase pairs with lift —
+    # the within-basket pair-enumeration shape (emb_kmeans_clusters
+    # rotated to the tail for it — green r6-r10, and the Lloyd loop
+    # stays in-window inside the clustered-SemDeDup rows, which train
+    # k-means end to end)
+    "part_copurchase_pairs",
     # LLM dedup/similarity (re-verify the r6 width edits: the 6×6
     # re-pin, the width-adaptive auto oracle's first hash row, the
     # Hadoop-FS index maintenance behind append + NEW compact, and
@@ -177,7 +178,7 @@ _PRIORITY = [
     "doc_pii_scrub", "streaming_state_profile_parity",
     "zordered_two_dim_lookup", "doc_exact_substr_dedup",
     "emb_ivf_compact_topk", "doc_dup_keep_longest",
-    "emb_cells_arrow_assign",
+    "emb_cells_arrow_assign", "emb_kmeans_clusters",
     "emb_feature_extract", "events_table_profile",
     "shipping_priority", "doc_gopher_filters", "events_asof_last_order",
     "emb_ivfpq_topk", "doc_repetition_bands", "doc_exact_dedup",

@@ -3728,3 +3728,50 @@ def streaming_anomaly_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "baseline_n",
         "baseline_sum",
     )
+
+
+_COPURCHASE_ORACLE = """
+WITH present AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+n AS (SELECT count(DISTINCT b)::BIGINT AS n FROM present),
+item_n AS (SELECT i, count(*)::BIGINT AS c FROM present GROUP BY 1),
+pairs AS (
+  SELECT a.i AS item_a, b2.i AS item_b, count(*)::BIGINT AS pair_n
+  FROM present a JOIN present b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT item_a, item_b, pair_n, na.c AS n_a, nb.c AS n_b,
+       round((pair_n * n.n)::DOUBLE / (na.c * nb.c)::DOUBLE, 4) AS lift
+FROM pairs
+JOIN item_n na ON item_a = na.i
+JOIN item_n nb ON item_b = nb.i, n
+ORDER BY pair_n DESC, item_a, item_b
+LIMIT 20
+"""
+
+
+@register(
+    "part_copurchase_pairs",
+    oracle=_COPURCHASE_ORACLE,
+    tags=("analytics", "basket", "extension"),
+)
+def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchased part pairs with support and lift
+    (operators/basket.py:copurchase_pairs — the a-priori L2 pass,
+    Agrawal & Srikant 1994): the co-occurrence follow-up to the
+    reference's single-entity popularity aggs. Pairs enumerate INSIDE
+    each order (self-join keyed by the basket id — per-basket work is
+    C(width, 2) with width ≤ 13 here, bounded by schema in any retail
+    log), supports partial-aggregate map-side, lift is one
+    fixed-order double division of exact int64 counts, top-k is
+    TakeOrdered. The oracle replays the same pair algebra."""
+    from ..operators.basket import copurchase_pairs
+
+    return copurchase_pairs(
+        _t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        k=20,
+        min_pair_support=2,
+    ).select(
+        "item_a", "item_b", "pair_n", "n_a", "n_b", "lift"
+    )

@@ -173,6 +173,7 @@ HEADLINE = [
     "doc_lang_distinct_sketch",
     "streaming_anomaly_parity",
     "part_copurchase_pairs",
+    "event_transition_matrix",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

@@ -128,3 +128,71 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over event types:
+    (from_event, to_event, n, prob) counting consecutive same-user
+    pairs whose gap is ≤ ``gap_seconds`` (a transition across a
+    session boundary is behaviorally meaningless — the same 30-min
+    gap rule as user_sessions). ``prob`` is row-normalized
+    (Σ_to prob ≈ 1 per from_event), one fixed-order double division
+    of exact int64 counts rounded 4dp.
+
+    The behavior-modeling primitive behind next-event prediction and
+    bot detection; the reference's action/display fan-outs
+    (OdsBaseLogApp's action arrays) expose the events, this gives
+    their dynamics.
+
+    Engine shape at 100 TB: one per-user window (lag of type + ts —
+    the standard sessionization sort, same cost class as
+    user_sessions), then a map-side-combinable count into a
+    |types|² frame; the row-total join is matrix-sized, broadcast."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(order_col),
+            F.col(type_col).alias("to_event"),
+            F.lag(type_col).over(w).alias("from_event"),
+            # microsecond gap arithmetic: a seconds cast TRUNCATES, so
+            # a 1800.5 s gap could round differently than the oracle's
+            # full-precision interval compare — epoch_us is exact in
+            # both engines
+            (
+                F.unix_micros(ts_col) - F.unix_micros(F.lag(ts_col).over(w))
+            ).alias("__gap"),
+        )
+        .filter(
+            F.col("from_event").isNotNull()
+            & (F.col("__gap") <= gap_seconds * 1_000_000)
+        )
+        .groupBy("from_event", "to_event")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    totals = pairs.groupBy("from_event").agg(
+        F.sum("n").cast("bigint").alias("__total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_event")
+        .select(
+            "from_event",
+            "to_event",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("__total").cast("double"),
+                4,
+            ).alias("prob"),
+        )
+        .orderBy("from_event", "to_event")
+    )

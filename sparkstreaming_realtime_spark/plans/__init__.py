@@ -51,7 +51,10 @@ _PRIORITY = [
     # the tail for them — green r1-r9 / r3-r9; TPC-H keeps
     # order_wide_join + pricing_summary in-window, text-quality keeps
     # doc_quality_bands + doc_lm_perplexity)
-    "user_funnel", "user_retention_cohorts",
+    # NEW r11 session 2: first-order Markov transitions within
+    # sessions (user_retention_cohorts rotated to the tail for it —
+    # green r10; the sequence family keeps user_funnel + the matrix)
+    "user_funnel", "event_transition_matrix",
     # NEW r10: zero-filled time-series resample (events_asof_last_order
     # rotated to the tail for it — green r4-r9, the as-of operator
     # stays pytest-pinned and in the r1-r9 green union)
@@ -179,6 +182,7 @@ _PRIORITY = [
     "zordered_two_dim_lookup", "doc_exact_substr_dedup",
     "emb_ivf_compact_topk", "doc_dup_keep_longest",
     "emb_cells_arrow_assign", "emb_kmeans_clusters",
+    "user_retention_cohorts",
     "emb_feature_extract", "events_table_profile",
     "shipping_priority", "doc_gopher_filters", "events_asof_last_order",
     "emb_ivfpq_topk", "doc_repetition_bands", "doc_exact_dedup",

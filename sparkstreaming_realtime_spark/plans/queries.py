@@ -3775,3 +3775,42 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "item_a", "item_b", "pair_n", "n_a", "n_b", "lift"
     )
+
+
+_TRANSITION_ORACLE = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER w AS from_event,
+         event_type AS to_event,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+counts AS (
+  SELECT from_event, to_event, count(*)::BIGINT AS n
+  FROM pairs
+  WHERE from_event IS NOT NULL AND gap_us <= 1800000000
+  GROUP BY 1, 2),
+totals AS (
+  SELECT from_event, sum(n)::BIGINT AS total FROM counts GROUP BY 1)
+SELECT from_event, to_event, n,
+       round(n::DOUBLE / total::DOUBLE, 4) AS prob
+FROM counts JOIN totals USING (from_event)
+ORDER BY from_event, to_event
+"""
+
+
+@register(
+    "event_transition_matrix",
+    oracle=_TRANSITION_ORACLE,
+    tags=("analytics", "sequence", "extension"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions between event types within
+    30-minute sessions (operators/funnel.py:transition_matrix) — the
+    dynamics of the reference's action/display events: which event
+    FOLLOWS which, row-normalized. One per-user lag window (the
+    user_sessions sort, microsecond-exact gap arithmetic in both
+    engines), one map-side count into a |types|^2 matrix, broadcast
+    row totals, fixed-order 4dp division."""
+    from ..operators.funnel import transition_matrix
+
+    return transition_matrix(_t(spark, sf_dir, "events"))

@@ -142,3 +142,58 @@ def test_funnel_sink_untouched_users_carry_over(spark, tmp_path):
         for r in read_funnel(spark, state, ["view", "click"]).collect()
     }
     assert counts == {"view": 2, "click": 1}
+
+
+def test_transition_matrix_hand_computed_with_session_gap(spark):
+    """a: view->click->view within gaps; the 40-min gap transition is
+    EXCLUDED; user b contributes one view->view. Probabilities are
+    row-normalized 4dp."""
+    import datetime as dt
+
+    from sparkstreaming_realtime_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def s(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, "view", s(0), 1),
+        (1, "click", s(5), 2),
+        (1, "view", s(10), 3),
+        (1, "purchase", s(50), 4),  # 40-min gap: dropped
+        (2, "view", s(0), 5),
+        (2, "view", s(1), 6),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    got = {
+        (r.from_event, r.to_event): (r.n, r.prob)
+        for r in transition_matrix(ev).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+        ("view", "view"): (1, 0.5),
+    }
+
+
+def test_transition_matrix_ties_break_by_order_col(spark):
+    """Two events at the SAME timestamp order by event_id — the
+    transition direction must be deterministic."""
+    import datetime as dt
+
+    from sparkstreaming_realtime_spark.operators.funnel import (
+        transition_matrix,
+    )
+
+    t = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, "a", t, 2), (1, "b", t, 1)],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+    got = [(r.from_event, r.to_event) for r in transition_matrix(ev).collect()]
+    assert got == [("b", "a")]

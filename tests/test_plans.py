@@ -222,3 +222,23 @@ def test_docs_registry_count_matches_live():
             f"{fname} says {m.group(1)} registry queries; live registry"
             f" has {live} — update the doc (sentinel: {pat!r})"
         )
+
+
+def test_rollup_window_queries_aggregate_before_windowing(spark, sf_dir):
+    """The r11 time-series claims, pinned: in revenue_rolling_windows
+    and revenue_anomaly_days the Window node must sit ABOVE a
+    HashAggregate (facts aggregate FIRST; plans print top-down, so
+    the aggregate appears after the window in the text) — a refactor
+    that windows the fact table directly would flip the order and
+    sort the corpus per key."""
+    for name in ("revenue_rolling_windows", "revenue_anomaly_days"):
+        plan = _plan(spark, sf_dir, name)
+        w = plan.find("Window")
+        assert w != -1, name
+        assert "HashAggregate" in plan[w:], (name, plan)
+
+
+def test_copurchase_plan_is_take_ordered_without_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "part_copurchase_pairs")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

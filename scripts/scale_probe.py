@@ -199,6 +199,12 @@ PROBE = [
     "doc_lang_distinct_sketch",
     "revenue_anomaly_days",
     "streaming_anomaly_parity",
+    # r11 session 3: within-basket pair enumeration (per-basket work
+    # C(width, 2), width schema-bounded — should probe ~linear) and
+    # the Markov transition matrix (the user_sessions window sort +
+    # a map-side count into a |types|² frame — ~the sessions ratio)
+    "part_copurchase_pairs",
+    "event_transition_matrix",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

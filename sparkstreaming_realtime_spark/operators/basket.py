@@ -8,14 +8,17 @@ basket, the canonical a-priori first pass (Agrawal & Srikant 1994's
 L2 candidates). The same shape powers co-occurrence statistics over
 training corpora (token/document co-occurrence, PMI tables).
 
-Engine shape at 100 TB: the within-basket self-join is keyed by the
-BASKET id — pairs never cross baskets, so the shuffle is one
-hash-partition of the (basket, item) list and per-basket work is
-C(k, 2) with k = items per basket, bounded by the basket width (13
-in TPC-H lineitem, bounded by construction in most retail/log
-schemas; a `max_basket` cap drops degenerate baskets LOUDLY, same
-semantics as the LSH max_bucket caps). No corpus-wide window, no
-cross join; support counts partial-aggregate map-side.
+Engine shape at 100 TB: ONE basket-keyed shuffle (collect_set —
+partial-aggregated map-side) rolls each basket to its sorted item
+array, then pairs enumerate INSIDE the row (nested transform/slice —
+C(k, 2) per basket with k bounded by the basket width: 13 in TPC-H
+lineitem, schema-bounded in most retail/log schemas; a `max_basket`
+cap drops degenerate baskets LOUDLY, same semantics as the LSH
+max_bucket caps). A present⋈present self-join on the basket id
+computes the same pairs but shuffles the (basket, item) list twice —
+measured ×76.6 at the ×100 probe before this shape replaced it. No
+corpus-wide window, no cross join; support counts partial-aggregate
+map-side.
 
 Association metrics stay engine-deterministic: supports are exact
 bigints; lift = (pair_n · N) / (n_a · n_b) is ONE fixed-order double
@@ -54,27 +57,40 @@ def copurchase_pairs(
     ``max_basket`` drops baskets wider than the cap ENTIRELY (a
     degenerate mega-basket contributes C(width, 2) pairs and no
     signal — the max_bucket move from the LSH joins)."""
-    present = baskets.select(
+    from ..materialize import materialize
+
+    # ONE basket-keyed shuffle: collect_set partial-aggregates
+    # map-side, dedupes presence, and sort_array makes the in-row
+    # pair order deterministic. (The alternative — a present⋈present
+    # self-join on the basket id — shuffles the (basket, item) list
+    # TWICE; measured ~76.6× at the ×100 probe, this shape halves the
+    # wide bytes.) `items` inside the nested lambdas is a plain
+    # column reference, so the no-CSE-in-HOF rule costs nothing.
+    rolled = baskets.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    ).groupBy("__b").agg(F.sort_array(F.collect_set("__i")).alias("__items"))
     if max_basket is not None:
-        width = present.groupBy("__b").agg(
-            F.count("*").alias("__w")
-        )
-        present = present.join(
-            width.filter(F.col("__w") <= max_basket).select("__b"), "__b"
-        )
-    n_baskets = present.select("__b").distinct().agg(
-        F.count("*").cast("bigint").alias("__n")
+        rolled = rolled.filter(F.size("__items") <= max_basket)
+    rolled = materialize(rolled.select("__items"))
+    n_baskets = rolled.agg(F.count("*").cast("bigint").alias("__n"))
+    item_n = (
+        rolled.select(F.explode("__items").alias("__i"))
+        .groupBy("__i")
+        .agg(F.count("*").cast("bigint").alias("__in"))
     )
-    item_n = present.groupBy("__i").agg(
-        F.count("*").cast("bigint").alias("__in")
+    items = F.col("__items")
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, F.size(items)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
     )
-    a = present.select(F.col("__b"), F.col("__i").alias("item_a"))
-    b = present.select(F.col("__b"), F.col("__i").alias("item_b"))
     pairs = (
-        a.join(b, "__b")
-        .filter(F.col("item_a") < F.col("item_b"))
+        rolled.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.item_a", "__p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").cast("bigint").alias("pair_n"))
         .filter(F.col("pair_n") >= min_pair_support)

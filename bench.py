@@ -174,6 +174,8 @@ HEADLINE = [
     "streaming_anomaly_parity",
     "part_copurchase_pairs",
     "event_transition_matrix",
+    # r11 session 3: banded kNN (hard-negative mining)
+    "emb_hard_negatives",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

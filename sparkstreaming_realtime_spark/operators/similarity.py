@@ -1985,6 +1985,7 @@ def knn_join(
     id_col: str = "vec_id",
     batch_margin: int | None = None,
     max_query_rows: int = 100_000,
+    max_cos: float | None = None,
 ) -> DataFrame:
     """Batched k-NN join: top-k corpus neighbors for EVERY query in a
     query batch (queries = ``vec_id % query_mod == 0``, corpus = the
@@ -2013,7 +2014,18 @@ def knn_join(
     at the per-batch cut; the exact global top-k under the final
     metric is a subset of every batch's exact top-k, so candidates
     only need to cover rank k+ulp-jitter locally. Output:
-    (query_id, vec_id, cos, rank), rank 1..k per query."""
+    (query_id, vec_id, cos, rank), rank 1..k per query.
+
+    ``max_cos`` turns the join into HARD-NEGATIVE MINING (the
+    contrastive-training primitive): rank only corpus vectors whose
+    6dp cosine is ≤ ``max_cos`` — similar, but below the
+    near-duplicate band. The numpy partial stage masks
+    cos > max_cos + 1e-6 BEFORE its local top-k (an unbanded cut
+    would fill all k+margin slots with the excluded near-dups and
+    starve the band of candidates); 1e-6 covers both the 6dp
+    rounding (5e-7) and numpy-vs-JVM fold drift (~1e-12), and the
+    exact JVM re-filter on the ROUNDED cosine decides membership, so
+    the band edge is bit-identical to the oracle's."""
     import numpy as np
     import pandas as pd
 
@@ -2063,6 +2075,13 @@ def knn_join(
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0.0] = 1.0
             sims = (mat @ qmat.T) / norms[:, None] / qnorm[None, :]  # (B, Q)
+            if max_cos is not None:
+                # -inf never survives a top-k cut: banded-out rows
+                # (and their ids) can still be EMITTED at the tail of
+                # a short batch, but the exact JVM re-filter drops
+                # them — correctness never rests on this mask, only
+                # candidate budget does
+                sims = np.where(sims <= max_cos + 1e-6, sims, -np.inf)
             top = min(take, len(ids))
             # candidate cut uses the SAME (cos desc, id asc) order as
             # the final rank window: an argpartition on cos alone
@@ -2093,6 +2112,10 @@ def knn_join(
         F.col(id_col),
         F.round(cosine_similarity("embedding", "__qv"), 6).alias("cos"),
     )
+    if max_cos is not None:
+        # the band decision happens HERE, on the rounded JVM fold —
+        # identical arithmetic to the oracle, so the edge hashes
+        verified = verified.filter(F.col("cos") <= max_cos)
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc(id_col))

@@ -134,7 +134,11 @@ _PRIORITY = [
     # compact keep the persisted-index family in-window)
     "emb_semantic_decontaminate",
     "emb_ivf_append_topk",
-    "doc_lm_perplexity",
+    # NEW r11 session 3: hard-negative mining — the banded form of
+    # the kNN join (doc_lm_perplexity rotated to the tail for it —
+    # green r2-r10; the quality family keeps doc_quality_bands +
+    # events_quality_expectations in-window)
+    "emb_hard_negatives",
     # streaming parities (+ NEW r8: the idempotent-sink replay parity
     # — K5/T5's first driver-hashed row — and the observe-metrics
     # fold parity; doc_frame_sample and emb_pq_topk rotated to the
@@ -182,7 +186,7 @@ _PRIORITY = [
     "zordered_two_dim_lookup", "doc_exact_substr_dedup",
     "emb_ivf_compact_topk", "doc_dup_keep_longest",
     "emb_cells_arrow_assign", "emb_kmeans_clusters",
-    "user_retention_cohorts",
+    "user_retention_cohorts", "doc_lm_perplexity",
     "emb_feature_extract", "events_table_profile",
     "shipping_priority", "doc_gopher_filters", "events_asof_last_order",
     "emb_ivfpq_topk", "doc_repetition_bands", "doc_exact_dedup",

@@ -3093,6 +3093,57 @@ def emb_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hard-negative band ceiling: below this corpus's near-dup range
+#: (top-1 cosines run 0.28-0.45 here), so the band genuinely excludes
+#: the nearest hits for several queries and the rank shift is
+#: oracle-visible.
+_HARD_NEG_MAX_COS = 0.3
+
+_HARD_NEG_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % {_KNN_JOIN_MOD} = 0),
+c AS (SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % {_KNN_JOIN_MOD} <> 0),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         round({_cos_sql("c.embedding", "q.qv")}, 6) AS cos
+  FROM q CROSS JOIN c),
+banded AS (SELECT * FROM scored WHERE cos <= {_HARD_NEG_MAX_COS}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM banded)
+SELECT query_id, vec_id, cos, rank::INT AS rank
+FROM ranked WHERE rank <= {_KNN_JOIN_K}
+"""
+
+
+@register(
+    "emb_hard_negatives",
+    oracle=_HARD_NEG_ORACLE,
+    tags=("LLM", "similarity", "retrieval"),
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (operators/similarity.py:knn_join with ``max_cos`` — the banded
+    form of emb_knn_join): per query, the top-{_KNN_JOIN_K} MOST
+    similar corpus vectors whose cosine stays ≤ {_HARD_NEG_MAX_COS}
+    — similar enough to be informative negatives, below the
+    near-duplicate band that would poison the loss with false
+    negatives (the DPR/SimCSE mining recipe). The numpy partial
+    stage masks banded-out vectors BEFORE its local top-k (an
+    unbanded cut would fill every candidate slot with the excluded
+    near-dups); the band edge itself is decided on the rounded JVM
+    fold, bit-identical to the oracle's brute force."""
+    return sim.knn_join(
+        _t(spark, sf_dir, "embeddings"),
+        dim=_EMB_DIM,
+        k=_KNN_JOIN_K,
+        query_mod=_KNN_JOIN_MOD,
+        max_cos=_HARD_NEG_MAX_COS,
+    )
+
+
 _TFIDF_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_toks_sql("text")}) AS term FROM documents),

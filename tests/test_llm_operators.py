@@ -2572,3 +2572,29 @@ def test_cluster_banded_pairs_honor_custom_vec_col(spark):
         bands=4, rows_per_band=2, approx_count=3,
     )
     assert sorted((r.vec_a, r.vec_b) for r in out.collect()) == [(1, 2)]
+
+
+def test_knn_join_max_cos_bands_out_near_dups(spark):
+    """Hard-negative banding: a colinear near-dup (cos 1.0) must
+    never appear; the returned neighbors are the top-k UNDER the
+    band, re-ranked — not the unbanded top-k minus exclusions."""
+    dim = 4
+    rows = []
+    # query: id 0 (0 % 7 == 0), axis e0
+    rows.append((0, [1.0, 0.0, 0.0, 0.0]))
+    # near-dup corpus vector (cos 1.0 with the query) — banded out
+    rows.append((1, [2.0, 0.0, 0.0, 0.0]))
+    # graded negatives at decreasing cos
+    rows.append((2, [1.0, 1.0, 0.0, 0.0]))   # cos ~0.707
+    rows.append((3, [1.0, 2.0, 0.0, 0.0]))   # cos ~0.447
+    rows.append((4, [1.0, 4.0, 0.0, 0.0]))   # cos ~0.243
+    rows.append((5, [0.0, 1.0, 0.0, 0.0]))   # cos 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    from sparkstreaming_realtime_spark.operators import similarity as sim
+
+    out = sim.knn_join(emb, dim=dim, k=3, query_mod=7, max_cos=0.5).collect()
+    got = [(r.vec_id, r.rank) for r in sorted(out, key=lambda r: r.rank)]
+    # 1 (cos 1.0) and 2 (0.707) excluded; band top-3 = 3, 4, 5
+    assert got == [(3, 1), (4, 2), (5, 3)]
+    assert all(r.cos <= 0.5 for r in out)

@@ -57,44 +57,14 @@ def copurchase_pairs(
     ``max_basket`` drops baskets wider than the cap ENTIRELY (a
     degenerate mega-basket contributes C(width, 2) pairs and no
     signal — the max_bucket move from the LSH joins)."""
-    from ..materialize import materialize
-
-    # ONE basket-keyed shuffle: collect_set partial-aggregates
-    # map-side, dedupes presence, and sort_array makes the in-row
-    # pair order deterministic. (The alternative — a present⋈present
-    # self-join on the basket id — shuffles the (basket, item) list
-    # TWICE; measured ~76.6× at the ×100 probe, this shape halves the
-    # wide bytes.) `items` inside the nested lambdas is a plain
-    # column reference, so the no-CSE-in-HOF rule costs nothing.
-    rolled = baskets.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).groupBy("__b").agg(F.sort_array(F.collect_set("__i")).alias("__items"))
-    if max_basket is not None:
-        rolled = rolled.filter(F.size("__items") <= max_basket)
-    rolled = materialize(rolled.select("__items"))
+    rolled = _rolled_items(baskets, basket_col, item_col, max_basket)
     n_baskets = rolled.agg(F.count("*").cast("bigint").alias("__n"))
     item_n = (
         rolled.select(F.explode("__items").alias("__i"))
         .groupBy("__i")
         .agg(F.count("*").cast("bigint").alias("__in"))
     )
-    items = F.col("__items")
-    pair_structs = F.flatten(
-        F.transform(
-            items,
-            lambda x, i: F.transform(
-                F.slice(items, i + 2, F.size(items)),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
-    pairs = (
-        rolled.select(F.explode(pair_structs).alias("__p"))
-        .select("__p.item_a", "__p.item_b")
-        .groupBy("item_a", "item_b")
-        .agg(F.count("*").cast("bigint").alias("pair_n"))
-        .filter(F.col("pair_n") >= min_pair_support)
-    )
+    pairs = _pair_counts(rolled, min_pair_support)
     # item popularity scales with the CATALOG, not the corpus — like
     # the customer dim in order_wide_join it gets no forced broadcast:
     # AQE picks BHJ while it fits and falls back to SMJ beyond. The
@@ -125,4 +95,68 @@ def copurchase_pairs(
         )
         .orderBy(F.desc("pair_n"), F.asc("item_a"), F.asc("item_b"))
         .limit(k)
+    )
+
+
+def _rolled_items(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int | None,
+) -> DataFrame:
+    """ONE basket-keyed shuffle: collect_set partial-aggregates
+    map-side, dedupes presence, and sort_array makes the in-row pair
+    order deterministic. (The alternative — a present⋈present
+    self-join on the basket id — shuffles the (basket, item) list
+    TWICE; measured ~76.6× at the ×100 probe, this shape halves the
+    wide bytes.)"""
+    from ..materialize import materialize
+
+    rolled = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).groupBy("__b").agg(F.sort_array(F.collect_set("__i")).alias("__items"))
+    if max_basket is not None:
+        rolled = rolled.filter(F.size("__items") <= max_basket)
+    return materialize(rolled.select("__items"))
+
+
+def _pair_counts(rolled: DataFrame, min_pair_support: int) -> DataFrame:
+    """(item_a, item_b, pair_n) with item_a < item_b from the rolled
+    basket arrays — pairs enumerate INSIDE the row (C(k, 2) per
+    basket); `items` inside the nested lambdas is a plain column
+    reference, so the no-CSE-in-HOF rule costs nothing."""
+    items = F.col("__items")
+    pair_structs = F.flatten(
+        F.transform(
+            items,
+            lambda x, i: F.transform(
+                F.slice(items, i + 2, F.size(items)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    return (
+        rolled.select(F.explode(pair_structs).alias("__p"))
+        .select("__p.item_a", "__p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_support)
+    )
+
+
+def copurchase_edges(
+    baskets: DataFrame,
+    basket_col: str = "basket_id",
+    item_col: str = "item_id",
+    min_pair_support: int = 1,
+    max_basket: int | None = None,
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges (item_a, item_b) with
+    item_a < item_b — the co-purchase GRAPH feeding
+    graph.triangle_stats and any downstream graph analytics. Same
+    single-shuffle in-row pair enumeration as
+    :func:`copurchase_pairs`, minus the association metrics."""
+    rolled = _rolled_items(baskets, basket_col, item_col, max_basket)
+    return _pair_counts(rolled, min_pair_support).select(
+        "item_a", "item_b"
     )

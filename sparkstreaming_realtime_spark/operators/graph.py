@@ -105,3 +105,115 @@ def pagerank(
             eager=True,
         )
     return rd.select("node", "rank_micro")
+
+
+def triangle_stats(
+    edges: DataFrame,
+    node_a: str = "a",
+    node_b: str = "b",
+) -> DataFrame:
+    """Exact per-node triangle counts and local clustering
+    coefficient over an undirected edge list — the degree-ordered
+    orientation algorithm (Schank & Wagner 2005; the MapReduce
+    formulation is Suri & Vassilvitskii 2011, "Counting Triangles and
+    the Curse of the Last Reducer").
+
+    ``edges`` must be DISTINCT undirected edges with ``node_a`` <
+    ``node_b`` per row (no self-loops) — the shape
+    :func:`~..operators.basket.copurchase_pairs`'s pair aggregation
+    emits. Returns (node, deg, tri_n, clustering): every node of the
+    graph, its degree, the exact number of triangles through it, and
+    2·tri/(deg·(deg−1)) rounded 4dp — ONE fixed-order double division
+    of exact int64 counts (the lift/money_sum convention), so the
+    frame hashes across engines.
+
+    Scale shape — why this survives hubs at 100 TB:
+
+    - Each edge is ORIENTED from its (degree, id)-smaller endpoint to
+      the larger. Wedges enumerate only between ORIENTED out-edges,
+      so a degree-10⁶ hub (the "last reducer" killer: C(10⁶, 2)
+      wedges if enumerated naively) is the *target* of almost all its
+      edges and the wedge-center of almost none; total wedge work is
+      O(m^{3/2}) regardless of skew, vs O(Σ deg²) unoriented.
+    - The wedge self-join keys on the oriented source: the oriented
+      frame is hash-partitioned on ``__src`` once (materialize +
+      repartition), so BOTH self-join sides reuse that single
+      exchange.
+    - The closure probe joins wedge (v, w) pairs against the oriented
+      edge set on the composite key — by construction the closing
+      edge is oriented v→w (v precedes w in the same total order), so
+      ONE equi-join suffices, no union of directions.
+    - Per-node counts explode each triangle's 3 corners and
+      partial-aggregate map-side; the final left join re-attaches
+      zero-triangle nodes.
+
+    The total (degree, id) order is replayed verbatim by the SQL
+    oracle, so wedge/triangle sets are identical in both engines —
+    no float anywhere until the final 4dp coefficient."""
+    from ..materialize import materialize
+
+    e = edges.select(
+        F.col(node_a).cast("long").alias("__a"),
+        F.col(node_b).cast("long").alias("__b"),
+    )
+    deg = materialize(
+        e.select(F.col("__a").alias("node"))
+        .unionAll(e.select(F.col("__b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("__a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("__b"), F.col("deg").alias("__db"))
+    ed = e.join(da, "__a").join(db, "__b")
+    lo_a = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("__a") < F.col("__b"))
+    )
+    oriented = ed.select(
+        F.when(lo_a, F.col("__a")).otherwise(F.col("__b")).alias("__src"),
+        F.when(lo_a, F.col("__b")).otherwise(F.col("__a")).alias("__dst"),
+        # the dst endpoint's degree rides along: wedge enumeration
+        # orders the two out-neighbors by the SAME (deg, id) total
+        # order without another degree join
+        F.when(lo_a, F.col("__db")).otherwise(F.col("__da")).alias("__dd"),
+    )
+    oriented = materialize(oriented.repartition(F.col("__src")))
+    e1 = oriented.select(
+        F.col("__src"), F.col("__dst").alias("__v"), F.col("__dd").alias("__dv")
+    )
+    e2 = oriented.select(
+        F.col("__src"), F.col("__dst").alias("__w"), F.col("__dd").alias("__dw")
+    )
+    wedges = e1.join(e2, "__src").filter(
+        (F.col("__dv") < F.col("__dw"))
+        | ((F.col("__dv") == F.col("__dw")) & (F.col("__v") < F.col("__w")))
+    )
+    closing = oriented.select(
+        F.col("__src").alias("__v"), F.col("__dst").alias("__w")
+    )
+    tris = wedges.join(closing, ["__v", "__w"]).select(
+        F.col("__src").alias("__u"), "__v", "__w"
+    )
+    per_node = (
+        tris.select(
+            F.explode(F.array(F.col("__u"), F.col("__v"), F.col("__w"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__t"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("__t"), F.lit(0)).cast("bigint").alias("tri_n"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                (2 * F.coalesce(F.col("__t"), F.lit(0))).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

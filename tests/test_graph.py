@@ -90,3 +90,65 @@ def test_order_graph_supplier_namespace_disjoint_on_scaled_fixtures(spark):
     assert all(
         (r.c < BASE) == (r.s > -BASE - 1) for r in rows
     ), "cross-copy edge: customer and supplier from different copies"
+
+
+def _tri_rows(spark, edges):
+    from sparkstreaming_realtime_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    return {
+        r.node: (r.deg, r.tri_n, r.clustering)
+        for r in triangle_stats(df).collect()
+    }
+
+
+def test_triangle_stats_hand_computed(spark):
+    # K4 on {1,2,3,4} plus a pendant 5-1: C(4,3)=4 triangles, each
+    # K4 node on 3 of them; node 5 on none.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    got = _tri_rows(spark, k4 + [(1, 5)])
+    assert got[5] == (1, 0, 0.0)
+    # node 1: deg 4 (K4 + pendant), 3 triangles, cc = 6/12
+    assert got[1] == (4, 3, 0.5)
+    # nodes 2-4: deg 3, 3 triangles, cc = 6/6 = 1.0
+    for n in (2, 3, 4):
+        assert got[n] == (3, 3, 1.0)
+
+
+def test_triangle_stats_counts_each_triangle_once_under_skew(spark):
+    # hub 100 connected to 1..20; consecutive spokes also connected:
+    # triangles are exactly (100, i, i+1) for i in 1..19
+    edges = [(i, 100) for i in range(1, 21)] + [
+        (i, i + 1) for i in range(1, 20)
+    ]
+    got = _tri_rows(spark, edges)
+    assert got[100][1] == 19
+    assert got[1][1] == 1 and got[20][1] == 1
+    for i in range(2, 20):
+        assert got[i][1] == 2
+    total = sum(t for _, t, _ in got.values())
+    assert total == 3 * 19
+
+
+def test_triangle_stats_partitioning_independent(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(300)
+            for a, b in [sorted(rng.sample(range(1, 40), 2))]
+        }
+    )
+    df1 = spark.createDataFrame(edges, "a long, b long").repartition(1)
+    df17 = spark.createDataFrame(edges, "a long, b long").repartition(17)
+    from sparkstreaming_realtime_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    r1 = sorted(map(tuple, triangle_stats(df1).collect()))
+    r17 = sorted(map(tuple, triangle_stats(df17).collect()))
+    assert r1 == r17

@@ -526,3 +526,81 @@ def lexical_commonness(
             F.sum("n_tok").cast("bigint").alias("sum_tokens"),
         )
     )
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram Shannon entropy — the information-theoretic
+    quality signal complementing the ratio heuristics
+    (:func:`quality_score`) and the surface repetition gates
+    (:func:`repetition_ratio`, the Gopher flags): boilerplate and
+    keyword-stuffed spam have LOW entropy for their length, and
+    entropy is what the "compression ratio" filters in published
+    curation pipelines (e.g. CCNet's LM-based filtering cousin)
+    approximate.
+
+    H = ln N − (Σ_t c_t·ln c_t)/N over token counts c_t. Every
+    per-term contribution quantizes to integer **micro-nats**
+    (``round(1e6·c·ln c)`` — the lm.py convention) and sums as a
+    bigint, so the total is order-independent; ln N enters once per
+    document. Returns (doc_id, n_tokens, n_distinct, entropy) with
+    ``entropy`` rounded 4dp.
+
+    Scale shape: **zero shuffle**. Counts come from run lengths of
+    the per-document SORTED token array — sort_array + two
+    higher-order transforms, all inside whole-stage codegen — never
+    an explode + (doc, token) groupBy (which would shuffle one row
+    per token: the corpus token count, ~10¹¹ rows at 100 TB, against
+    this shape's nothing). The sorted array binds ONCE behind an
+    explode(array()) barrier (the no-CSE-in-HOF rule)."""
+    t = F.col("__t")
+    n = F.size(t)
+    # 1-based positions where a new run starts (F.get is 0-based and
+    # NULL-safe out of bounds — element_at would throw under ANSI)
+    starts = F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == 1)
+            | (F.get(t, i - 1) != F.get(t, i - 2)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    base = docs.select(
+        "doc_id",
+        F.explode(F.array(F.sort_array(tokenize(text_col)))).alias("__t"),
+    ).select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.explode(F.array(starts)).alias("__s"),
+    )
+    s = F.col("__s")
+    k_max = F.size(s)
+    lens = F.transform(
+        F.sequence(F.lit(1), k_max),
+        lambda k: F.coalesce(
+            F.get(s, k).cast("bigint"), F.col("n_tokens") + 1
+        )
+        - F.get(s, k - 1).cast("bigint"),
+    )
+    micro = F.aggregate(
+        F.when(k_max > 0, lens).otherwise(F.array().cast("array<bigint>")),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: acc
+        + F.round(F.lit(1e6) * c.cast("double") * F.log(c.cast("double")))
+        .cast("bigint"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        k_max.cast("bigint").alias("n_distinct"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - micro.cast("double")
+                / (F.lit(1e6) * F.col("n_tokens").cast("double")),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy"),
+    )

@@ -4185,3 +4185,54 @@ def doc_chunk_dedup_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.chunk_dedup(
         dd.spread(_t(spark, sf_dir, "documents")), w=_CHUNK_W, stride=_CHUNK_S
     )
+
+
+def _token_entropy_oracle() -> str:
+    """Replica of textstats.token_entropy: counts from run lengths of
+    the sorted token list (any total order groups equal tokens, so
+    collation differences cannot change the counts), per-term
+    micro-nat quantization, ln N once per doc."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_sort({_toks_sql("text")}) AS t FROM documents),
+b AS (SELECT doc_id, t, len(t)::BIGINT AS n FROM toks),
+s AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 0 THEN
+           list_filter(range(1, n + 1), i -> i = 1 OR t[i] <> t[i-1])
+         ELSE [] END AS st
+  FROM b),
+l AS (
+  SELECT doc_id, n, len(st)::BIGINT AS d,
+         list_transform(range(1, len(st) + 1),
+                        k -> coalesce(st[k + 1], n + 1) - st[k]) AS lens
+  FROM s),
+m AS (
+  SELECT doc_id, n, d,
+         coalesce(list_sum(list_transform(
+           lens, c -> round(1e6 * c * ln(c))::BIGINT)), 0) AS micro
+  FROM l)
+SELECT doc_id, n AS n_tokens, d AS n_distinct,
+       CASE WHEN n > 0
+            THEN round(ln(n) - micro::DOUBLE / (1e6 * n::DOUBLE), 4)
+            ELSE 0.0 END AS entropy
+FROM m
+"""
+
+
+@register(
+    "doc_token_entropy",
+    oracle=_token_entropy_oracle(),
+    tags=("LLM", "text", "quality"),
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy
+    (operators/textstats.py:token_entropy) — the information-theoretic
+    quality signal beside the ratio heuristics and Gopher repetition
+    gates: boilerplate scores LOW entropy for its length. Zero
+    shuffle: token counts come from run lengths of the per-doc SORTED
+    token array (sort_array + higher-order transforms, all in
+    whole-stage codegen), never an explode + (doc, token) groupBy;
+    per-term contributions quantize to integer micro-nats (the lm.py
+    move) so the per-doc total is summation-order-free."""
+    return ts.token_entropy(_t(spark, sf_dir, "documents"))

@@ -2598,3 +2598,49 @@ def test_knn_join_max_cos_bands_out_near_dups(spark):
     # 1 (cos 1.0) and 2 (0.707) excluded; band top-3 = 3, 4, 5
     assert got == [(3, 1), (4, 2), (5, 3)]
     assert all(r.cos <= 0.5 for r in out)
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    from sparkstreaming_realtime_spark.operators.textstats import (
+        token_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),          # N=4, counts {2,2} -> H = ln 2
+            (2, "x x x x"),          # N=4, one run     -> H = 0
+            (3, "a b c d"),          # uniform          -> H = ln 4
+            (4, "!!! ..."),          # tokenizes empty  -> H = 0
+            (5, "a a b"),            # N=3 {2,1}
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.entropy)
+        for r in token_entropy(docs).collect()
+    }
+    assert got[1] == (4, 2, round(math.log(2), 4))
+    assert got[2] == (4, 1, 0.0)
+    assert got[3] == (4, 4, round(math.log(4), 4))
+    assert got[4] == (0, 0, 0.0)
+    # micro-nat replica of the engine arithmetic, not a float oracle
+    micro = round(1e6 * 2 * math.log(2))
+    assert got[5] == (3, 2, round(math.log(3) - micro / (1e6 * 3), 4))
+
+
+def test_token_entropy_boilerplate_scores_below_diverse(spark):
+    from sparkstreaming_realtime_spark.operators.textstats import (
+        token_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "click here to subscribe " * 25),
+            (2, " ".join(f"tok{i}" for i in range(100))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.entropy for r in token_entropy(docs).collect()}
+    assert got[1] < got[2]

@@ -20,6 +20,8 @@ transfer):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1055,9 +1057,59 @@ def _verify_cosine_pairs(
     )
 
 
+class EvalIndex(NamedTuple):
+    """Frozen eval/benchmark side of :func:`semantic_decontaminate`:
+    the band buckets and (vector, norm) payloads of the eval set,
+    materialized ONCE. Benchmarks are frozen while training data
+    keeps arriving, so an ingest-time screening loop (the
+    streaming_decontaminate_parity shape) prepares this once and
+    reuses it every micro-batch — without it, each batch re-plans and
+    re-runs the eval-side plane projection (a bands·rows_per_band·dim
+    literal expression, the most expensive thing Janino sees in that
+    plan) against a set that never changed."""
+
+    bands: int
+    rows_per_band: int
+    #: (id_col, bucket) — output of rh_band_buckets on the eval set
+    buckets: DataFrame
+    #: (id_col, vec_col, norm) — verify-side payloads
+    vectors: DataFrame
+
+
+def prepare_eval_index(
+    evalset: DataFrame,
+    dim: int,
+    bands: int,
+    rows_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> EvalIndex:
+    """Materialize the eval side once for repeated
+    :func:`semantic_decontaminate` calls (same planes as the train
+    side will derive — random_hyperplanes is deterministic in
+    (count, dim))."""
+    from ..functions.vectors import l2_norm
+    from ..materialize import materialize
+
+    planes = random_hyperplanes(bands * rows_per_band, dim)
+    buckets = materialize(
+        rh_band_buckets(
+            evalset, planes, id_col, bands, rows_per_band, vec_col=vec_col
+        ).select(id_col, "bucket"),
+        eager=True,
+    )
+    vectors = materialize(
+        evalset.select(
+            id_col, vec_col, l2_norm(vec_col).alias("norm")
+        ),
+        eager=True,
+    )
+    return EvalIndex(bands, rows_per_band, buckets, vectors)
+
+
 def semantic_decontaminate(
     train: DataFrame,
-    evalset: DataFrame,
+    evalset: DataFrame | None,
     dim: int,
     threshold: float = 0.4,
     id_col: str = "vec_id",
@@ -1066,6 +1118,7 @@ def semantic_decontaminate(
     rows_per_band: int | None = None,
     approx_count: int | None = None,
     allow_fixed_knobs: bool = False,
+    eval_index: EvalIndex | None = None,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination (the semantic
     sibling of dedup.decontaminate's 5-gram overlap, per the
@@ -1091,7 +1144,24 @@ def semantic_decontaminate(
     anti-join the result against train to get the clean corpus."""
     from ..functions.vectors import dot, l2_norm
 
-    if rows_per_band is None:
+    if eval_index is not None:
+        if bands not in (None, eval_index.bands) or rows_per_band not in (
+            None,
+            eval_index.rows_per_band,
+        ):
+            raise ValueError(
+                "bands/rows_per_band conflict with the frozen eval index "
+                f"({eval_index.bands}x{eval_index.rows_per_band})"
+            )
+        bands, rows_per_band = eval_index.bands, eval_index.rows_per_band
+        if not allow_fixed_knobs:
+            n = approx_count if approx_count is not None else train.count()
+            if n > FIXED_KNOB_GUARD_N:
+                _guard_fixed_knobs(
+                    n, "a frozen eval index pins the LSH bucket count "
+                    "while the train corpus grows",
+                )
+    elif rows_per_band is None:
         n = approx_count if approx_count is not None else train.count()
         auto_bands, rows_per_band = auto_lsh_params(
             n, base_bands=bands if bands is not None else RH_BANDS
@@ -1112,9 +1182,22 @@ def semantic_decontaminate(
     tb = rh_band_buckets(
         train, planes, id_col, bands, rows_per_band, vec_col=vec_col
     )
-    eb = rh_band_buckets(
-        evalset, planes, id_col, bands, rows_per_band, vec_col=vec_col
-    )
+    if eval_index is not None:
+        eb = eval_index.buckets
+        ev = eval_index.vectors.select(
+            F.col(id_col).alias("__eid"),
+            F.col(vec_col).alias("__ev"),
+            F.col("norm").alias("__en"),
+        )
+    else:
+        eb = rh_band_buckets(
+            evalset, planes, id_col, bands, rows_per_band, vec_col=vec_col
+        )
+        ev = evalset.select(
+            F.col(id_col).alias("__eid"),
+            F.col(vec_col).alias("__ev"),
+            l2_norm(vec_col).alias("__en"),
+        )
     cands = (
         tb.select("bucket", F.col(id_col).alias("__tid"))
         .join(
@@ -1127,11 +1210,6 @@ def semantic_decontaminate(
         F.col(id_col).alias("__tid"),
         F.col(vec_col).alias("__tv"),
         l2_norm(vec_col).alias("__tn"),
-    )
-    ev = evalset.select(
-        F.col(id_col).alias("__eid"),
-        F.col(vec_col).alias("__ev"),
-        l2_norm(vec_col).alias("__en"),
     )
     verified = (
         cands.join(tv, "__tid")

@@ -2476,16 +2476,24 @@ def streaming_decontaminate_parity(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out = os.path.join(root, "flagged")
     n = _corpus_count(sf_dir)
+    # freeze the benchmark side ONCE: the eval set never changes
+    # across micro-batches, so its band buckets + norms materialize
+    # here and every batch plan joins against the tiny cached frames
+    # instead of re-compiling and re-running the eval-side plane
+    # projection (measured ~16 s -> see PERF.md, the per-batch cost
+    # was plan-compile dominated)
+    idx = sim.prepare_eval_index(
+        evalset, dim=_EMB_DIM, bands=_LSH_PIN, rows_per_band=_LSH_PIN
+    )
 
     def flag_batch(batch_df, batch_id: int) -> None:
         res = sim.semantic_decontaminate(
             batch_df,
-            evalset,
+            None,
             dim=_EMB_DIM,
             threshold=0.4,
-            bands=_LSH_PIN,
-            rows_per_band=_LSH_PIN,
             approx_count=n,
+            eval_index=idx,
         )
         # overwrite-by-batch-dir: replayed epochs land idempotently
         res.write.mode("overwrite").parquet(

@@ -2644,3 +2644,54 @@ def test_token_entropy_boilerplate_scores_below_diverse(spark):
     )
     got = {r.doc_id: r.entropy for r in token_entropy(docs).collect()}
     assert got[1] < got[2]
+
+
+def test_semantic_decontaminate_frozen_eval_index_is_equivalent(spark):
+    """prepare_eval_index freezes the benchmark side; results must be
+    row-identical to the inline path, and conflicting knobs raise."""
+    import pytest
+
+    from sparkstreaming_realtime_spark.operators import similarity as sim
+
+    dim = 8
+
+    def v(i, hot, mag=1.0):
+        vec = [0.0] * dim
+        vec[hot] = mag
+        return (i, vec)
+
+    evalset = spark.createDataFrame(
+        [v(100, 0), v(101, 0, 2.0), v(102, 3)],
+        "vec_id long, embedding array<float>",
+    )
+    train = spark.createDataFrame(
+        [v(1, 0, 0.5), v(2, 5), v(3, 3, 4.0)],
+        "vec_id long, embedding array<float>",
+    )
+    inline = sorted(
+        map(
+            tuple,
+            sim.semantic_decontaminate(
+                train, evalset, dim=dim, threshold=0.9,
+                bands=4, rows_per_band=2, approx_count=3,
+            ).collect(),
+        )
+    )
+    idx = sim.prepare_eval_index(
+        evalset, dim=dim, bands=4, rows_per_band=2
+    )
+    frozen = sorted(
+        map(
+            tuple,
+            sim.semantic_decontaminate(
+                train, None, dim=dim, threshold=0.9,
+                approx_count=3, eval_index=idx,
+            ).collect(),
+        )
+    )
+    assert inline == frozen
+    with pytest.raises(ValueError, match="frozen eval index"):
+        sim.semantic_decontaminate(
+            train, None, dim=dim, bands=6, rows_per_band=6,
+            approx_count=3, eval_index=idx,
+        )

@@ -150,43 +150,8 @@ def triangle_stats(
     The total (degree, id) order is replayed verbatim by the SQL
     oracle, so wedge/triangle sets are identical in both engines —
     no float anywhere until the final 4dp coefficient."""
-    from ..materialize import materialize
-
-    e = edges.select(
-        F.col(node_a).cast("long").alias("__a"),
-        F.col(node_b).cast("long").alias("__b"),
-    )
-    deg = materialize(
-        e.select(F.col("__a").alias("node"))
-        .unionAll(e.select(F.col("__b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    )
-    da = deg.select(F.col("node").alias("__a"), F.col("deg").alias("__da"))
-    db = deg.select(F.col("node").alias("__b"), F.col("deg").alias("__db"))
-    ed = e.join(da, "__a").join(db, "__b")
-    lo_a = (F.col("__da") < F.col("__db")) | (
-        (F.col("__da") == F.col("__db")) & (F.col("__a") < F.col("__b"))
-    )
-    oriented = ed.select(
-        F.when(lo_a, F.col("__a")).otherwise(F.col("__b")).alias("__src"),
-        F.when(lo_a, F.col("__b")).otherwise(F.col("__a")).alias("__dst"),
-        # the dst endpoint's degree rides along: wedge enumeration
-        # orders the two out-neighbors by the SAME (deg, id) total
-        # order without another degree join
-        F.when(lo_a, F.col("__db")).otherwise(F.col("__da")).alias("__dd"),
-    )
-    oriented = materialize(oriented.repartition(F.col("__src")))
-    e1 = oriented.select(
-        F.col("__src"), F.col("__dst").alias("__v"), F.col("__dd").alias("__dv")
-    )
-    e2 = oriented.select(
-        F.col("__src"), F.col("__dst").alias("__w"), F.col("__dd").alias("__dw")
-    )
-    wedges = e1.join(e2, "__src").filter(
-        (F.col("__dv") < F.col("__dw"))
-        | ((F.col("__dv") == F.col("__dw")) & (F.col("__v") < F.col("__w")))
-    )
+    deg, oriented = _degree_oriented(edges, node_a, node_b)
+    wedges = _wedges(oriented)
     closing = oriented.select(
         F.col("__src").alias("__v"), F.col("__dst").alias("__w")
     )
@@ -216,4 +181,174 @@ def triangle_stats(
         )
         .otherwise(F.lit(0.0))
         .alias("clustering"),
+    )
+
+
+def _degree_oriented(
+    edges: DataFrame, node_a: str, node_b: str
+) -> tuple[DataFrame, DataFrame]:
+    """Degree frame + degree-ordered oriented edge list shared by
+    :func:`triangle_stats` and :func:`link_prediction`. ``oriented``
+    is (__src, __dst, __sd, __dd): each undirected edge oriented from
+    its (degree, id)-smaller endpoint, both endpoint degrees riding
+    along (src's for Adamic-Adar weights, dst's for wedge ordering —
+    neither needs another join later). Hash-partitioned on ``__src``
+    once so the wedge self-join reuses a single exchange."""
+    from ..materialize import materialize
+
+    e = edges.select(
+        F.col(node_a).cast("long").alias("__a"),
+        F.col(node_b).cast("long").alias("__b"),
+    )
+    deg = materialize(
+        e.select(F.col("__a").alias("node"))
+        .unionAll(e.select(F.col("__b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("__a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("__b"), F.col("deg").alias("__db"))
+    ed = e.join(da, "__a").join(db, "__b")
+    lo_a = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("__a") < F.col("__b"))
+    )
+    oriented = ed.select(
+        F.when(lo_a, F.col("__a")).otherwise(F.col("__b")).alias("__src"),
+        F.when(lo_a, F.col("__b")).otherwise(F.col("__a")).alias("__dst"),
+        F.when(lo_a, F.col("__da")).otherwise(F.col("__db")).alias("__sd"),
+        F.when(lo_a, F.col("__db")).otherwise(F.col("__da")).alias("__dd"),
+    )
+    oriented = materialize(oriented.repartition(F.col("__src")))
+    return deg, oriented
+
+
+def _wedges(oriented: DataFrame) -> DataFrame:
+    """(__src, __sd, __v, __w) wedge frame: unordered out-neighbor
+    pairs of each wedge center, canonicalized so (__v, __w) follows
+    the SAME (deg, id) total order as the orientation — the closing
+    edge, if it exists, is oriented __v→__w, so one equi-join decides
+    closure."""
+    e1 = oriented.select(
+        F.col("__src"),
+        F.col("__sd"),
+        F.col("__dst").alias("__v"),
+        F.col("__dd").alias("__dv"),
+    )
+    e2 = oriented.select(
+        F.col("__src"), F.col("__dst").alias("__w"), F.col("__dd").alias("__dw")
+    )
+    return e1.join(e2, "__src").filter(
+        (F.col("__dv") < F.col("__dw"))
+        | ((F.col("__dv") == F.col("__dw")) & (F.col("__v") < F.col("__w")))
+    )
+
+
+def link_prediction(
+    edges: DataFrame,
+    node_a: str = "a",
+    node_b: str = "b",
+    k: int = 20,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Top-``k`` predicted links: non-adjacent node pairs ranked by
+    common-neighbor count with the Adamic-Adar tie-breaker (Liben-
+    Nowell & Kleinberg 2003; Adamic & Adar 2003) — the candidate-
+    generation primitive of collaborative filtering ("customers who
+    bought X also bought..." one hop further than the co-purchase
+    edge itself).
+
+    A pair (v, w)'s common-neighbor count is its wedge count over the
+    FULL adjacency — unlike triangle closure, the wedge center's
+    edges may point either way under the triangle orientation (a
+    center both of whose edges point INWARD still witnesses a common
+    neighbor), so wedges enumerate from the bidirectional neighbor
+    list, Σ C(deg, 2) total. That is quadratic in a hub's degree;
+    ``max_degree`` drops over-connected wedge CENTERS entirely (the
+    max_bucket/max_basket move — a boilerplate hub shared by
+    everything carries no signal and C(10⁶, 2) cost), loudly bounding
+    the work at |V|·C(cap, 2). The canonical (deg, id) pair order
+    still matches the edge orientation, so one left-anti equi-join
+    removes already-linked pairs.
+
+    Adamic-Adar down-weights promiscuous shared neighbors by
+    1/ln(deg): each wedge center contributes ``round(1e6/ln(deg_u))``
+    integer micro-units (deg_u ≥ 2 whenever a wedge exists, so the
+    log never vanishes; the lm.py micro-nat convention), summed as
+    bigints — order-independent, and one final 4dp division makes the
+    readable score. Returns (node_a, node_b, common_n, aa_micro,
+    aa_score) ordered by (common_n desc, aa_micro desc, node_a,
+    node_b)."""
+    deg, oriented = _degree_oriented(edges, node_a, node_b)
+    # full adjacency with the center's degree first: both directions
+    # of every oriented edge, re-partitioned on the center so the
+    # wedge self-join reuses one exchange
+    fwd = oriented.select(
+        F.col("__src").alias("__c"),
+        F.col("__sd").alias("__cd"),
+        F.col("__dst").alias("__n"),
+        F.col("__dd").alias("__nd"),
+    )
+    rev = oriented.select(
+        F.col("__dst").alias("__c"),
+        F.col("__dd").alias("__cd"),
+        F.col("__src").alias("__n"),
+        F.col("__sd").alias("__nd"),
+    )
+    adj = fwd.unionAll(rev)
+    if max_degree is not None:
+        adj = adj.filter(F.col("__cd") <= max_degree)
+    from ..materialize import materialize
+
+    adj = materialize(adj.repartition(F.col("__c")))
+    e1 = adj.select(
+        "__c",
+        "__cd",
+        F.col("__n").alias("__v"),
+        F.col("__nd").alias("__dv"),
+    )
+    e2 = adj.select(
+        "__c", F.col("__n").alias("__w"), F.col("__nd").alias("__dw")
+    )
+    w = (
+        e1.join(e2, "__c")
+        .filter(
+            (F.col("__dv") < F.col("__dw"))
+            | ((F.col("__dv") == F.col("__dw")) & (F.col("__v") < F.col("__w")))
+        )
+        .select(
+            "__v",
+            "__w",
+            F.round(F.lit(1e6) / F.log(F.col("__cd").cast("double")))
+            .cast("bigint")
+            .alias("__aa"),
+        )
+    )
+    closing = oriented.select(
+        F.col("__src").alias("__v"), F.col("__dst").alias("__w")
+    )
+    open_pairs = (
+        w.groupBy("__v", "__w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_n"),
+            F.sum("__aa").cast("bigint").alias("aa_micro"),
+        )
+        .join(closing, ["__v", "__w"], "left_anti")
+    )
+    return (
+        open_pairs.select(
+            F.col("__v").alias(node_a),
+            F.col("__w").alias(node_b),
+            "common_n",
+            "aa_micro",
+            F.round(F.col("aa_micro").cast("double") / 1e6, 4).alias(
+                "aa_score"
+            ),
+        )
+        .orderBy(
+            F.desc("common_n"),
+            F.desc("aa_micro"),
+            F.asc(node_a),
+            F.asc(node_b),
+        )
+        .limit(k)
     )

@@ -3893,3 +3893,83 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tri_n"), F.asc("node"))
         .limit(20)
     )
+
+
+_LINK_PRED_ORACLE = """
+WITH present AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+edges AS (
+  SELECT a.i AS ea, b2.i AS eb
+  FROM present a JOIN present b2 ON a.b = b2.b AND a.i < b2.i
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+deg AS (
+  SELECT node, count(*)::BIGINT AS deg FROM (
+    SELECT ea AS node FROM edges
+    UNION ALL SELECT eb FROM edges) GROUP BY 1),
+adj AS (
+  SELECT ea AS c, da.deg AS cd, eb AS n, db.deg AS nd
+  FROM edges JOIN deg da ON ea = da.node JOIN deg db ON eb = db.node
+  UNION ALL
+  SELECT eb, db.deg, ea, da.deg
+  FROM edges JOIN deg da ON ea = da.node JOIN deg db ON eb = db.node),
+w AS (
+  SELECT e1.n AS v, e2.n AS w,
+         round(1e6 / ln(e1.cd))::BIGINT AS aa
+  FROM adj e1 JOIN adj e2 ON e1.c = e2.c
+   AND (e1.nd < e2.nd OR (e1.nd = e2.nd AND e1.n < e2.n))),
+pairs AS (
+  SELECT v, w, count(*)::BIGINT AS common_n, sum(aa)::BIGINT AS aa_micro
+  FROM w GROUP BY 1, 2),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND ea < eb)
+              THEN ea ELSE eb END AS src,
+         CASE WHEN da.deg < db.deg
+                   OR (da.deg = db.deg AND ea < eb)
+              THEN eb ELSE ea END AS dst
+  FROM edges JOIN deg da ON ea = da.node JOIN deg db ON eb = db.node),
+open_pairs AS (
+  SELECT p.* FROM pairs p ANTI JOIN o ON p.v = o.src AND p.w = o.dst)
+SELECT v AS item_a, w AS item_b, common_n, aa_micro,
+       round(aa_micro::DOUBLE / 1e6, 4) AS aa_score
+FROM open_pairs
+ORDER BY common_n DESC, aa_micro DESC, item_a, item_b
+LIMIT 20
+"""
+
+
+@register(
+    "part_link_prediction",
+    oracle=_LINK_PRED_ORACLE,
+    tags=("analytics", "graph", "extension"),
+)
+def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted co-purchase links
+    (operators/graph.py:link_prediction — common-neighbor count with
+    Adamic-Adar tie-break, Liben-Nowell & Kleinberg 2003): part pairs
+    NEVER strongly bought together whose STRONG-co-purchase
+    neighborhoods (pair support >= 2 — link prediction wants signal
+    edges, and the support-1 graph here is near-uniform deg ~115
+    noise) overlap most — the collaborative-filtering candidate
+    generator one hop past part_copurchase_pairs. Wedges enumerate
+    over the full bidirectional adjacency (a common neighbor
+    witnesses the pair regardless of triangle orientation — the
+    oriented trick is closure-only); hub centers are boundable via
+    max_degree (the max_bucket move, unused here). Adamic-Adar
+    weights quantize to integer micro-units per wedge (deg >= 2
+    wherever a wedge exists) and sum order-free; the canonical
+    (deg, id) pair order matches the edge orientation so one
+    left-anti equi-join drops existing links. The oracle replays the
+    identical adjacency and micro-unit arithmetic."""
+    from ..operators.basket import copurchase_edges
+    from ..operators.graph import link_prediction
+
+    edges = copurchase_edges(
+        _t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_pair_support=2,
+    )
+    return link_prediction(
+        edges, node_a="item_a", node_b="item_b", k=20
+    )

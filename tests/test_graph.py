@@ -152,3 +152,69 @@ def test_triangle_stats_partitioning_independent(spark):
     r1 = sorted(map(tuple, triangle_stats(df1).collect()))
     r17 = sorted(map(tuple, triangle_stats(df17).collect()))
     assert r1 == r17
+
+
+def test_link_prediction_hand_computed(spark):
+    import math
+
+    from sparkstreaming_realtime_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # path 1-2-3 plus 3-4: open pairs (1,3) share {2}; (2,4) share
+    # {3}; (1,4) share nothing
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a long, b long"
+    )
+    rows = link_prediction(edges).collect()
+    got = {
+        tuple(sorted((r.a, r.b))): (r.common_n, r.aa_micro, r.aa_score)
+        for r in rows
+    }
+    aa2 = round(1e6 / math.log(2))
+    assert got[(1, 3)] == (1, aa2, round(aa2 / 1e6, 4))
+    assert got[(2, 4)] == (1, aa2, round(aa2 / 1e6, 4))
+    assert (1, 4) not in got
+    # no existing edge may appear
+    assert not {(1, 2), (2, 3), (3, 4)} & set(got)
+
+
+def test_link_prediction_excludes_closed_triangles(spark):
+    from sparkstreaming_realtime_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # K3 is fully closed: no open wedge pairs at all
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "a long, b long"
+    )
+    assert link_prediction(edges).count() == 0
+
+
+def test_link_prediction_aa_prefers_selective_neighbors(spark):
+    from sparkstreaming_realtime_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # (1,2) share selective hub 10 (deg 2); (3,4) share promiscuous
+    # hub 20 (deg 5): equal common_n, AA must rank (1,2) first
+    edges = [(1, 10), (2, 10), (3, 20), (4, 20)] + [
+        (20, x) for x in (31, 32, 33)
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    rows = link_prediction(df, k=50).collect()
+    ranked = [tuple(sorted((r.a, r.b))) for r in rows]
+    assert ranked.index((1, 2)) < ranked.index((3, 4))
+
+
+def test_link_prediction_max_degree_drops_hub_centers(spark):
+    from sparkstreaming_realtime_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # hub 10 (deg 4) is the only shared neighbor of (1,2); capping
+    # at 3 removes the hub as a wedge center, so no prediction
+    edges = [(1, 10), (2, 10), (3, 10), (4, 10)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    assert link_prediction(df).count() == 6  # C(4,2) open pairs
+    assert link_prediction(df, max_degree=3).count() == 0

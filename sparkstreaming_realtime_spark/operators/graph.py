@@ -196,6 +196,17 @@ def _degree_oriented(
     once so the wedge self-join reuses a single exchange."""
     from ..materialize import materialize
 
+    # NOTE on (not) caching the edge list: this function references
+    # ``edges`` three times (twice for degrees, once for
+    # orientation), and when the caller hands in a derived frame the
+    # derivation re-runs per reference — but persisting it here
+    # measured 3.5× WORSE at sf0.1 (8.4 s -> 29.9 s: the disk-persist
+    # barrier serializes the three branches that otherwise re-derive
+    # CONCURRENTLY from the upstream cache, and hides the stats AQE
+    # used to coalesce the wedge exchanges). Callers whose edge
+    # derivation is genuinely expensive should materialize it
+    # themselves; co-purchase pair enumeration from the cached rolled
+    # frame is cheaper re-run than persisted.
     e = edges.select(
         F.col(node_a).cast("long").alias("__a"),
         F.col(node_b).cast("long").alias("__b"),

@@ -70,8 +70,12 @@ _PRIORITY = [
     # rollup (emb_ivf_compact_topk rotated to the tail — green r6-r10,
     # emb_ivf_append_topk keeps the persisted-index family in-window)
     "revenue_rolling_windows", "revenue_anomaly_days",
-    # text-stats / quality family (sentinels + r6-edited)
-    "doc_quality_bands",
+    # text-stats / quality family (sentinels + r6-edited). NEW r11
+    # session 4: per-doc unigram Shannon entropy — the zero-shuffle
+    # information-theoretic quality signal (streaming_dau_dedup_parity
+    # rotated to the tail for it — green r2-r10; the streaming block
+    # below keeps seven in-window parities)
+    "doc_quality_bands", "doc_token_entropy",
     # r6 money-path edit: exact-div cents + wide charge accumulator
     "pricing_summary",
     # dedup / cluster / split family (doc_chunk_dedup_stride rotated
@@ -111,6 +115,16 @@ _PRIORITY = [
     # stays in-window inside the clustered-SemDeDup rows, which train
     # k-means end to end)
     "part_copurchase_pairs",
+    # NEW r11 session 4: exact triangle counting (degree-ordered
+    # orientation over the support-1 co-purchase graph) and
+    # common-neighbor/Adamic-Adar link prediction over the strong
+    # (support-2) graph — the graph-analytics pair beside PageRank
+    # (emb_semantic_dedup_clustered_auto and streaming_scd2_parity
+    # rotated to the tail for them — green r8s2-r10 / r5-r10; the
+    # clustered-SemDeDup family keeps two in-window rows and the SCD2
+    # family's batch oracle cdc_scd2_history stays in the r1-r10
+    # green union)
+    "part_copurchase_triangles", "part_link_prediction",
     # LLM dedup/similarity (re-verify the r6 width edits: the 6×6
     # re-pin, the width-adaptive auto oracle's first hash row, the
     # Hadoop-FS index maintenance behind append + NEW compact, and
@@ -128,7 +142,6 @@ _PRIORITY = [
     # published SemDeDup scale knob; emb_knn_join rotated to the
     # tail for it, green r6–r7, emb_ivf_knn_join keeps the kNN-join
     # shape verified in the r1–r7 union)
-    "emb_semantic_dedup_clustered_auto",
     # NEW r10: cross-frame LSH decontamination (emb_ivfpq_topk
     # rotated to the tail for it — green r8s2-r9, emb_ivf_append/
     # compact keep the persisted-index family in-window)
@@ -146,7 +159,6 @@ _PRIORITY = [
     # emb_ivfpq_topk keeping their families in-window); last in the
     # top-50 block: if the cap is a count they're inside it, if a
     # time budget the cheap queries above have already banked rows
-    "streaming_dau_dedup_parity", "streaming_scd2_parity",
     "streaming_quality_gate_parity",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",
     # NEW r10: ingest-time decontamination (events_table_profile
@@ -182,6 +194,8 @@ _PRIORITY = [
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
+    "emb_semantic_dedup_clustered_auto", "streaming_dau_dedup_parity",
+    "streaming_scd2_parity",
     "doc_pii_scrub", "streaming_state_profile_parity",
     "zordered_two_dim_lookup", "doc_exact_substr_dedup",
     "emb_ivf_compact_topk", "doc_dup_keep_longest",

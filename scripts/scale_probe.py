@@ -205,6 +205,22 @@ PROBE = [
     # a map-side count into a |types|² frame — ~the sessions ratio)
     "part_copurchase_pairs",
     "event_transition_matrix",
+    # r11 session 4: triangle counting (oriented wedge work is
+    # O(m^1.5) PER COMPONENT and the scaled fixture is factor
+    # disjoint copies — so expect ~linear in copies with the 41M-
+    # wedge-per-copy constant), link prediction over the SUPPORT-2
+    # graph (which EMPTIES under scaling — copies dilute pair support
+    # — so the probe measures the basket rollup, not the wedges),
+    # per-doc token entropy (zero-shuffle projection — expect the
+    # doc_intra_line_dedup class, ~scan-flat), hard-negative mining
+    # (the banded kNN join — queries fixed at the band filter, corpus
+    # ×N partial top-k), and the ingest-time decontamination parity
+    # RE-measured after the frozen-eval-index change
+    "part_copurchase_triangles",
+    "part_link_prediction",
+    "doc_token_entropy",
+    "emb_hard_negatives",
+    "streaming_decontaminate_parity",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

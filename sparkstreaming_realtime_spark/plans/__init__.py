@@ -76,6 +76,12 @@ _PRIORITY = [
     # rotated to the tail for it — green r2-r10; the streaming block
     # below keeps seven in-window parities)
     "doc_quality_bands", "doc_token_entropy",
+    # NEW r11 session 4: BPE merge learning — tokenizer training over
+    # the word-frequency vocabulary, the whole loop oracle-replayed
+    # (doc_exact_k_sample rotated to the tail for it — green r1-r10;
+    # the sampling family keeps emb_cluster_balanced_sample's r9-r10
+    # union green and doc_stratified_sample in the r1-r7 union)
+    "doc_bpe_learn_merges",
     # r6 money-path edit: exact-div cents + wide charge accumulator
     "pricing_summary",
     # dedup / cluster / split family (doc_chunk_dedup_stride rotated
@@ -102,13 +108,11 @@ _PRIORITY = [
     # resolution (doc_exact_dedup rotated to the tail for it — green
     # r1-r9, the dedup family keeps five in-window rows)
     "customer_fuzzy_match",
-    # sampling / export family (exact_k re-verifies the null-safe
-    # pre-filter edit; doc_temperature_resample rotated to the tail —
-    # green r2–r5 — for the NEW two-level IVF-PQ query;
-    # doc_stratified_sample rotated to the tail r8s2 — green r1–r7,
-    # exact_k keeps the family in-window — for the NEW
-    # streaming_line_dedup_parity)
-    "doc_exact_k_sample",
+    # (sampling family note: doc_exact_k_sample rotated to the tail
+    # r11s4 for doc_bpe_learn_merges — green r1-r10;
+    # doc_temperature_resample / doc_stratified_sample went to the
+    # tail in earlier rounds, emb_cluster_balanced_sample keeps the
+    # quota-window shape in the r9-r10 union)
     # NEW r11 session 2: market-basket co-purchase pairs with lift —
     # the within-basket pair-enumeration shape (emb_kmeans_clusters
     # rotated to the tail for it — green r6-r10, and the Lloyd loop
@@ -195,7 +199,7 @@ _PRIORITY = [
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
     "emb_semantic_dedup_clustered_auto", "streaming_dau_dedup_parity",
-    "streaming_scd2_parity",
+    "streaming_scd2_parity", "doc_exact_k_sample",
     "doc_pii_scrub", "streaming_state_profile_parity",
     "zordered_two_dim_lookup", "doc_exact_substr_dedup",
     "emb_ivf_compact_topk", "doc_dup_keep_longest",

@@ -4244,3 +4244,70 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term contributions quantize to integer micro-nats (the lm.py
     move) so the per-doc total is summation-order-free."""
     return ts.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+def _bpe_oracle(k: int) -> str:
+    """Replay of operators/bpe.py:bpe_learn_merges as 2·k chained
+    CTEs: stage i counts adjacent symbol pairs over the v{i-1}
+    vocabulary states (word-frequency weighted), picks the (count
+    desc, l, r) argmax, and applies the delimiter-anchored plain
+    string replace — both engines' ``replace`` are leftmost-first
+    non-overlapping scans, so the states stay bit-identical."""
+    split_syms = (
+        "regexp_split_to_array(regexp_replace(regexp_replace("
+        "s, '^\\^', ''), '\\|$', ''), '\\|\\^')"
+    )
+    ctes = [
+        f"toks AS (SELECT unnest({_toks_sql('text')}) AS t FROM documents)",
+        "v0 AS (SELECT regexp_replace(t, '(.)', '^\\1|', 'g') AS s,"
+        " count(*)::BIGINT AS c FROM toks GROUP BY 1)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(f"""p{i} AS (
+  SELECT p.l AS l, p.r AS r, sum(c)::BIGINT AS n FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+                  j -> {{'l': syms[j], 'r': syms[j+1]}})) AS p, c
+    FROM (SELECT {split_syms} AS syms, c FROM v{i - 1})
+  ) GROUP BY 1, 2)""")
+        ctes.append(
+            f"b{i} AS (SELECT l, r, n FROM p{i} "
+            "ORDER BY n DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"v{i} AS (SELECT replace(s, '^' || b.l || '|^' || b.r || '|',"
+            f" '^' || b.l || b.r || '|') AS s, c FROM v{i - 1}, b{i} b)"
+        )
+    union = "\n  UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rank, l AS lhs, r AS rhs, n AS pair_n"
+        f" FROM b{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({union})"
+        " ORDER BY rank"
+    )
+
+
+_BPE_MERGES = 6
+
+
+@register(
+    "doc_bpe_learn_merges",
+    oracle=_bpe_oracle(_BPE_MERGES),
+    tags=("LLM", "text", "tokenizer"),
+)
+def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merges learned from the document corpus
+    (operators/bpe.py:bpe_learn_merges — Sennrich et al. 2016): the
+    tokenizer-TRAINING side of the pipeline. Training runs on the
+    word-frequency vocabulary (one corpus-token shuffle, then every
+    iteration is vocabulary-sized and map-side combinable); the merge
+    application is a delimiter-anchored plain string replace, which
+    is leftmost-first non-overlapping in both engines, so the oracle
+    replays the entire training loop as chained CTEs and the merge
+    table hash-matches."""
+    from ..operators.bpe import bpe_learn_merges
+
+    return bpe_learn_merges(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )

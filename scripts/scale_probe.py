@@ -221,6 +221,11 @@ PROBE = [
     "doc_token_entropy",
     "emb_hard_negatives",
     "streaming_decontaminate_parity",
+    # r11 session 4: BPE merge learning — corpus-token shuffle once,
+    # then 6 vocabulary-sized iterations (type count grows far slower
+    # than tokens; the scaled fixture's letter substitution multiplies
+    # types ×~26, the worst case for this shape)
+    "doc_bpe_learn_merges",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

@@ -45,7 +45,7 @@ state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: regex that turns a token into its initial BPE state: one
@@ -132,4 +132,78 @@ def bpe_learn_merges(
         )
     return spark.createDataFrame(
         merges, "rank bigint, lhs string, rhs string, pair_n bigint"
+    )
+
+
+def bpe_state(text_token_col: Column | str) -> Column:
+    """Initial BPE state of a token: one ``^char|`` cell per code
+    point (see module docstring for why this string form makes the
+    merge pass a plain replace)."""
+    return F.regexp_replace(text_token_col, INIT_STATE_RE, INIT_STATE_SUB)
+
+
+def bpe_segment(
+    token_col: Column | str, merges: list[tuple[str, str]]
+) -> Column:
+    """Apply a learned merge table (rank order) to a token column —
+    the ENCODE side of BPE. ``merges`` is the (lhs, rhs) list
+    :func:`bpe_learn_merges` produced (collected model artifact: the
+    merge table is the tokenizer, and like any model it broadcasts as
+    literals into the encode expression — k nested plain replaces,
+    zero joins, zero shuffles, whole-stage codegen). Returns the
+    delimited state string; count symbols by counting ``|``."""
+    state = bpe_state(token_col)
+    for lhs, rhs in merges:
+        state = F.replace(
+            state, F.lit(f"^{lhs}|^{rhs}|"), F.lit(f"^{lhs}{rhs}|")
+        )
+    return state
+
+
+def bpe_compression(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group tokenizer quality report: how far the learned merge
+    table compresses the corpus. Returns (``group_col``, n_tokens,
+    n_chars, n_symbols, compression): total corpus tokens, their
+    code-point count, the symbol count after applying ``merges``, and
+    symbols/chars rounded 4dp (1.0 = no compression; lower = the
+    merges fire often) — the held-out metric a tokenizer-training
+    loop monitors. One explode + one map-side-combinable aggregate;
+    the encode is per-row codegen (see :func:`bpe_segment`)."""
+    from ..functions.text import tokenize
+
+    toks = docs.select(
+        F.col(group_col), F.explode(tokenize(text_col)).alias("__t")
+    )
+    # bind the encoded state ONCE per token (Catalyst does not CSE
+    # the k-replace chain across the two length references)
+    staged = toks.select(
+        group_col,
+        F.length("__t").cast("bigint").alias("__chars"),
+        bpe_segment(F.col("__t"), merges).alias("__st"),
+    )
+    enc = staged.select(
+        group_col,
+        "__chars",
+        # each symbol cell ends with exactly one '|': symbol count =
+        # state length minus the state with '|' removed
+        (
+            F.length("__st")
+            - F.length(F.replace(F.col("__st"), F.lit("|"), F.lit("")))
+        )
+        .cast("bigint")
+        .alias("__syms"),
+    )
+    return enc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("__chars").cast("bigint").alias("n_chars"),
+        F.sum("__syms").cast("bigint").alias("n_symbols"),
+        F.round(
+            F.sum("__syms").cast("double") / F.sum("__chars").cast("double"),
+            4,
+        ).alias("compression"),
     )

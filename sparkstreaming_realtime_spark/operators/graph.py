@@ -155,9 +155,14 @@ def triangle_stats(
     closing = oriented.select(
         F.col("__src").alias("__v"), F.col("__dst").alias("__w")
     )
-    tris = wedges.join(closing, ["__v", "__w"]).select(
-        F.col("__src").alias("__u"), "__v", "__w"
-    )
+    # closure probe: the wedge frame is O(m^1.5) rows while the edge
+    # side is m — hint SHUFFLE_HASH so the big side streams into a
+    # hash of the small side instead of SORT-merge (sorting 386M
+    # wedge rows dominated the ×100 probe before the hint; AQE can
+    # still upgrade to broadcast when the edge side fits)
+    tris = wedges.join(
+        closing.hint("shuffle_hash"), ["__v", "__w"]
+    ).select(F.col("__src").alias("__u"), "__v", "__w")
     per_node = (
         tris.select(
             F.explode(F.array(F.col("__u"), F.col("__v"), F.col("__w"))).alias(

@@ -19,7 +19,7 @@ memory — mirroring the dau_approx_vs_exact accuracy trade.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -61,3 +61,97 @@ def table_profile(df: DataFrame, exact: bool = True) -> DataFrame:
         F.col("n_nulls").cast("bigint"),
         F.col("n_distinct").cast("bigint"),
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, k: int = 10
+) -> DataFrame:
+    """Join-key skew diagnostic: the report to read BEFORE keying a
+    100 TB shuffle on ``key_col`` — whether to salt, which keys to
+    isolate, how lopsided the partition load will be. Returns the
+    top-``k`` heaviest keys as (rank, key, n, share, cum_share) plus
+    the distribution constants (n_keys, n_rows, gini) repeated per
+    row (one frame, one oracle).
+
+    The Gini coefficient over per-key counts is computed EXACTLY in
+    integers without ever globally sorting the keys: sorting is only
+    needed for Σ rank·count, and keys with EQUAL counts occupy a
+    consecutive rank run whose contribution is count · (run-sum of
+    ranks) regardless of order within the run — so the profile
+    aggregates the count HISTOGRAM (count value → #keys, a domain of
+    at most O(√n_rows) distinct values) and walks THAT with one tiny
+    single-partition window, never a corpus-wide one. gini =
+    (2·S − (K+1)·T) / (K·T) with S = Σ rank·count — one fixed-order
+    double division of exact int64s, rounded 6dp (0 = uniform,
+    → 1 = one key owns everything).
+
+    Scale shape: one map-side-combinable key count (the same shuffle
+    the candidate join would do, at count width), one histogram
+    aggregate over it, a ≤-O(√N)-row window, and a TakeOrdered for
+    the top-k. ``share``/``cum_share`` are 6dp divisions of exact
+    counts; cum_share ties break by key ascending so the k-row
+    window is deterministic."""
+    from ..materialize import materialize
+
+    counts = materialize(
+        df.select(F.col(key_col).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # histogram of counts: c -> (#keys with that count, c * #keys)
+    hist = counts.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__m")
+    )
+    w = Window.orderBy("n")
+    # rank run for count value c: [prev_keys + 1, prev_keys + m];
+    # sum of ranks in the run = m * (2*prev + m + 1) / 2  (exact:
+    # m*(...) is always even times /2 -> use integral arithmetic)
+    runs = hist.select(
+        "n",
+        "__m",
+        (F.sum("__m").over(w) - F.col("__m")).alias("__prev"),
+    )
+    s_terms = runs.select(
+        (
+            F.col("n")
+            * F.col("__m")
+            * (2 * F.col("__prev") + F.col("__m") + 1)
+        ).alias("__s2"),  # 2 * (c * run-rank-sum), stays integral
+        (F.col("n") * F.col("__m")).alias("__t"),
+        F.col("__m"),
+    )
+    stats = s_terms.agg(
+        F.sum("__s2").cast("bigint").alias("__S2"),  # = 2*S
+        F.sum("__t").cast("bigint").alias("__T"),
+        F.sum("__m").cast("bigint").alias("__K"),
+    ).select(
+        F.col("__K").alias("n_keys"),
+        F.col("__T").alias("n_rows"),
+        F.round(
+            (F.col("__S2") - (F.col("__K") + 1) * F.col("__T")).cast(
+                "double"
+            )
+            / (F.col("__K") * F.col("__T")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(k)
+    wk = Window.orderBy(F.desc("n"), F.asc("key"))
+    # attach totals AFTER the limit: broadcast the 1-row stats frame
+    ranked = top.crossJoin(F.broadcast(stats)).select(
+        F.row_number().over(wk).alias("rank"),
+        "key",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("share"),
+        F.round(
+            F.sum("n").over(wk).cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("cum_share"),
+        "n_keys",
+        "n_rows",
+        "gini",
+    )
+    return ranked

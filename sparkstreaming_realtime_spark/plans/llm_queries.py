@@ -4246,13 +4246,10 @@ def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.token_entropy(_t(spark, sf_dir, "documents"))
 
 
-def _bpe_oracle(k: int) -> str:
-    """Replay of operators/bpe.py:bpe_learn_merges as 2·k chained
-    CTEs: stage i counts adjacent symbol pairs over the v{i-1}
-    vocabulary states (word-frequency weighted), picks the (count
-    desc, l, r) argmax, and applies the delimiter-anchored plain
-    string replace — both engines' ``replace`` are leftmost-first
-    non-overlapping scans, so the states stay bit-identical."""
+def _bpe_cte_chain(k: int) -> list[str]:
+    """The shared CTE chain replaying operators/bpe.py's training
+    loop (see _bpe_oracle): toks, v0, then (p{i}, b{i}, v{i}) per
+    merge — b{i} is the rank-i merge, v{i} the vocabulary after it."""
     split_syms = (
         "regexp_split_to_array(regexp_replace(regexp_replace("
         "s, '^\\^', ''), '\\|$', ''), '\\|\\^')"
@@ -4277,14 +4274,56 @@ def _bpe_oracle(k: int) -> str:
             f"v{i} AS (SELECT replace(s, '^' || b.l || '|^' || b.r || '|',"
             f" '^' || b.l || b.r || '|') AS s, c FROM v{i - 1}, b{i} b)"
         )
+    return ctes
+
+
+def _bpe_oracle(k: int) -> str:
+    """Replay of operators/bpe.py:bpe_learn_merges as 2·k chained
+    CTEs: stage i counts adjacent symbol pairs over the v{i-1}
+    vocabulary states (word-frequency weighted), picks the (count
+    desc, l, r) argmax, and applies the delimiter-anchored plain
+    string replace — both engines' ``replace`` are leftmost-first
+    non-overlapping scans, so the states stay bit-identical."""
     union = "\n  UNION ALL ".join(
         f"SELECT {i}::BIGINT AS rank, l AS lhs, r AS rhs, n AS pair_n"
         f" FROM b{i}"
         for i in range(1, k + 1)
     )
     return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({union})"
-        " ORDER BY rank"
+        "WITH " + ",\n".join(_bpe_cte_chain(k))
+        + f"\nSELECT * FROM ({union}) ORDER BY rank"
+    )
+
+
+def _bpe_compression_oracle(k: int) -> str:
+    """Learn (the shared CTE chain) then ENCODE: every corpus token's
+    initial state runs through the k learned replaces (b{i} scalars
+    cross-joined in rank order), symbols are counted by counting
+    '|', and the per-language totals divide once at 4dp."""
+    enc = "regexp_replace(t, '(.)', '^\\1|', 'g')"
+    for i in range(1, k + 1):
+        enc = (
+            f"replace({enc}, '^' || b{i}.l || '|^' || b{i}.r || '|',"
+            f" '^' || b{i}.l || b{i}.r || '|')"
+        )
+    bs = ", ".join(f"b{i}" for i in range(1, k + 1))
+    ctes = _bpe_cte_chain(k)
+    ctes.append(
+        "toksl AS (SELECT lang, unnest("
+        + _toks_sql("text")
+        + ") AS t FROM documents)"
+    )
+    ctes.append(f"""enc AS (
+  SELECT lang, length(t)::BIGINT AS chars,
+         (length(st) - length(replace(st, '|', '')))::BIGINT AS syms
+  FROM (SELECT lang, t, {enc} AS st FROM toksl, {bs}))""")
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT lang, count(*)::BIGINT AS n_tokens,
+       sum(chars)::BIGINT AS n_chars,
+       sum(syms)::BIGINT AS n_symbols,
+       round(sum(syms)::DOUBLE / sum(chars)::DOUBLE, 4) AS compression
+FROM enc GROUP BY lang"""
     )
 
 
@@ -4311,3 +4350,27 @@ def doc_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn_merges(
         _t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
     )
+
+
+@register(
+    "doc_bpe_compression",
+    oracle=_bpe_compression_oracle(_BPE_MERGES),
+    tags=("LLM", "text", "tokenizer"),
+)
+def doc_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language compression from the learned BPE merges
+    (operators/bpe.py:bpe_compression) — the ENCODE side closing the
+    tokenizer loop: train the merge table (doc_bpe_learn_merges'
+    exact loop), broadcast it as literals into a k-replace codegen
+    expression, and measure symbols/chars per language — the held-out
+    metric a tokenizer-training pipeline monitors (merges learned on
+    a mostly-English corpus compress 'en' hardest). Encoding is one
+    explode + one map-side aggregate; all counts are exact bigints
+    with one final 4dp division."""
+    from ..operators.bpe import bpe_compression, bpe_learn_merges
+
+    learned = bpe_learn_merges(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    ).collect()
+    merges = [(r.lhs, r.rhs) for r in sorted(learned, key=lambda r: r.rank)]
+    return bpe_compression(_t(spark, sf_dir, "documents"), merges)

@@ -3973,3 +3973,50 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_prediction(
         edges, node_a="item_a", node_b="item_b", k=20
     )
+
+
+_KEY_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT user_id AS key, count(*)::BIGINT AS n FROM events GROUP BY 1),
+hist AS (SELECT n, count(*)::BIGINT AS m FROM counts GROUP BY 1),
+runs AS (SELECT n, m, sum(m) OVER (ORDER BY n) - m AS prev FROM hist),
+stats AS (
+  SELECT sum(m)::BIGINT AS n_keys, sum(n * m)::BIGINT AS n_rows,
+         round((sum(n * m * (2 * prev + m + 1))
+                - (sum(m) + 1) * sum(n * m))::DOUBLE
+               / (sum(m) * sum(n * m))::DOUBLE, 6) AS gini
+  FROM runs),
+top AS (
+  SELECT key, n,
+         row_number() OVER (ORDER BY n DESC, key) AS rank,
+         sum(n) OVER (ORDER BY n DESC, key) AS cum
+  FROM counts ORDER BY n DESC, key LIMIT 10)
+SELECT rank, key, n,
+       round(n::DOUBLE / s.n_rows::DOUBLE, 6) AS share,
+       round(cum::DOUBLE / s.n_rows::DOUBLE, 6) AS cum_share,
+       s.n_keys, s.n_rows, s.gini
+FROM top, stats s
+ORDER BY rank
+"""
+
+
+@register(
+    "events_key_skew",
+    oracle=_KEY_SKEW_ORACLE,
+    tags=("analytics", "profiling", "extension"),
+)
+def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over events.user_id
+    (operators/profiling.py:key_skew_profile) — the report to read
+    before keying a 100 TB shuffle: top-10 heaviest keys with share /
+    cumulative share, and the EXACT integer Gini coefficient of the
+    per-key count distribution, computed from the count HISTOGRAM
+    (equal counts occupy a rank run whose Σ rank·count is
+    order-free), so no corpus-wide sort ever happens — the only
+    single-partition window runs over ≤ O(sqrt N) histogram rows. The
+    oracle replays the identical run arithmetic."""
+    from ..operators.profiling import key_skew_profile
+
+    return key_skew_profile(
+        _t(spark, sf_dir, "events"), key_col="user_id", k=10
+    )

@@ -60,3 +60,38 @@ def test_bpe_partitioning_independent(spark):
     a = [tuple(r) for r in bpe_learn_merges(docs1, n_merges=4).collect()]
     b = [tuple(r) for r in bpe_learn_merges(docs7, n_merges=4).collect()]
     assert a == b
+
+
+def test_bpe_segment_and_compression(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.operators.bpe import (
+        bpe_compression,
+        bpe_segment,
+    )
+
+    df = spark.createDataFrame(
+        [("aaab",), ("ba",)], "t string"
+    ).select(
+        bpe_segment(F.col("t"), [("a", "a"), ("aa", "b")]).alias("s")
+    )
+    got = [r.s for r in df.collect()]
+    # "aaab": (a,a) leftmost -> [aa, a, b]; (aa,b) doesn't apply
+    # (aa is followed by a) -> ^aa|^a|^b|
+    assert got[0] == "^aa|^a|^b|"
+    assert got[1] == "^b|^a|"
+
+    docs = spark.createDataFrame(
+        [(1, "en", "aaab ba"), (2, "de", "cc")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {
+        r.lang: (r.n_tokens, r.n_chars, r.n_symbols, r.compression)
+        for r in bpe_compression(
+            docs, [("a", "a"), ("aa", "b")]
+        ).collect()
+    }
+    # en: "aaab" -> 3 symbols, "ba" -> 2; chars 4 + 2
+    assert rows["en"] == (2, 6, 5, round(5 / 6, 4))
+    # de: "cc" untouched -> 2 symbols / 2 chars
+    assert rows["de"] == (1, 2, 2, 1.0)

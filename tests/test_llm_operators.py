@@ -2695,3 +2695,35 @@ def test_semantic_decontaminate_frozen_eval_index_is_equivalent(spark):
             train, None, dim=dim, bands=6, rows_per_band=6,
             approx_count=3, eval_index=idx,
         )
+
+
+def test_key_skew_profile_hand_computed(spark):
+    from sparkstreaming_realtime_spark.operators.profiling import (
+        key_skew_profile,
+    )
+
+    # counts: a->4, b->2, c->1, d->1 (T=8, K=4). Ascending ranks:
+    # {c,d} counts 1 at ranks 1,2; b rank 3; a rank 4.
+    # S = 1*1 + 1*2 + 2*3 + 4*4 = 25; gini = (2S - 5*8)/(4*8) = 10/32
+    rows = [("a",)] * 4 + [("b",)] * 2 + [("c",), ("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_profile(df, "k", k=3).collect()
+    assert [r.rank for r in got] == [1, 2, 3]
+    assert [(r.key, r.n) for r in got] == [("a", 4), ("b", 2), ("c", 1)]
+    assert got[0].n_keys == 4 and got[0].n_rows == 8
+    assert got[0].gini == round(10 / 32, 6)
+    assert got[0].share == 0.5
+    assert got[1].cum_share == 0.75
+    assert got[2].cum_share == round(7 / 8, 6)
+
+
+def test_key_skew_profile_uniform_gini_zero(spark):
+    from sparkstreaming_realtime_spark.operators.profiling import (
+        key_skew_profile,
+    )
+
+    rows = [(f"k{i}",) for i in range(20) for _ in range(3)]
+    df = spark.createDataFrame(rows, "k string").repartition(7)
+    got = key_skew_profile(df, "k", k=5).collect()
+    assert got[0].gini == 0.0
+    assert got[0].n_keys == 20 and got[0].n_rows == 60

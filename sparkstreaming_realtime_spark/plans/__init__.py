@@ -82,6 +82,14 @@ _PRIORITY = [
     # the sampling family keeps emb_cluster_balanced_sample's r9-r10
     # union green and doc_stratified_sample in the r1-r7 union)
     "doc_bpe_learn_merges",
+    # NEW r11 session 4 (cont.): the BPE ENCODE side (learn + apply +
+    # per-language compression report) and the join-key skew profiler
+    # (exact-integer Gini, the pre-salting diagnostic) —
+    # streaming_idempotent_sink_parity and
+    # streaming_observe_metrics_parity rotated to the tail for them
+    # (green r8-r10; the streaming block keeps five end-to-end
+    # parities in-window and both stay pytest-pinned)
+    "doc_bpe_compression", "events_key_skew",
     # r6 money-path edit: exact-div cents + wide charge accumulator
     "pricing_summary",
     # dedup / cluster / split family (doc_chunk_dedup_stride rotated
@@ -164,7 +172,6 @@ _PRIORITY = [
     # top-50 block: if the cap is a count they're inside it, if a
     # time budget the cheap queries above have already banked rows
     "streaming_quality_gate_parity",
-    "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",
     # NEW r10: ingest-time decontamination (events_table_profile
     # rotated to the tail for it — green r5-r9; the profiling family
     # keeps streaming_state_profile_parity in-window)
@@ -200,6 +207,7 @@ _PRIORITY = [
     # pytest
     "emb_semantic_dedup_clustered_auto", "streaming_dau_dedup_parity",
     "streaming_scd2_parity", "doc_exact_k_sample",
+    "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",
     "doc_pii_scrub", "streaming_state_profile_parity",
     "zordered_two_dim_lookup", "doc_exact_substr_dedup",
     "emb_ivf_compact_topk", "doc_dup_keep_longest",

@@ -176,6 +176,14 @@ HEADLINE = [
     "event_transition_matrix",
     # r11 session 3: banded kNN (hard-negative mining)
     "emb_hard_negatives",
+    # r11 session 4: graph pair, token entropy, BPE train+encode,
+    # key-skew Gini diagnostic
+    "part_copurchase_triangles",
+    "part_link_prediction",
+    "doc_token_entropy",
+    "doc_bpe_learn_merges",
+    "doc_bpe_compression",
+    "events_key_skew",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

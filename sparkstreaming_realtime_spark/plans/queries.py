@@ -4020,3 +4020,57 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(
         _t(spark, sf_dir, "events"), key_col="user_id", k=10
     )
+
+
+@register(
+    "warehouse_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderdate < DATE '1995-01-01'
+                THEN '(pre-migration)' ELSE o_orderpriority END
+             AS priority,
+           count(*)::BIGINT AS n,
+           sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("extension", "warehouse", "maintenance"),
+)
+def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift END-TO-END (sources/warehouse.py:read_evolved):
+    a warehouse whose producer added a column mid-stream — the
+    era=v1 partition was written BEFORE ``o_orderpriority`` existed,
+    era=v2 carries it — must still serve one coherent table.
+    ``mergeSchema`` unions the per-file schemas (v1 rows read NULL
+    for the late column; the default read would serve whichever
+    footer the scan sampled first), and the aggregate relabels the
+    NULLs as '(pre-migration)'. The oracle derives the same rollup
+    from the raw facts, so the split/write/merge machinery — not a
+    lookalike — is under test. All sums are exact integer cents."""
+    from ..materialize import engine_tmpdir
+    from ..sources.warehouse import read_evolved
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cutover = F.lit("1995-01-01").cast("date")
+    path = engine_tmpdir("ev_schema_")
+    # v1 era: the column does not exist yet
+    orders.filter(F.col("o_orderdate") < cutover).select(
+        "o_orderkey", "cents"
+    ).write.mode("overwrite").parquet(path + "/era=v1")
+    # v2 era: producer migrated, the column appears
+    orders.filter(F.col("o_orderdate") >= cutover).select(
+        "o_orderkey", "cents", "o_orderpriority"
+    ).write.mode("overwrite").parquet(path + "/era=v2")
+    merged = read_evolved(spark, path)
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("(pre-migration)")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )

@@ -315,3 +315,15 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant warehouse read: ``mergeSchema``
+    unions the per-file parquet schemas, so partitions written BEFORE
+    a column existed read as NULL for it — the drift-tolerance every
+    long-lived ingest pipeline needs when the producer adds a field
+    mid-stream (the default read would silently serve whichever
+    footer the scan sampled first). Costs one footer read per file at
+    planning time; data-file bytes are untouched, and column pruning
+    / predicate pushdown work unchanged on the merged schema."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -457,3 +457,116 @@ def test_ngram_jaccard_uncapped_equals_brute_force(spark, texts):
     assert set(got) == set(expect)
     for k, j in expect.items():
         assert abs(got[k] - j) < 5e-7
+
+
+def test_triangle_stats_matches_bruteforce_on_random_graphs(spark):
+    """Oriented-wedge triangle counting vs an O(n^3) Python reference
+    on seeded random graphs — the orientation/closure algebra must
+    agree with the definition exactly, per node, on every graph."""
+    import itertools
+    import random
+
+    from sparkstreaming_realtime_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    for seed, n_nodes, n_draws in [(1, 12, 40), (2, 18, 90), (3, 25, 160)]:
+        rng = random.Random(seed)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n_nodes), 2)))
+                for _ in range(n_draws)
+            }
+        )
+        adj = {v: set() for v in range(n_nodes)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        expect_tri = dict.fromkeys(range(n_nodes), 0)
+        for a, b, c in itertools.combinations(range(n_nodes), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for v in (a, b, c):
+                    expect_tri[v] += 1
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r.node: (r.deg, r.tri_n)
+            for r in triangle_stats(df).collect()
+        }
+        for v in range(n_nodes):
+            if adj[v]:
+                assert got[v] == (len(adj[v]), expect_tri[v]), (
+                    seed,
+                    v,
+                )
+            else:
+                assert v not in got  # isolated nodes have no edges
+
+
+def _py_bpe_reference(word_counts, k):
+    """Straightforward list-based BPE trainer (the Sennrich paper's
+    pseudocode): returns [(lhs, rhs, pair_n)] for k merges."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for _ in range(k):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not pairs:
+            break
+        (l, r), n = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((l, r, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == l
+                    and syms[i + 1] == r
+                ):
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] = (
+                new_vocab.get(tuple(merged), 0) + c
+            )
+        vocab = new_vocab
+    return out
+
+
+def test_bpe_matches_python_reference_on_random_corpora(spark):
+    """The delimited-string replace trick vs the paper's list-based
+    trainer on seeded random corpora — merge choice, tie-break, and
+    leftmost-greedy application must all agree for every rank."""
+    import random
+
+    from sparkstreaming_realtime_spark.operators.bpe import (
+        bpe_learn_merges,
+    )
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 6)))
+            for _ in range(30)
+        ]
+        text = " ".join(words)
+        counts = {}
+        for w in words:
+            counts[w] = counts.get(w, 0) + 1
+        expect = _py_bpe_reference(counts, 5)
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        got = [
+            (r.lhs, r.rhs, r.pair_n)
+            for r in bpe_learn_merges(docs, n_merges=5).collect()
+        ]
+        assert got == expect, seed

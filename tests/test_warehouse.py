@@ -307,3 +307,34 @@ def test_compact_survives_crash_between_renames(spark, tmp_path):
     assert sorted(
         r["id"] for r in spark.read.parquet(path).collect()
     ) == before
+
+
+def test_read_evolved_serves_pre_migration_rows_as_null(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.sources.warehouse import (
+        read_evolved,
+    )
+
+    path = str(tmp_path / "evolved")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, v long"
+    ).write.parquet(path + "/era=v1")
+    spark.createDataFrame(
+        [(3, 30, "x"), (4, 40, "y")], "id long, v long, tag string"
+    ).write.parquet(path + "/era=v2")
+    got = {
+        r.id: (r.v, r.tag)
+        for r in read_evolved(spark, path).select("id", "v", "tag").collect()
+    }
+    assert got == {1: (10, None), 2: (20, None), 3: (30, "x"), 4: (40, "y")}
+    # the merged schema still prunes and pushes down on shared columns
+    plan = (
+        read_evolved(spark, path)
+        .filter(F.col("id") == 3)
+        .select("v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,3)]" in plan

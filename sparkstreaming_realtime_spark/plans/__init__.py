@@ -62,6 +62,12 @@ _PRIORITY = [
     # NEW this round (never driver-checked): warehouse maintenance +
     # quality gate + z-order skipping
     "events_quality_expectations", "warehouse_compaction_roundtrip",
+    # NEW r11 session 4: schema drift end-to-end — the two-era
+    # mergeSchema read (streaming_quality_gate_parity rotated to the
+    # tail for it — green r5-r10; the expectations family keeps
+    # events_quality_expectations in-window and the gate parity stays
+    # pytest-pinned)
+    "warehouse_schema_evolution",
     # NEW r11: per-nation rolling/cumulative revenue windows over the
     # pre-aggregated daily rollup (zordered_two_dim_lookup rotated to
     # the tail for it — green r10; warehouse keeps
@@ -171,7 +177,6 @@ _PRIORITY = [
     # emb_ivfpq_topk keeping their families in-window); last in the
     # top-50 block: if the cap is a count they're inside it, if a
     # time budget the cheap queries above have already banked rows
-    "streaming_quality_gate_parity",
     # NEW r10: ingest-time decontamination (events_table_profile
     # rotated to the tail for it — green r5-r9; the profiling family
     # keeps streaming_state_profile_parity in-window)
@@ -208,6 +213,7 @@ _PRIORITY = [
     "emb_semantic_dedup_clustered_auto", "streaming_dau_dedup_parity",
     "streaming_scd2_parity", "doc_exact_k_sample",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",
+    "streaming_quality_gate_parity",
     "doc_pii_scrub", "streaming_state_profile_parity",
     "zordered_two_dim_lookup", "doc_exact_substr_dedup",
     "emb_ivf_compact_topk", "doc_dup_keep_longest",

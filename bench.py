@@ -184,6 +184,9 @@ HEADLINE = [
     "doc_bpe_learn_merges",
     "doc_bpe_compression",
     "events_key_skew",
+    "warehouse_schema_evolution",
+    "events_value_ddsketch",
+    "streaming_ddsketch_parity",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

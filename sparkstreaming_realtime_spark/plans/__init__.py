@@ -148,7 +148,12 @@ _PRIORITY = [
     # Hadoop-FS index maintenance behind append + NEW compact, and
     # the NEW binary sign-bit + Hamming two-stage search —
     # emb_truncated_overlap rotated to the tail for it, green r5)
-    "doc_minhash_near_dup",
+    # (doc_minhash_near_dup rotated to the tail r11s4 for the
+    # DDSketch pair — green r1-r10; the dedup family keeps
+    # doc_dup_clusters + doc_line_dedup + the curation funnel
+    # in-window, and emb_semantic_decontaminate stays in-window
+    # because its code path changed this session)
+    "emb_semantic_decontaminate",
     "corpus_curation_funnel_v2", "emb_semantic_dedup",
     "emb_semantic_dedup_auto",
     # NEW r8: cluster-pruned SemDeDup (the published recipe — pairs
@@ -163,8 +168,6 @@ _PRIORITY = [
     # NEW r10: cross-frame LSH decontamination (emb_ivfpq_topk
     # rotated to the tail for it — green r8s2-r9, emb_ivf_append/
     # compact keep the persisted-index family in-window)
-    "emb_semantic_decontaminate",
-    "emb_ivf_append_topk",
     # NEW r11 session 3: hard-negative mining — the banded form of
     # the kNN join (doc_lm_perplexity rotated to the tail for it —
     # green r2-r10; the quality family keeps doc_quality_bands +
@@ -207,6 +210,18 @@ _PRIORITY = [
     # r9-r10; dedup keeps four in-window rows, the Arrow matmul path
     # stays pytest-pinned and in the r9-r10 green union)
     "doc_lang_distinct_sketch", "streaming_anomaly_parity",
+    # NEW r11 session 4: DDSketch quantiles — the mergeable
+    # percentile member completing the sketch trio (batch + additive
+    # streaming twin share one oracle; corpus_overlap_sketch and
+    # doc_lang_distinct_sketch's sibling rotations above keep the KMV
+    # family at three in-window rows, and the two displaced here —
+    # value_percentiles / dau_approx_vs_exact never held window slots
+    # this round, so the pair displaces emb_semantic_decontaminate
+    # and emb_ivf_append_topk — green r10 / r5-r10; the similarity
+    # family keeps the clustered-SemDeDup pair + hard negatives +
+    # streaming_decontaminate_parity in-window, the IVF family stays
+    # pinned by its tail union and pytest)
+    "events_value_ddsketch", "streaming_ddsketch_parity",
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
@@ -214,6 +229,7 @@ _PRIORITY = [
     "streaming_scd2_parity", "doc_exact_k_sample",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",
     "streaming_quality_gate_parity",
+    "doc_minhash_near_dup", "emb_ivf_append_topk",
     "doc_pii_scrub", "streaming_state_profile_parity",
     "zordered_two_dim_lookup", "doc_exact_substr_dedup",
     "emb_ivf_compact_topk", "doc_dup_keep_longest",

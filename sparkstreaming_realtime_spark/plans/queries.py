@@ -4074,3 +4074,108 @@ def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("cents"),
     )
+
+
+def _ddsketch_oracle() -> str:
+    """Replay of sketches.dd_sketch + dd_quantiles: identical baked
+    ln-γ divisor, identical ceil bucketing, integer rank selection,
+    one pow+round per answer."""
+    import math
+
+    from ..operators.sketches import DD_ALPHA, _dd_ln_gamma
+
+    gamma = (1.0 + DD_ALPHA) / (1.0 - DD_ALPHA)
+    return f"""
+WITH s AS (
+  SELECT event_type,
+         ceil(ln("value") / {_dd_ln_gamma(DD_ALPHA)!r})::BIGINT AS bucket,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bucket, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM s),
+qv AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q),
+hits AS (
+  SELECT event_type, q, bucket, total
+  FROM c, qv WHERE cum >= floor(q * (total - 1)) + 1),
+best AS (
+  SELECT event_type, q, min(bucket) AS b, max(total)::BIGINT AS n_rows
+  FROM hits GROUP BY 1, 2)
+SELECT event_type, q,
+       round(2.0 * power({gamma!r}, b) / {gamma + 1.0!r}, 6) AS est,
+       n_rows
+FROM best
+"""
+
+
+@register(
+    "events_value_ddsketch",
+    oracle=_ddsketch_oracle(),
+    tags=("extension", "percentiles", "sketch"),
+)
+def events_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95/p99 from a DDSketch
+    (operators/sketches.py:dd_sketch/dd_quantiles — Masson et al.
+    2019): the MERGEABLE quantile path completing the sketch trio
+    (count-min = heavy hitters, KMV = distinct, this = percentiles).
+    Unlike approx_percentile's opaque JVM sketch, the bucket store is
+    a (group, bucket, n) integer frame BOTH engines rebuild exactly —
+    the oracle hash-checks the estimates themselves, not just an
+    accuracy flag — and key-wise addition merges partial sketches
+    from any partitioning or batch split."""
+    from ..operators.sketches import dd_quantiles, dd_sketch
+
+    sk = dd_sketch(
+        _t(spark, sf_dir, "events"), "value", group_cols=("event_type",)
+    )
+    return dd_quantiles(
+        sk, (0.5, 0.95, 0.99), group_cols=("event_type",)
+    )
+
+
+@register(
+    "streaming_ddsketch_parity",
+    oracle=_ddsketch_oracle(),
+    tags=("extension", "percentiles", "sketch", "streaming"),
+)
+def streaming_ddsketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentile maintenance: events arrive in real
+    micro-batches, each batch's DDSketch bucket counts land in an
+    idempotent batch-keyed rollup (streaming/sinks.py:
+    rollup_sum_sink — integer sums merge over ANY batch split), and
+    the quantile read runs over the merged sketch. Because the
+    sketch is additive, the streamed result must be BIT-EQUAL to the
+    one-shot batch sketch — same oracle as events_value_ddsketch,
+    unchanged. This is how a 100 TB pipeline serves live percentile
+    dashboards: the fact scan is incremental; a new quantile or a
+    changed q never reprocesses facts."""
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..operators.sketches import DD_ALPHA, _dd_ln_gamma, dd_quantiles
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import read_rollup_sum, rollup_sum_sink
+
+    stream = _stream_t(spark, sf_dir, "events").select(
+        "event_type",
+        F.ceil(F.log(F.col("value")) / F.lit(_dd_ln_gamma(DD_ALPHA)))
+        .cast("bigint")
+        .alias("bucket"),
+        F.lit(1).alias("one"),
+    )
+    path = engine_tmpdir("ddsketch_parity_") + "/sketch"
+    q = run_available_now(
+        stream,
+        rollup_sum_sink(path, ("event_type", "bucket"), "one"),
+        checkpoint=engine_tmpdir("ddsketch_parity_ckpt_"),
+        query_name="dds_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    merged = read_rollup_sum(
+        spark, path, ("event_type", "bucket"), "one"
+    ).select("event_type", "bucket", F.col("one").alias("n"))
+    return dd_quantiles(
+        merged, (0.5, 0.95, 0.99), group_cols=("event_type",)
+    )

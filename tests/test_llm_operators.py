@@ -2727,3 +2727,50 @@ def test_key_skew_profile_uniform_gini_zero(spark):
     got = key_skew_profile(df, "k", k=5).collect()
     assert got[0].gini == 0.0
     assert got[0].n_keys == 20 and got[0].n_rows == 60
+
+
+def test_dd_sketch_quantiles_within_alpha(spark):
+    import random
+
+    from sparkstreaming_realtime_spark.operators.sketches import (
+        DD_ALPHA,
+        dd_quantiles,
+        dd_sketch,
+    )
+
+    rng = random.Random(3)
+    vals = [rng.uniform(0.01, 500.0) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {
+        r.q: r.est
+        for r in dd_quantiles(dd_sketch(df, "v"), (0.5, 0.95, 0.99)).collect()
+    }
+    s = sorted(vals)
+    for q in (0.5, 0.95, 0.99):
+        exact = s[int(q * (len(s) - 1))]
+        assert abs(got[q] / exact - 1.0) <= DD_ALPHA * 1.01, (q, got[q], exact)
+
+
+def test_dd_sketch_merges_additively(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.operators.sketches import (
+        dd_quantiles,
+        dd_sketch,
+    )
+
+    vals = [(float(i % 97) + 0.5,) for i in range(1, 500)]
+    df = spark.createDataFrame(vals, "v double")
+    whole = dd_quantiles(dd_sketch(df, "v"), (0.5, 0.9)).collect()
+    # split into 3 arbitrary parts, sketch each, SUM bucket counts
+    parts = [
+        dd_sketch(df.filter(F.col("v") * 10 % 3 == i), "v")
+        for i in range(3)
+    ]
+    merged = (
+        parts[0].unionAll(parts[1]).unionAll(parts[2])
+        .groupBy("bucket")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    via_merge = dd_quantiles(merged, (0.5, 0.9)).collect()
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, via_merge))

@@ -187,6 +187,7 @@ HEADLINE = [
     "warehouse_schema_evolution",
     "events_value_ddsketch",
     "streaming_ddsketch_parity",
+    "doc_phrase_search",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

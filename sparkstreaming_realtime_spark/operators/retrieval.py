@@ -116,3 +116,67 @@ def bm25_search(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)
     )
+
+
+def phrase_occurrences(toks, phrase: tuple[str, ...]):
+    """Occurrence count of an exact token phrase inside a token array
+    — ES's ``match_phrase`` semantics (terms adjacent, in order, slop
+    0) as a pure IN-ROW expression: for each window start i, check
+    all k positions (F.get is 0-based and NULL-safe, so no ANSI
+    out-of-bounds risk). Zero shuffle, zero explode — the corpus is
+    never blown up to one row per position the way a positional
+    postings index would; at 100 TB this is a plain filter the scan
+    pipeline absorbs. ``toks`` must be a bound column reference (the
+    no-CSE-in-HOF rule: bind the tokenize() behind an
+    explode(array()) barrier first)."""
+    import functools
+
+    k = len(phrase)
+    n = F.size(toks)
+
+    def window_matches(i):
+        return functools.reduce(
+            lambda acc, jw: acc
+            & (F.get(toks, i - 1 + jw[0]) == F.lit(jw[1])),
+            enumerate(phrase),
+            F.lit(True),
+        )
+
+    starts = F.when(
+        n >= k,
+        F.filter(F.sequence(F.lit(1), n - k + 1), window_matches),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.size(starts).cast("bigint")
+
+
+def match_phrase_docs(
+    docs: DataFrame, phrase: str, text_col: str = "text"
+) -> DataFrame:
+    """Documents matching an exact phrase, with occurrence counts —
+    the ``match_phrase`` sibling of the reference's analyzed match
+    query (functions/text.py:match_all_terms covers match-AND;
+    PublishDaoImpl.java:58-61 builds the analyzed match — phrase is
+    the next query type the same ES surface serves). The phrase is
+    analyzed with the SAME tokenizer as the corpus, so 'Slow, HASH
+    batch!' matches 'slow hash batch'. Returns (doc_id, lang,
+    n_occurrences) for matching docs, (occurrences desc, doc_id)
+    ordered."""
+    from ..functions.text import _py_tokenize
+
+    terms = tuple(_py_tokenize(phrase))
+    if not terms:
+        raise ValueError("phrase analyzed to zero tokens")
+    bound = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(tokenize(text_col))).alias("__tk"),
+    )
+    occ = bound.select(
+        "doc_id",
+        "lang",
+        phrase_occurrences(F.col("__tk"), terms).alias("n_occurrences"),
+    )
+    return (
+        occ.filter(F.col("n_occurrences") > 0)
+        .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+    )

@@ -41,6 +41,9 @@ _PRIORITY = [
     # ES query-surface sentinel (A3) + NEW r10: its RANKED form
     # (BM25 — ES's default similarity — over the document corpus)
     "stats_by_item_segment", "doc_bm25_search",
+    # NEW r11 session 4: ES match_phrase — the positional sibling of
+    # the analyzed match-AND and its BM25 ranked form
+    "doc_phrase_search",
     # joins / rollups / TPC-H / extension sentinels
     "order_wide_join", "hourly_window_rollup",
     # NEW r10: overlapping-window rollup (batch + its streaming twin
@@ -116,7 +119,10 @@ _PRIORITY = [
     # loop beside the set-valued components family (emb_feature_extract
     # rotated to the tail for it — green r2-r9, multimodal keeps
     # doc_audio_windows in-window)
-    "order_graph_pagerank",
+    # (order_graph_pagerank rotated to the tail r11s4 for
+    # doc_phrase_search — green r10-r11 incl. the supplier-id fix;
+    # the graph family keeps the triangle + link-prediction pair
+    # in-window)
     "doc_dup_clusters", "doc_line_dedup",
     # NEW r10: record linkage — segment-blocked edit-distance entity
     # resolution (doc_exact_dedup rotated to the tail for it — green
@@ -225,6 +231,7 @@ _PRIORITY = [
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
+    "order_graph_pagerank",
     "emb_semantic_dedup_clustered_auto", "streaming_dau_dedup_parity",
     "streaming_scd2_parity", "doc_exact_k_sample",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",

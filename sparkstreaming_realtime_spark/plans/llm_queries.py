@@ -4374,3 +4374,48 @@ def doc_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     merges = [(r.lhs, r.rhs) for r in sorted(learned, key=lambda r: r.rank)]
     return bpe_compression(_t(spark, sf_dir, "documents"), merges)
+
+
+_PHRASE = ("slow", "hash", "batch")
+
+
+def _phrase_oracle(phrase: tuple[str, ...]) -> str:
+    k = len(phrase)
+    conds = " AND ".join(
+        f"tk[i+{j}] = '{t}'" if j else f"tk[i] = '{t}'"
+        for j, t in enumerate(phrase)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {_toks_sql("text")} AS tk FROM documents),
+occ AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(tk) >= {k} THEN
+           len(list_filter(range(1, len(tk) - {k} + 2), i -> {conds}))
+         ELSE 0 END::BIGINT AS n_occurrences
+  FROM t)
+SELECT doc_id, lang, n_occurrences FROM occ
+WHERE n_occurrences > 0
+ORDER BY n_occurrences DESC, doc_id
+"""
+
+
+@register(
+    "doc_phrase_search",
+    oracle=_phrase_oracle(_PHRASE),
+    tags=("LLM", "text", "serving"),
+)
+def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase over the corpus
+    (operators/retrieval.py:match_phrase_docs): documents containing
+    the exact analyzed phrase 'slow hash batch' with occurrence
+    counts — the positional sibling of the reference's analyzed
+    match-AND query (PublishDaoImpl.java:58-61) and the BM25 ranked
+    form. Pure in-row window check over the token array (zero
+    shuffle, zero positional-postings explode); the oracle replays
+    the same windows with list ops."""
+    from ..operators.retrieval import match_phrase_docs
+
+    return match_phrase_docs(
+        _t(spark, sf_dir, "documents"), " ".join(_PHRASE)
+    )

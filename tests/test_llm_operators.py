@@ -2774,3 +2774,30 @@ def test_dd_sketch_merges_additively(spark):
     )
     via_merge = dd_quantiles(merged, (0.5, 0.9)).collect()
     assert sorted(map(tuple, whole)) == sorted(map(tuple, via_merge))
+
+
+def test_match_phrase_semantics(spark):
+    from sparkstreaming_realtime_spark.operators.retrieval import (
+        match_phrase_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the quick brown fox"),
+            (2, "en", "quick brown quick brown fox"),  # overlapping-ish
+            (3, "en", "brown quick"),                  # order matters
+            (4, "en", "quick  BROWN!"),                # analyzer folds
+            (5, "en", "quick"),                        # shorter than k
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r.doc_id: r.n_occurrences
+        for r in match_phrase_docs(docs, "Quick, Brown").collect()
+    }
+    assert got == {1: 1, 2: 2, 4: 1}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        match_phrase_docs(docs, "!!!")

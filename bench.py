@@ -188,6 +188,7 @@ HEADLINE = [
     "events_value_ddsketch",
     "streaming_ddsketch_parity",
     "doc_phrase_search",
+    "order_touch_attribution",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

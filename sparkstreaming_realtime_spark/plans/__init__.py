@@ -58,10 +58,14 @@ _PRIORITY = [
     # sessions (user_retention_cohorts rotated to the tail for it —
     # green r10; the sequence family keeps user_funnel + the matrix)
     "user_funnel", "event_transition_matrix",
+    # NEW r11 session 4: linear revenue attribution over the bucketed
+    # touch range join (events_gap_filled_resample rotated to the
+    # tail for it — green r10-r11; the timeseries family keeps the
+    # rolling/anomaly pair in-window)
+    "order_touch_attribution",
     # NEW r10: zero-filled time-series resample (events_asof_last_order
     # rotated to the tail for it — green r4-r9, the as-of operator
     # stays pytest-pinned and in the r1-r9 green union)
-    "events_gap_filled_resample",
     # NEW this round (never driver-checked): warehouse maintenance +
     # quality gate + z-order skipping
     "events_quality_expectations", "warehouse_compaction_roundtrip",
@@ -231,7 +235,7 @@ _PRIORITY = [
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
-    "order_graph_pagerank",
+    "order_graph_pagerank", "events_gap_filled_resample",
     "emb_semantic_dedup_clustered_auto", "streaming_dau_dedup_parity",
     "streaming_scd2_parity", "doc_exact_k_sample",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",

@@ -4179,3 +4179,71 @@ def streaming_ddsketch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd_quantiles(
         merged, (0.5, 0.95, 0.99), group_cols=("event_type",)
     )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS oid, o_custkey AS u,
+         (o_orderdate + INTERVAL 348 MONTH)::TIMESTAMP AS ots,
+         round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders),
+t AS (
+  SELECT o.oid, o.cents, e.event_type AS ch, e.ts, e.event_id
+  FROM o JOIN events e
+    ON e.user_id = o.u AND e.ts <= o.ots
+   AND e.ts > o.ots - INTERVAL 7 DAY),
+credited AS (
+  SELECT ch, oid,
+         cents // k + CASE WHEN rn = 1 THEN cents - k * (cents // k)
+                           ELSE 0 END AS credit
+  FROM (
+    SELECT ch, oid, cents,
+           count(*) OVER (PARTITION BY oid) AS k,
+           row_number() OVER (
+             PARTITION BY oid ORDER BY ts DESC, event_id DESC) AS rn
+    FROM t)),
+per_channel AS (
+  SELECT ch AS channel, sum(credit)::BIGINT AS attributed_cents,
+         count(*)::BIGINT AS n_touches,
+         count(DISTINCT oid)::BIGINT AS n_orders
+  FROM credited GROUP BY 1),
+direct AS (
+  SELECT '(direct)' AS channel, sum(cents)::BIGINT AS attributed_cents,
+         0::BIGINT AS n_touches, count(*)::BIGINT AS n_orders
+  FROM o ANTI JOIN t ON o.oid = t.oid
+  HAVING count(*) > 0)
+SELECT * FROM per_channel UNION ALL SELECT * FROM direct
+ORDER BY channel
+"""
+
+
+@register(
+    "order_touch_attribution",
+    oracle=_ATTRIBUTION_ORACLE,
+    tags=("analytics", "attribution", "extension"),
+)
+def order_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear revenue attribution
+    (operators/attribution.py:linear_attribution): every order's
+    cents split EQUALLY across the user's events in the 7 days
+    before it (the touch window), remainder cents to the last touch,
+    untouched orders pooled in '(direct)' — so the attributed total
+    reconciles to total revenue exactly, in integers. The touch join
+    is the bucketed range join (user+bucket equi-join, never
+    user-only); orders shift +348 months into the event era (the
+    events_asof_last_order convention, aligned so the order stream
+    overlaps the one-month event window). The oracle replays the
+    credit arithmetic with truncating division."""
+    from ..operators.attribution import linear_attribution
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.add_months("o_orderdate", 348).cast("timestamp").alias("ots"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return linear_attribution(
+        orders,
+        _t(spark, sf_dir, "events"),
+        window_seconds=7 * 24 * 3600,
+    )

@@ -197,3 +197,80 @@ def test_transition_matrix_ties_break_by_order_col(spark):
     )
     got = [(r.from_event, r.to_event) for r in transition_matrix(ev).collect()]
     assert got == [("b", "a")]
+
+
+def _attr(spark, orders, events, w=3600):
+    from sparkstreaming_realtime_spark.operators.attribution import (
+        linear_attribution,
+    )
+
+    o = spark.createDataFrame(
+        orders, "order_id long, user_id long, ots timestamp, cents long"
+    )
+    e = spark.createDataFrame(
+        events, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    return {
+        r.channel: (r.attributed_cents, r.n_touches, r.n_orders)
+        for r in linear_attribution(o, e, window_seconds=w).collect()
+    }
+
+
+def test_linear_attribution_hand_computed(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    orders = [
+        (1, 7, m(0), 100),    # touches: ad(-30m), email(-5m) -> 50/50
+        (2, 7, m(90), 101),   # touch: email(85m=5m before) -> all 101
+        (3, 8, m(0), 40),     # no touches -> (direct)
+    ]
+    events = [
+        (10, 7, m(-30), "ad"),
+        (11, 7, m(-5), "email"),
+        (12, 7, m(85), "email"),
+        (13, 9, m(-1), "ad"),      # other user, never matches
+        (14, 7, m(-70), "ad"),     # outside the 1h window of order 1
+    ]
+    got = _attr(spark, orders, events)
+    assert got["ad"] == (50, 1, 1)
+    # email: 50 from order1 (last touch of an even split) + 101
+    assert got["email"] == (151, 2, 2)
+    assert got["(direct)"] == (40, 0, 1)
+    # reconciliation: attributed == total order cents
+    assert sum(v[0] for v in got.values()) == 100 + 101 + 40
+
+
+def test_linear_attribution_remainder_goes_to_last_touch(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    orders = [(1, 7, t0, 100)]
+    events = [
+        (10, 7, t0 - dt.timedelta(minutes=50), "a"),
+        (11, 7, t0 - dt.timedelta(minutes=40), "b"),
+        (12, 7, t0 - dt.timedelta(minutes=30), "c"),
+    ]
+    got = _attr(spark, orders, events)
+    # 100 div 3 = 33 each; remainder 1 to the LAST touch (channel c)
+    assert got["a"] == (33, 1, 1)
+    assert got["b"] == (33, 1, 1)
+    assert got["c"] == (34, 1, 1)
+
+
+def test_linear_attribution_boundary_inclusive_exclusive(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    orders = [(1, 7, t0, 10)]
+    events = [
+        (10, 7, t0, "at_order_ts"),                       # included
+        (11, 7, t0 - dt.timedelta(hours=1), "at_minus_w"),  # excluded
+    ]
+    got = _attr(spark, orders, events)
+    assert got["at_order_ts"] == (10, 1, 1)
+    assert "at_minus_w" not in got

@@ -189,6 +189,7 @@ HEADLINE = [
     "streaming_ddsketch_parity",
     "doc_phrase_search",
     "order_touch_attribution",
+    "cdc_snapshot_diff",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

@@ -208,3 +208,69 @@ def scd2_history(
             F.col("valid_to").isNull().cast("int").alias("is_current"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...],
+    compare_cols: tuple[str, ...],
+) -> DataFrame:
+    """Table reconciliation: classify every key across two snapshots
+    as added / removed / changed / unchanged — the validation a CDC
+    pipeline runs against a periodic full re-export (did the applied
+    change stream converge to the source?), and the generic
+    "what moved between versions" diff for any warehouse table pair.
+
+    Returns one row per key with (``key_cols``..., status) — callers
+    aggregate; :func:`snapshot_diff_summary` is the rolled-up form.
+
+    Scale shape: ONE full-outer equi-join on the key (both sides
+    shuffle once, co-partitioned; AQE handles skewed keys), with
+    change detection as direct null-safe column equality (``eqNullSafe``
+    per compare column — no row hashing, so adding a column to the
+    diff never changes other columns' verdicts and the oracle can
+    replay with ``IS NOT DISTINCT FROM``)."""
+    o = old.select(
+        *[F.col(k).alias(f"__ko_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__kn_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    cond = [
+        o[f"__ko_{k}"] == n[f"__kn_{k}"] for k in key_cols
+    ]
+    j = o.join(n, cond, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    keys = [
+        F.coalesce(F.col(f"__ko_{k}"), F.col(f"__kn_{k}")).alias(k)
+        for k in key_cols
+    ]
+    return j.select(*keys, status.alias("status"))
+
+
+def snapshot_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...],
+    compare_cols: tuple[str, ...],
+) -> DataFrame:
+    """(status, n) rollup of :func:`snapshot_diff` — the four-row
+    reconciliation report; map-side combinable."""
+    return (
+        snapshot_diff(old, new, key_cols, compare_cols)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

@@ -36,6 +36,12 @@ _PRIORITY = [
     # sentinel is streaming_scd2_parity below, which compares against
     # the batch operator and so covers both)
     "cdc_route_counts", "cdc_dim_snapshot",
+    # NEW r11 session 4: snapshot reconciliation — the CDC-vs-full-
+    # re-export convergence diff (sliding_window_rollup rotated to
+    # the tail for it — green r10-r11; the window family keeps
+    # hourly_window_rollup + streaming_sliding_rollup_parity
+    # in-window)
+    "cdc_snapshot_diff",
     # NEW this round: byte-exact PCM16 audio features
     "doc_audio_windows",
     # ES query-surface sentinel (A3) + NEW r10: its RANKED form
@@ -46,9 +52,6 @@ _PRIORITY = [
     "doc_phrase_search",
     # joins / rollups / TPC-H / extension sentinels
     "order_wide_join", "hourly_window_rollup",
-    # NEW r10: overlapping-window rollup (batch + its streaming twin
-    # below) — the tumbling sentinel cannot catch slide-alignment bugs
-    "sliding_window_rollup",
     # NEW r10: event-sequence analytics — ordered funnel + retention
     # cohorts (shipping_priority and doc_gopher_filters rotated to
     # the tail for them — green r1-r9 / r3-r9; TPC-H keeps
@@ -236,6 +239,7 @@ _PRIORITY = [
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
     "order_graph_pagerank", "events_gap_filled_resample",
+    "sliding_window_rollup",
     "emb_semantic_dedup_clustered_auto", "streaming_dau_dedup_parity",
     "streaming_scd2_parity", "doc_exact_k_sample",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",

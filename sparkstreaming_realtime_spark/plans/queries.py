@@ -4247,3 +4247,59 @@ def order_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "events"),
         window_seconds=7 * 24 * 3600,
     )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (
+  SELECT o_orderkey AS k, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 <> 0),
+new AS (
+  SELECT o_orderkey AS k, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 0.01
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0),
+j AS (
+  SELECT coalesce(o.k, n.k) AS k,
+         CASE WHEN o.k IS NULL THEN 'added'
+              WHEN n.k IS NULL THEN 'removed'
+              WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+               AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+              THEN 'unchanged' ELSE 'changed' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.k = n.k)
+SELECT status, count(*)::BIGINT AS n FROM j GROUP BY 1
+"""
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=_SNAPSHOT_DIFF_ORACLE,
+    tags=("extension", "cdc", "reconciliation"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/cdc.py:snapshot_diff): two
+    deterministic order-table versions — keys %11==0 absent from the
+    old export, %13==0 absent from the new, %5==0 repriced by one
+    cent — classified added/removed/changed/unchanged in ONE
+    co-partitioned full-outer key join with per-column null-safe
+    equality (no row hashing: a new compare column can never flip
+    another's verdict, and the oracle replays with IS NOT DISTINCT
+    FROM). This is the convergence check a CDC pipeline runs against
+    a periodic full re-export."""
+    from ..operators.cdc import snapshot_diff_summary
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey"), "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 0.01
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff_summary(
+        old, new, ("o_orderkey",), ("o_orderstatus", "o_totalprice")
+    )

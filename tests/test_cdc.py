@@ -145,3 +145,47 @@ def test_scd2_intervals_partition_time_per_key(spark):
         ("1", 5, 400, None, 1),  # reinsert reopens (version 4 = the D)
         ("2", 1, 150, None, 1),
     ]
+
+
+def test_snapshot_diff_classifies_all_states(spark):
+    from sparkstreaming_realtime_spark.operators.cdc import (
+        snapshot_diff,
+        snapshot_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "c", None), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    per_key = {
+        r.k: r.status
+        for r in snapshot_diff(old, new, ("k",), ("s", "v")).collect()
+    }
+    assert per_key == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL == NULL under null-safe equality
+        4: "removed",
+        5: "added",
+    }
+    summary = {
+        r.status: r.n
+        for r in snapshot_diff_summary(
+            old, new, ("k",), ("s", "v")
+        ).collect()
+    }
+    assert summary == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_snapshot_diff_null_to_value_is_changed(spark):
+    from sparkstreaming_realtime_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, "x")], "k long, v string")
+    assert snapshot_diff(old, new, ("k",), ("v",)).collect()[0].status == (
+        "changed"
+    )

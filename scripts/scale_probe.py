@@ -226,6 +226,22 @@ PROBE = [
     # than tokens; the scaled fixture's letter substitution multiplies
     # types ×~26, the worst case for this shape)
     "doc_bpe_learn_merges",
+    # r11 session 4 batch 2: the encode side (adds one corpus scan to
+    # the train loop), the skew profiler (key-count shuffle + a
+    # histogram-sized window), the two-era mergeSchema roundtrip
+    # (write + read + rollup — linear in facts), the DDSketch pair
+    # (scan + ~540-bucket sketch; the streaming twin adds 4 batch
+    # rollups), in-row phrase search (scan-flat by construction),
+    # the attribution range join (user+bucket equi-join), and the
+    # full-outer reconciliation diff (one co-partitioned join)
+    "doc_bpe_compression",
+    "events_key_skew",
+    "warehouse_schema_evolution",
+    "events_value_ddsketch",
+    "streaming_ddsketch_parity",
+    "doc_phrase_search",
+    "order_touch_attribution",
+    "cdc_snapshot_diff",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

@@ -190,6 +190,7 @@ HEADLINE = [
     "doc_phrase_search",
     "order_touch_attribution",
     "cdc_snapshot_diff",
+    "events_winsorized_stats",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

@@ -418,3 +418,57 @@ def dd_quantiles(
     return best.select(
         *group_cols, "q", est.alias("est"), "n_rows"
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    q_lo: float = 0.01,
+    q_hi: float = 0.99,
+    alpha: float = DD_ALPHA,
+) -> DataFrame:
+    """Sketch-driven robust scaling: per-group winsorized statistics
+    with the clip bounds taken from the :func:`dd_sketch` quantile
+    estimates — the feature-engineering normalization a training
+    pipeline applies to heavy-tailed numeric columns (clip at
+    p01/p99, THEN average), without ever sorting the corpus.
+
+    Two scans total at ANY size: one to build the (group, bucket, n)
+    sketch, one to clip-and-aggregate with the ≤|groups|·2 bounds
+    broadcast back — vs the exact approach's per-group full sort.
+    Because the sketch and its quantile read are deterministic and
+    engine-replayable, the clip bounds — and therefore every
+    winsorized value — are bit-identical across engines: the clipped
+    mean is exact integer cents divided once at 4dp.
+
+    Returns (group..., n, lo, hi, win_sum_cents, win_mean)."""
+    sk = dd_sketch(df, value_col, group_cols=group_cols, alpha=alpha)
+    qs = dd_quantiles(sk, (q_lo, q_hi), group_cols=group_cols, alpha=alpha)
+    bounds = qs.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("q") == q_lo, F.col("est"))).alias("lo"),
+        F.max(F.when(F.col("q") == q_hi, F.col("est"))).alias("hi"),
+    )
+    clipped = df.join(F.broadcast(bounds), list(group_cols)).select(
+        *group_cols,
+        "lo",
+        "hi",
+        F.round(
+            F.least(
+                F.greatest(F.col(value_col), F.col("lo")), F.col("hi")
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("__cents"),
+    )
+    return clipped.groupBy(*group_cols, "lo", "hi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__cents").cast("bigint").alias("win_sum_cents"),
+        F.round(
+            F.sum("__cents").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 100.0,
+            4,
+        ).alias("win_mean"),
+    ).select(*group_cols, "n", "lo", "hi", "win_sum_cents", "win_mean")

@@ -130,7 +130,7 @@ _PRIORITY = [
     # doc_phrase_search — green r10-r11 incl. the supplier-id fix;
     # the graph family keeps the triangle + link-prediction pair
     # in-window)
-    "doc_dup_clusters", "doc_line_dedup",
+    "doc_line_dedup",
     # NEW r10: record linkage — segment-blocked edit-distance entity
     # resolution (doc_exact_dedup rotated to the tail for it — green
     # r1-r9, the dedup family keeps five in-window rows)
@@ -235,11 +235,19 @@ _PRIORITY = [
     # streaming_decontaminate_parity in-window, the IVF family stays
     # pinned by its tail union and pytest)
     "events_value_ddsketch", "streaming_ddsketch_parity",
+    # NEW r11 session 4: sketch-driven winsorized scaling — the
+    # p01/p99 clip bounds come FROM the DDSketch, so the robust mean
+    # is two scans at any size (doc_dup_clusters rotated to the tail
+    # for it — green r1-r10; the dedup family keeps doc_line_dedup,
+    # the curation funnel, and keep-longest's tail union, and the
+    # components loop stays pinned by tests + the clustered SemDeDup
+    # rows' shared quantizer)
+    "events_winsorized_stats",
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
     "order_graph_pagerank", "events_gap_filled_resample",
-    "sliding_window_rollup",
+    "sliding_window_rollup", "doc_dup_clusters",
     "emb_semantic_dedup_clustered_auto", "streaming_dau_dedup_parity",
     "streaming_scd2_parity", "doc_exact_k_sample",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",

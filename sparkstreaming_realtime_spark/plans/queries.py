@@ -4076,17 +4076,14 @@ def warehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ddsketch_oracle() -> str:
-    """Replay of sketches.dd_sketch + dd_quantiles: identical baked
-    ln-γ divisor, identical ceil bucketing, integer rank selection,
-    one pow+round per answer."""
-    import math
-
+def _dd_best_cte(qs: tuple[float, ...]) -> str:
+    """Shared DDSketch replay CTE chain (s, c, qv, hits, best) for
+    the per-event-type quantile reads: identical baked ln-γ divisor,
+    identical ceil bucketing, integer rank selection."""
     from ..operators.sketches import DD_ALPHA, _dd_ln_gamma
 
-    gamma = (1.0 + DD_ALPHA) / (1.0 - DD_ALPHA)
-    return f"""
-WITH s AS (
+    qlist = ", ".join(f"{q!r}::DOUBLE" for q in qs)
+    return f"""s AS (
   SELECT event_type,
          ceil(ln("value") / {_dd_ln_gamma(DD_ALPHA)!r})::BIGINT AS bucket,
          count(*)::BIGINT AS n
@@ -4096,17 +4093,54 @@ c AS (
          sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
          sum(n) OVER (PARTITION BY event_type) AS total
   FROM s),
-qv AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS q),
+qv AS (SELECT unnest([{qlist}]) AS q),
 hits AS (
   SELECT event_type, q, bucket, total
   FROM c, qv WHERE cum >= floor(q * (total - 1)) + 1),
 best AS (
   SELECT event_type, q, min(bucket) AS b, max(total)::BIGINT AS n_rows
-  FROM hits GROUP BY 1, 2)
-SELECT event_type, q,
-       round(2.0 * power({gamma!r}, b) / {gamma + 1.0!r}, 6) AS est,
-       n_rows
+  FROM hits GROUP BY 1, 2)"""
+
+
+def _dd_est_sql(col: str = "b") -> str:
+    from ..operators.sketches import DD_ALPHA
+
+    gamma = (1.0 + DD_ALPHA) / (1.0 - DD_ALPHA)
+    return f"round(2.0 * power({gamma!r}, {col}) / {gamma + 1.0!r}, 6)"
+
+
+def _ddsketch_oracle() -> str:
+    """Replay of sketches.dd_sketch + dd_quantiles: identical baked
+    ln-γ divisor, identical ceil bucketing, integer rank selection,
+    one pow+round per answer."""
+    return f"""
+WITH {_dd_best_cte((0.5, 0.95, 0.99))}
+SELECT event_type, q, {_dd_est_sql()} AS est, n_rows
 FROM best
+"""
+
+
+def _winsorize_oracle() -> str:
+    """Sketch-driven winsorization replay: the same DDSketch chain at
+    (p01, p99), bounds pivoted per type, clip + exact-cents mean."""
+    return f"""
+WITH {_dd_best_cte((0.01, 0.99))},
+bounds AS (
+  SELECT event_type,
+         max(CASE WHEN q = 0.01 THEN est END) AS lo,
+         max(CASE WHEN q = 0.99 THEN est END) AS hi
+  FROM (SELECT event_type, q, {_dd_est_sql()} AS est FROM best)
+  GROUP BY 1),
+clipped AS (
+  SELECT e.event_type, b.lo, b.hi,
+         round(least(greatest(e."value", b.lo), b.hi) * 100)::BIGINT
+           AS cents
+  FROM events e JOIN bounds b USING (event_type))
+SELECT event_type, count(*)::BIGINT AS n, lo, hi,
+       sum(cents)::BIGINT AS win_sum_cents,
+       round(sum(cents)::DOUBLE / count(*)::DOUBLE / 100.0, 4)
+         AS win_mean
+FROM clipped GROUP BY event_type, lo, hi
 """
 
 
@@ -4302,4 +4336,25 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return snapshot_diff_summary(
         old, new, ("o_orderkey",), ("o_orderstatus", "o_totalprice")
+    )
+
+
+@register(
+    "events_winsorized_stats",
+    oracle=_winsorize_oracle(),
+    tags=("extension", "percentiles", "sketch", "feature"),
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven robust scaling
+    (operators/sketches.py:winsorized_stats): per-event-type
+    winsorized mean with the clip bounds taken from the DDSketch p01/
+    p99 estimates — heavy-tailed feature normalization in TWO scans
+    at any corpus size (sketch build, clip+aggregate with the bounds
+    broadcast back), never a per-group sort. The bounds are
+    deterministic sketch reads, so every clipped value — and the
+    exact-cents winsorized mean — hashes across engines."""
+    from ..operators.sketches import winsorized_stats
+
+    return winsorized_stats(
+        _t(spark, sf_dir, "events"), "value", group_cols=("event_type",)
     )

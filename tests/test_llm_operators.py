@@ -2801,3 +2801,21 @@ def test_match_phrase_semantics(spark):
 
     with pytest.raises(ValueError):
         match_phrase_docs(docs, "!!!")
+
+
+def test_winsorized_stats_clips_outliers(spark):
+    from sparkstreaming_realtime_spark.operators.sketches import (
+        winsorized_stats,
+    )
+
+    # 98 values at 10.0 plus two wild outliers; p01/p99 bounds land
+    # near 10, so the winsorized mean must sit at ~10 while the raw
+    # mean would be dragged to ~109
+    rows = [("a", 10.0)] * 98 + [("a", 0.001), ("a", 10000.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    r = winsorized_stats(df, "value", group_cols=("g",)).collect()[0]
+    assert r.n == 100
+    assert abs(r.win_mean - 10.0) < 0.5
+    assert r.lo <= 10.0 <= r.hi
+    # reconciliation: sum equals mean * n within the 4dp round
+    assert abs(r.win_sum_cents / 100.0 / r.n - r.win_mean) < 1e-4

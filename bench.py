@@ -191,6 +191,7 @@ HEADLINE = [
     "order_touch_attribution",
     "cdc_snapshot_diff",
     "events_winsorized_stats",
+    "streaming_attribution_parity",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

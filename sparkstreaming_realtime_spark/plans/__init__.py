@@ -65,7 +65,7 @@ _PRIORITY = [
     # touch range join (events_gap_filled_resample rotated to the
     # tail for it — green r10-r11; the timeseries family keeps the
     # rolling/anomaly pair in-window)
-    "order_touch_attribution",
+    "order_touch_attribution", "streaming_attribution_parity",
     # NEW r10: zero-filled time-series resample (events_asof_last_order
     # rotated to the tail for it — green r4-r9, the as-of operator
     # stays pytest-pinned and in the r1-r9 green union)
@@ -130,7 +130,10 @@ _PRIORITY = [
     # doc_phrase_search — green r10-r11 incl. the supplier-id fix;
     # the graph family keeps the triangle + link-prediction pair
     # in-window)
-    "doc_line_dedup",
+    # (doc_line_dedup rotated to the tail r11s4 for the streaming
+    # attribution parity — green r8s2-r10; the line family keeps
+    # streaming_line_dedup_parity in-window, which replays the same
+    # batch oracle)
     # NEW r10: record linkage — segment-blocked edit-distance entity
     # resolution (doc_exact_dedup rotated to the tail for it — green
     # r1-r9, the dedup family keeps five in-window rows)
@@ -247,7 +250,7 @@ _PRIORITY = [
     # every session by scripts/check_oracle.py (full registry) and
     # pytest
     "order_graph_pagerank", "events_gap_filled_resample",
-    "sliding_window_rollup", "doc_dup_clusters",
+    "sliding_window_rollup", "doc_dup_clusters", "doc_line_dedup",
     "emb_semantic_dedup_clustered_auto", "streaming_dau_dedup_parity",
     "streaming_scd2_parity", "doc_exact_k_sample",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",

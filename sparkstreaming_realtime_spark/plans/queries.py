@@ -4358,3 +4358,67 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(
         _t(spark, sf_dir, "events"), "value", group_cols=("event_type",)
     )
+
+
+@register(
+    "streaming_attribution_parity",
+    oracle=_ATTRIBUTION_ORACLE,
+    tags=("analytics", "attribution", "extension", "streaming"),
+)
+def streaming_attribution_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL attribution under the batch oracle: orders arrive
+    as a real Structured Streaming source in 4 micro-batches, each
+    batch runs the SAME linear_attribution core against the static
+    event stream, and the per-channel partials land in batch-keyed
+    idempotent directories. Every credit decision depends only on
+    (order, its touches) and each order lives in exactly ONE batch,
+    so the per-channel sums are additive over ANY batch split — the
+    merged rollup must hash-equal the one-shot result, and the
+    oracle IS order_touch_attribution's, unchanged. This is the
+    production shape: attribute conversions as they land, never a
+    full-history recompute."""
+    import os
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..operators.attribution import linear_attribution
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import read_sink
+
+    events = _t(spark, sf_dir, "events")
+    orders_stream = _stream_t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.add_months("o_orderdate", 348).cast("timestamp").alias("ots"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    root = engine_tmpdir("attr_parity_")
+    out = os.path.join(root, "partials")
+
+    def attribute_batch(batch_df, batch_id: int) -> None:
+        res = linear_attribution(
+            batch_df, events, window_seconds=7 * 24 * 3600
+        )
+        res.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
+
+    q = run_available_now(
+        orders_stream,
+        attribute_batch,
+        checkpoint=os.path.join(root, "ckpt"),
+        query_name="attr_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return (
+        read_sink(spark, out)
+        .groupBy("channel")
+        .agg(
+            F.sum("attributed_cents").cast("bigint").alias(
+                "attributed_cents"
+            ),
+            F.sum("n_touches").cast("bigint").alias("n_touches"),
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("channel")
+    )

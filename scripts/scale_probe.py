@@ -242,6 +242,11 @@ PROBE = [
     "doc_phrase_search",
     "order_touch_attribution",
     "cdc_snapshot_diff",
+    # r11 session 4 batch 3: sketch-driven winsorization (two scans
+    # by construction) and the incremental attribution parity (4
+    # order micro-batches against the static event side)
+    "events_winsorized_stats",
+    "streaming_attribution_parity",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

@@ -570,3 +570,93 @@ def test_bpe_matches_python_reference_on_random_corpora(spark):
             for r in bpe_learn_merges(docs, n_merges=5).collect()
         ]
         assert got == expect, seed
+
+
+def test_link_prediction_matches_bruteforce_on_random_graphs(spark):
+    """Common-neighbor counts and Adamic-Adar micro-sums vs a direct
+    Python computation over the full adjacency, on seeded graphs."""
+    import math
+    import random
+
+    from sparkstreaming_realtime_spark.operators.graph import (
+        link_prediction,
+    )
+
+    for seed, n_nodes, n_draws in [(5, 14, 40), (9, 22, 90)]:
+        rng = random.Random(seed)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n_nodes), 2)))
+                for _ in range(n_draws)
+            }
+        )
+        adj = {v: set() for v in range(n_nodes)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        expect = {}
+        for v in range(n_nodes):
+            for w in range(v + 1, n_nodes):
+                if w in adj[v]:
+                    continue
+                common = adj[v] & adj[w]
+                if common:
+                    expect[(v, w)] = (
+                        len(common),
+                        sum(
+                            round(1e6 / math.log(len(adj[u])))
+                            for u in common
+                        ),
+                    )
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            tuple(sorted((r.a, r.b))): (r.common_n, r.aa_micro)
+            for r in link_prediction(df, k=10_000).collect()
+        }
+        assert got == expect, seed
+
+
+def test_attribution_always_reconciles_to_total_revenue(spark):
+    """Fuzz the credit-split invariant: for random order/event sets,
+    the per-channel attributed cents (incl. the direct bucket) must
+    sum EXACTLY to total order cents — no cent created or lost."""
+    import datetime as dt
+    import random
+
+    from sparkstreaming_realtime_spark.operators.attribution import (
+        linear_attribution,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    for seed in (2, 8):
+        rng = random.Random(seed)
+        orders = [
+            (
+                i,
+                rng.randrange(6),
+                t0 + dt.timedelta(minutes=rng.randrange(5000)),
+                rng.randrange(1, 100_000),
+            )
+            for i in range(40)
+        ]
+        events = [
+            (
+                100 + j,
+                rng.randrange(6),
+                t0 + dt.timedelta(minutes=rng.randrange(5000)),
+                rng.choice(["ad", "email", "push"]),
+            )
+            for j in range(120)
+        ]
+        o = spark.createDataFrame(
+            orders, "order_id long, user_id long, ots timestamp, cents long"
+        )
+        e = spark.createDataFrame(
+            events,
+            "event_id long, user_id long, ts timestamp, event_type string",
+        )
+        rows = linear_attribution(o, e, window_seconds=3600).collect()
+        assert sum(r.attributed_cents for r in rows) == sum(
+            c for *_, c in orders
+        ), seed
+        assert sum(r.n_orders for r in rows) >= 40  # every order counted

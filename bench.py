@@ -192,6 +192,7 @@ HEADLINE = [
     "cdc_snapshot_diff",
     "events_winsorized_stats",
     "streaming_attribution_parity",
+    "doc_split_leakage",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

@@ -197,3 +197,82 @@ def exact_k_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def split_label(key_col, prefix: str):
+    """The engine's standard hash-bucket split label (10% test, 10%
+    holdout, 80% train) for any stable string key — factored out of
+    the doc_hash_split convention so GROUP-level splits (key = the
+    leakage unit: source/domain/url-prefix) use the identical
+    arithmetic. Membership depends only on (prefix, key): re-runs,
+    corpus versions, and engines agree."""
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import hash60
+
+    bucket = hash60(F.concat(F.lit(prefix), key_col.cast("string"))) % 100
+    return (
+        F.when(bucket < 10, "test")
+        .when(bucket < 20, "holdout")
+        .otherwise("train")
+    )
+
+
+def split_leakage_report(
+    docs,
+    pairs,
+    policies: dict,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+):
+    """Audit how many NEAR-DUP pairs a split policy separates across
+    split boundaries — the contamination a per-document split invites
+    (a near-duplicate of a training doc landing in test inflates
+    eval; the published mitigation is splitting by the leakage UNIT —
+    domain/source — so correlated documents travel together).
+
+    ``policies`` maps policy name → a split-label Column over the
+    docs frame (e.g. from :func:`split_label` on doc_id vs source).
+    Returns (policy, n_pairs, n_cross, cross_pct): total verified
+    near-dup pairs, pairs whose endpoints landed in different splits,
+    and the crossing rate at 4dp — a MEASUREMENT, not a guarantee:
+    if dups cluster inside groups, the group policy's n_cross drops
+    to 0; if they don't, the audit says so honestly.
+
+    Scale shape: the pair frame is the dedup pipeline's existing
+    candidate output (never all-pairs); each policy costs two
+    id-keyed joins of labels onto it plus one tiny aggregate."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for name, label in policies.items():
+        lab = docs.select(
+            F.col(id_col).alias("__id"), label.alias("__split")
+        )
+        a = lab.select(
+            F.col("__id").alias(pair_a), F.col("__split").alias("__sa")
+        )
+        b = lab.select(
+            F.col("__id").alias(pair_b), F.col("__split").alias("__sb")
+        )
+        joined = pairs.join(a, pair_a).join(b, pair_b)
+        agg = joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("__sa") != F.col("__sb")).cast("bigint")
+            ).alias("n_cross"),
+        ).select(
+            F.lit(name).alias("policy"),
+            "n_pairs",
+            F.coalesce(F.col("n_cross"), F.lit(0))
+            .cast("bigint")
+            .alias("n_cross"),
+            F.round(
+                F.coalesce(F.col("n_cross"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_pairs"), F.lit(1)).cast("double"),
+                4,
+            ).alias("cross_pct"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("policy")

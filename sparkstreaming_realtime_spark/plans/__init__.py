@@ -60,7 +60,7 @@ _PRIORITY = [
     # NEW r11 session 2: first-order Markov transitions within
     # sessions (user_retention_cohorts rotated to the tail for it —
     # green r10; the sequence family keeps user_funnel + the matrix)
-    "user_funnel", "event_transition_matrix",
+    "event_transition_matrix",
     # NEW r11 session 4: linear revenue attribution over the bucketed
     # touch range join (events_gap_filled_resample rotated to the
     # tail for it — green r10-r11; the timeseries family keeps the
@@ -138,6 +138,12 @@ _PRIORITY = [
     # resolution (doc_exact_dedup rotated to the tail for it — green
     # r1-r9, the dedup family keeps five in-window rows)
     "customer_fuzzy_match",
+    # NEW r11 session 4: the train/test contamination audit — near-
+    # dup pairs crossing split boundaries under per-doc vs per-source
+    # policies (customer_fuzzy_match keeps the linkage family;
+    # user_funnel rotated to the tail for it — green r10-r11, the
+    # sequence family keeps event_transition_matrix in-window)
+    "doc_split_leakage",
     # (sampling family note: doc_exact_k_sample rotated to the tail
     # r11s4 for doc_bpe_learn_merges — green r1-r10;
     # doc_temperature_resample / doc_stratified_sample went to the
@@ -251,6 +257,7 @@ _PRIORITY = [
     # pytest
     "order_graph_pagerank", "events_gap_filled_resample",
     "sliding_window_rollup", "doc_dup_clusters", "doc_line_dedup",
+    "user_funnel",
     "emb_semantic_dedup_clustered_auto", "streaming_dau_dedup_parity",
     "streaming_scd2_parity", "doc_exact_k_sample",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",

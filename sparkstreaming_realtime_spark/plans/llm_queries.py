@@ -4419,3 +4419,79 @@ def doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_phrase_docs(
         _t(spark, sf_dir, "documents"), " ".join(_PHRASE)
     )
+
+
+def _split_leakage_oracle() -> str:
+    """Replica: the minhash verified-pair chain + both split labels
+    (identical hash60 bucket arithmetic to doc_hash_split's oracle)
+    joined onto the pairs, one aggregate per policy."""
+    doc_split = (
+        f"CASE WHEN {oracle_hash60_sql(_SAMPLE_KEY)} % 100 < 10 THEN 'test' "
+        f"WHEN {oracle_hash60_sql(_SAMPLE_KEY)} % 100 < 20 THEN 'holdout' "
+        "ELSE 'train' END"
+    )
+    src_key = "('src:' || source)"
+    src_split = (
+        f"CASE WHEN {oracle_hash60_sql(src_key)} % 100 < 10 THEN 'test' "
+        f"WHEN {oracle_hash60_sql(src_key)} % 100 < 20 THEN 'holdout' "
+        "ELSE 'train' END"
+    )
+    return f"""
+WITH {_minhash_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= 0.6),
+labels AS (
+  SELECT doc_id, {doc_split} AS by_doc, {src_split} AS by_source
+  FROM documents),
+j AS (
+  SELECT la.by_doc AS da, lb.by_doc AS db,
+         la.by_source AS sa, lb.by_source AS sb
+  FROM pairs p
+  JOIN labels la ON p.doc_a = la.doc_id
+  JOIN labels lb ON p.doc_b = lb.doc_id)
+SELECT * FROM (
+  SELECT 'by_doc' AS policy, count(*)::BIGINT AS n_pairs,
+         coalesce(sum((da <> db)::INT), 0)::BIGINT AS n_cross,
+         round(coalesce(sum((da <> db)::INT), 0)::DOUBLE
+               / greatest(count(*), 1)::DOUBLE, 4) AS cross_pct
+  FROM j
+  UNION ALL
+  SELECT 'by_source', count(*)::BIGINT,
+         coalesce(sum((sa <> sb)::INT), 0)::BIGINT,
+         round(coalesce(sum((sa <> sb)::INT), 0)::DOUBLE
+               / greatest(count(*), 1)::DOUBLE, 4)
+  FROM j)
+ORDER BY policy
+"""
+
+
+@register(
+    "doc_split_leakage",
+    oracle=_split_leakage_oracle(),
+    tags=("LLM", "sampling", "dedup"),
+)
+def doc_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit
+    (operators/sampling.py:split_leakage_report): how many verified
+    near-dup pairs each split policy separates across split
+    boundaries — the per-DOCUMENT hash split (doc_hash_split's exact
+    arithmetic) vs the per-SOURCE group split (the published
+    mitigation: correlated documents travel together when the split
+    key is the leakage unit). A near-duplicate of a training doc
+    landing in test silently inflates eval; this measures that risk
+    on the corpus instead of assuming it. Pairs come from the same
+    MinHash-LSH chain as doc_minhash_near_dup; each policy adds two
+    id-keyed label joins and one aggregate."""
+    from ..operators.sampling import split_label, split_leakage_report
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.near_dup_pairs(docs, threshold=0.6).select(
+        "doc_a", "doc_b"
+    )
+    return split_leakage_report(
+        docs,
+        pairs,
+        {
+            "by_doc": split_label(F.col("doc_id"), "doc:"),
+            "by_source": split_label(F.col("source"), "src:"),
+        },
+    )

@@ -2819,3 +2819,59 @@ def test_winsorized_stats_clips_outliers(spark):
     assert r.lo <= 10.0 <= r.hi
     # reconciliation: sum equals mean * n within the 4dp round
     assert abs(r.win_sum_cents / 100.0 / r.n - r.win_mean) < 1e-4
+
+
+def test_split_leakage_report_counts_crossings(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.operators.sampling import (
+        split_leakage_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (3, "s2"), (4, "s2")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    # synthetic policies: 'parity' splits odd/even doc ids (pairs
+    # 1-2 and 3-4 cross, 1-3 doesn't); 'by_src' keeps sources whole
+    # (only the cross-source pair 1-3 crosses)
+    got = {
+        r.policy: (r.n_pairs, r.n_cross, r.cross_pct)
+        for r in split_leakage_report(
+            docs,
+            pairs,
+            {
+                "parity": F.when(
+                    F.col("doc_id") % 2 == 0, "train"
+                ).otherwise("test"),
+                "by_src": F.col("source"),
+            },
+        ).collect()
+    }
+    assert got["parity"] == (3, 2, round(2 / 3, 4))
+    assert got["by_src"] == (3, 1, round(1 / 3, 4))
+
+
+def test_split_label_is_stable_and_composable(spark):
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.operators.sampling import (
+        split_label,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    a = docs.select(split_label(F.col("doc_id"), "doc:").alias("s"))
+    counts = {r.s: r.c for r in a.groupBy("s").agg(
+        F.count("*").alias("c")).collect()}
+    # rough 10/10/80 proportions on 500 keys
+    assert 20 <= counts["test"] <= 80
+    assert 20 <= counts["holdout"] <= 80
+    assert counts["train"] >= 350
+    # deterministic: a second evaluation is identical
+    b = docs.select(split_label(F.col("doc_id"), "doc:").alias("s"))
+    assert a.collect() == b.collect()

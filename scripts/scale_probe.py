@@ -247,6 +247,10 @@ PROBE = [
     # order micro-batches against the static event side)
     "events_winsorized_stats",
     "streaming_attribution_parity",
+    # r11 session 4 batch 4: the contamination audit (the minhash
+    # chain — already probed via doc_minhash_near_dup — plus two
+    # id-keyed label joins)
+    "doc_split_leakage",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

@@ -23,13 +23,17 @@ def normalize_text(col: Column | str) -> Column:
     """Lowercase + trim — the shared normalization in front of
     tokenize/fingerprint/dedup so near-dup operators agree on input.
 
-    Known cross-engine boundary (property-tested): characters whose
-    Unicode lowercase expands to multiple codepoints (practically
-    U+0130 'İ') case-fold differently — JVM/Python produce
-    ``i + U+0307``, DuckDB produces ``i`` — so oracle parity on text
-    containing them is not guaranteed. No other such character exists
-    in the BMP's common scripts; corpora where this matters should
-    NFKC-normalize upstream."""
+    Known cross-engine boundary (property-tested): the engines ship
+    different Unicode tables, so ``lower()`` itself can disagree in
+    two ways. (a) Multi-codepoint expansions: U+0130 'İ' — JVM/Python
+    produce ``i + U+0307``, DuckDB produces ``i``. (b) Unicode-version
+    skew: case mappings added after the oracle's utf8proc snapshot —
+    e.g. U+2C2F 'Ⱟ'→U+2C5F 'ⱟ' entered the tables in Unicode 14, so
+    Python 3.11 lowercases it while DuckDB 1.0 returns it unchanged.
+    Oracle parity on text containing such codepoints is not
+    guaranteed (the property test pins alphabet agreement *given
+    agreed casing*); corpora where this matters should NFKC-normalize
+    and case-fold upstream with one library."""
     c = F.col(col) if isinstance(col, str) else col
     return F.lower(F.trim(c))
 

@@ -70,9 +70,16 @@ def linear_attribution(
         F.col(channel_col).alias("__ch"),
         F.col(event_id).alias("__eid"),
     ).withColumn("__b", F.explode(F.array(esec, esec + 1)))
+    # one representation for BOTH bounds (ADVICE r11): full-precision
+    # timestamp comparisons, so sub-second touches at exactly ots-w are
+    # excluded and at ots included, matching the documented
+    # (ots-w, ots] semantics and the oracle's INTERVAL arithmetic. The
+    # bucket explode above may stay second-truncated: unix() commutes
+    # with whole-second subtraction, so (ots-w, ots] always lands in
+    # bucket(ots) or bucket(ots)-1 regardless of fractional seconds.
     in_range = (F.col("__ets") <= F.col("__ots")) & (
-        F.unix_timestamp(F.col("__ets"))
-        > F.unix_timestamp(F.col("__ots")) - w
+        F.col("__ets")
+        > F.col("__ots") - F.expr(f"INTERVAL {int(w)} SECOND")
     )
     touches = o.join(e, ["__u", "__b"]).filter(in_range)
     wo = Window.partitionBy("__oid")

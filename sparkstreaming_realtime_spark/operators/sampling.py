@@ -245,6 +245,8 @@ def split_leakage_report(
     id-keyed joins of labels onto it plus one tiny aggregate."""
     from pyspark.sql import functions as F
 
+    if not policies:
+        raise ValueError("policies must be non-empty")
     out = None
     for name, label in policies.items():
         lab = docs.select(

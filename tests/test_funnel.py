@@ -274,3 +274,23 @@ def test_linear_attribution_boundary_inclusive_exclusive(spark):
     got = _attr(spark, orders, events)
     assert got["at_order_ts"] == (10, 1, 1)
     assert "at_minus_w" not in got
+
+
+def test_linear_attribution_subsecond_boundary(spark):
+    """ADVICE r11: both window bounds must compare at full timestamp
+    precision. A touch half a second INSIDE the lower bound is
+    credited; half a second outside (either side) is not. The old
+    second-truncated lower bound wrongly excluded the first case."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    orders = [(1, 7, t0, 10)]
+    events = [
+        (10, 7, t0 - dt.timedelta(seconds=3599.5), "just_inside"),
+        (11, 7, t0 - dt.timedelta(seconds=3600.5), "just_outside"),
+        (12, 7, t0 + dt.timedelta(seconds=0.5), "after_order"),
+    ]
+    got = _attr(spark, orders, events)
+    assert got["just_inside"] == (10, 1, 1)
+    assert "just_outside" not in got
+    assert "after_order" not in got

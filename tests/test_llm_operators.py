@@ -2855,6 +2855,21 @@ def test_split_leakage_report_counts_crossings(spark):
     assert got["by_src"] == (3, 1, round(1 / 3, 4))
 
 
+def test_split_leakage_report_rejects_empty_policies(spark):
+    """ADVICE r11: an empty policies dict is a caller error, not an
+    AttributeError on None deep in the plan builder."""
+    import pytest
+
+    from sparkstreaming_realtime_spark.operators.sampling import (
+        split_leakage_report,
+    )
+
+    docs = spark.createDataFrame([(1, "s1")], "doc_id long, source string")
+    pairs = spark.createDataFrame([(1, 1)], "doc_a long, doc_b long")
+    with pytest.raises(ValueError, match="non-empty"):
+        split_leakage_report(docs, pairs, {})
+
+
 def test_split_label_is_stable_and_composable(spark):
     from pyspark.sql import functions as F
 

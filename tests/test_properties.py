@@ -59,19 +59,26 @@ def test_token_alphabet_python_equals_duckdb(s):
     """One token alphabet (ADVICE r1): the Python query-side tokenizer
     and the DuckDB oracle regex agree on arbitrary text.
 
-    Known boundary (found by this fuzzer): characters whose Unicode
-    LOWERCASE expands to multiple codepoints — practically just
-    U+0130 'İ' — case-fold differently across engines (Python/Java
-    emit i+U+0307, DuckDB emits i). That is a lower() divergence, not
-    an alphabet one; documented in functions/text.py and excluded
-    here."""
+    Known boundary (found by this fuzzer, twice): the two engines ship
+    different Unicode tables, so ``lower()`` itself can disagree —
+    (a) multi-codepoint expansions (U+0130 'İ': Python/Java emit
+    i+U+0307, DuckDB emits i), and (b) version skew (U+2C2F 'Ⱟ':
+    added to the case tables in Unicode 14, which Python 3.11 ships
+    but DuckDB 1.0's utf8proc predates, so Python lowercases it and
+    DuckDB returns it unchanged). Both are ``lower()`` divergences,
+    not alphabet ones; documented in functions/text.py. The property
+    this test can truly pin is therefore *alphabet agreement given
+    agreed casing*: we ``assume`` the engines lowercase the input
+    identically, which excludes exactly the casing-skew inputs
+    (including hypothesis's cached U+2C2F counterexample) and nothing
+    else."""
     from hypothesis import assume
 
     from sparkstreaming_realtime_spark.functions.text import _py_tokenize
 
-    assume(all(len(ch.lower()) == 1 for ch in s))
-
     con = duckdb.connect()
+    duck_lower = con.execute("SELECT lower(?)", [s]).fetchone()[0]
+    assume(duck_lower == s.lower())
     duck = con.execute(
         r"SELECT list_filter(string_split_regex(lower(trim(?)),"
         r" '[^\p{L}\p{N}]+'), x -> x <> '')",

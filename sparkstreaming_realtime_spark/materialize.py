@@ -98,6 +98,61 @@ def _track_for_exit(path: str) -> None:
         _EXIT_SWEEP_REGISTERED = True
 
 
+#: one recognizable stamp on EVERY engine-created temp dir (scratch
+#: dirs and the installed checkpoint dir alike), so a startup sweep
+#: can tell the engine's orphans apart from anything else in tmp.
+ENGINE_TMP_PREFIX = "spark-graft-"
+
+#: run the orphan sweep once per process (it is idempotent, but one
+#: glob of tmp per session start is all that's needed)
+_STARTUP_SWEEP_DONE = False
+
+
+def sweep_stale_engine_dirs(
+    max_age_seconds: int = 3 * 3600, tmp_root: str | None = None
+) -> list[str]:
+    """Remove engine-prefixed temp dirs orphaned by KILLED processes.
+
+    The atexit sweep covers every normal exit, but a SIGKILLed or
+    OOM-killed JVM never runs atexit, so its ``spark-graft-*``
+    checkpoint/scratch dirs survive in tmp forever (VERDICT r11
+    observed six). On session start we reclaim any engine-prefixed
+    dir whose mtime is older than ``max_age_seconds`` (default 3 h —
+    far beyond any single query, and an ACTIVE session keeps its
+    dirs' mtimes fresh by creating/removing children). Dirs tracked
+    by THIS process are never touched. Returns the swept paths."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    root = tmp_root or tempfile.gettempdir()
+    now = time.time()
+    swept: list[str] = []
+    for d in glob.glob(os.path.join(root, ENGINE_TMP_PREFIX + "*")):
+        try:
+            if not os.path.isdir(d) or d in _EXIT_SWEEP_DIRS:
+                continue
+            if now - os.path.getmtime(d) < max_age_seconds:
+                continue
+        except OSError:  # raced with another cleanup — skip
+            continue
+        shutil.rmtree(d, ignore_errors=True)
+        swept.append(d)
+    return swept
+
+
+def startup_sweep_once() -> None:
+    """Run :func:`sweep_stale_engine_dirs` the first time the engine
+    starts in this process (called from the session factory and from
+    :func:`ensure_checkpoint_dir`)."""
+    global _STARTUP_SWEEP_DONE
+    if not _STARTUP_SWEEP_DONE:
+        _STARTUP_SWEEP_DONE = True
+        sweep_stale_engine_dirs()
+
+
 def engine_tmpdir(prefix: str) -> str:
     """mkdtemp that the engine OWNS: tracked for the per-query sweep
     in :func:`release_all` and belt-and-braces rmtree'd at process
@@ -117,7 +172,7 @@ def engine_tmpdir(prefix: str) -> str:
     instead."""
     import tempfile
 
-    path = tempfile.mkdtemp(prefix=prefix)
+    path = tempfile.mkdtemp(prefix=ENGINE_TMP_PREFIX + prefix)
     _TMP_DIRS.append(path)
     _track_for_exit(path)
     return path
@@ -162,7 +217,10 @@ def ensure_checkpoint_dir(spark) -> None:
     if sc.getCheckpointDir() is None:
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
+        # before installing a fresh dir, reclaim orphans a killed
+        # predecessor left behind (atexit can't cover SIGKILL)
+        startup_sweep_once()
+        path = tempfile.mkdtemp(prefix=ENGINE_TMP_PREFIX + "ckpt-")
         sc.setCheckpointDir(path)
         _ENGINE_CKPT_DIR = path
         # engine-installed dir → engine-owned lifecycle: remove it at

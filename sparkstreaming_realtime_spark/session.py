@@ -35,6 +35,12 @@ def get_spark(
     ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (local test harness);
     on a real cluster the builder would not set ``master`` at all.
     """
+    # reclaim spark-graft-* tmp orphans a SIGKILLed predecessor left
+    # (atexit sweeps cover normal exits only); once per process
+    from .materialize import startup_sweep_once
+
+    startup_sweep_once()
+
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cpus
 

@@ -32,10 +32,15 @@ _PRIORITY = [
     "dau_total_by_day", "dau_realtime_endpoint",
     # log-split sentinels (P4/P5 projection, P9 multiplex)
     "log_split_page", "multiplex_route_counts",
-    # CDC sentinels (P10/P11 routing, K4 upsert; the SCD2 family's
-    # sentinel is streaming_scd2_parity below, which compares against
-    # the batch operator and so covers both)
-    "cdc_route_counts", "cdc_dim_snapshot",
+    # CDC sentinels (P10/P11 routing; the SCD2 family's sentinel is
+    # streaming_scd2_parity below, which compares against the batch
+    # operator and so covers both). r12 rotation theme: the six
+    # registry queries the driver's 50-row window has NEVER hashed
+    # (VERDICT r11 #2) come in; six long-green sentinels whose
+    # families keep in-window coverage go to the tail
+    # (cdc_dim_snapshot rotated to the tail r12 — green r3-r11; the
+    # CDC family keeps cdc_route_counts + cdc_snapshot_diff in-window)
+    "cdc_route_counts",
     # NEW r11 session 4: snapshot reconciliation — the CDC-vs-full-
     # re-export convergence diff (sliding_window_rollup rotated to
     # the tail for it — green r10-r11; the window family keeps
@@ -44,9 +49,12 @@ _PRIORITY = [
     "cdc_snapshot_diff",
     # NEW this round: byte-exact PCM16 audio features
     "doc_audio_windows",
-    # ES query-surface sentinel (A3) + NEW r10: its RANKED form
-    # (BM25 — ES's default similarity — over the document corpus)
-    "stats_by_item_segment", "doc_bm25_search",
+    # ES query-surface: the RANKED form (BM25 — ES's default
+    # similarity — over the document corpus)
+    # (stats_by_item_segment rotated to the tail r12 — green r1-r11;
+    # the ES family keeps doc_bm25_search + doc_phrase_search and the
+    # serving family keeps dau_realtime_endpoint in-window)
+    "doc_bm25_search",
     # NEW r11 session 4: ES match_phrase — the positional sibling of
     # the analyzed match-AND and its BM25 ranked form
     "doc_phrase_search",
@@ -86,12 +94,13 @@ _PRIORITY = [
     # rollup (emb_ivf_compact_topk rotated to the tail — green r6-r10,
     # emb_ivf_append_topk keeps the persisted-index family in-window)
     "revenue_rolling_windows", "revenue_anomaly_days",
-    # text-stats / quality family (sentinels + r6-edited). NEW r11
-    # session 4: per-doc unigram Shannon entropy — the zero-shuffle
-    # information-theoretic quality signal (streaming_dau_dedup_parity
-    # rotated to the tail for it — green r2-r10; the streaming block
-    # below keeps seven in-window parities)
-    "doc_quality_bands", "doc_token_entropy",
+    # text-stats / quality family: per-doc unigram Shannon entropy —
+    # the zero-shuffle information-theoretic quality signal
+    # (streaming_dau_dedup_parity rotated to the tail r11s4 — green
+    # r2-r10; doc_quality_bands rotated to the tail r12 — green
+    # r5-r11; the quality family keeps events_quality_expectations +
+    # doc_token_entropy in-window)
+    "doc_token_entropy",
     # NEW r11 session 4: BPE merge learning — tokenizer training over
     # the word-frequency vocabulary, the whole loop oracle-replayed
     # (doc_exact_k_sample rotated to the tail for it — green r1-r10;
@@ -106,8 +115,13 @@ _PRIORITY = [
     # (green r8-r10; the streaming block keeps five end-to-end
     # parities in-window and both stay pytest-pinned)
     "doc_bpe_compression", "events_key_skew",
-    # r6 money-path edit: exact-div cents + wide charge accumulator
-    "pricing_summary",
+    # (pricing_summary rotated to the tail r12 — green r1-r11 incl.
+    # the r6 money-path edit; TPC-H keeps order_wide_join plus the
+    # revenue rollup/anomaly pair in-window)
+    # NEVER-HASHED r12: cluster-balanced quota sampling — returns the
+    # sampling family to the window (doc_exact_k_sample went to the
+    # tail r11s4; green in every session replica since r9)
+    "emb_cluster_balanced_sample",
     # dedup / cluster / split family (doc_chunk_dedup_stride rotated
     # to the tail — green r3–r5, family still covered by
     # doc_exact_dedup/doc_minhash_near_dup — to make room for the NEW
@@ -144,6 +158,11 @@ _PRIORITY = [
     # user_funnel rotated to the tail for it — green r10-r11, the
     # sequence family keeps event_transition_matrix in-window)
     "doc_split_leakage",
+    # NEVER-HASHED r12: token n-gram Jaccard near-dup (the exact-
+    # verify sibling of MinHash banding) and TF-IDF cosine top-k doc
+    # similarity — both green in every session replica, never inside
+    # the driver window before
+    "doc_ngram_jaccard_dedup", "doc_topk_similar",
     # (sampling family note: doc_exact_k_sample rotated to the tail
     # r11s4 for doc_bpe_learn_merges — green r1-r10;
     # doc_temperature_resample / doc_stratified_sample went to the
@@ -175,14 +194,19 @@ _PRIORITY = [
     # doc_dup_clusters + doc_line_dedup + the curation funnel
     # in-window, and emb_semantic_decontaminate stays in-window
     # because its code path changed this session)
+    # (emb_semantic_dedup and emb_semantic_dedup_clustered rotated to
+    # the tail r12 — green r4-r11 / r8-r11; the similarity family
+    # keeps the auto + clustered_banded + decontaminate + hard-
+    # negatives rows in-window, and the pinned-knob twins stay
+    # guarded by FIXED_KNOB_GUARD_N + tests)
     "emb_semantic_decontaminate",
-    "corpus_curation_funnel_v2", "emb_semantic_dedup",
+    "corpus_curation_funnel_v2",
     "emb_semantic_dedup_auto",
     # NEW r8: cluster-pruned SemDeDup (the published recipe — pairs
     # only within k-means clusters, coarse quantizer shared with the
     # IVF index). emb_ivf_recall_curve rotated to the tail for it
     # (green r1–r7; similarity family still has six in-window rows)
-    "emb_semantic_dedup_clustered", "emb_semantic_dedup_clustered_banded",
+    "emb_semantic_dedup_clustered_banded",
     # NEW r8 session 2: the auto-k clustered variant (k ∝ N — the
     # published SemDeDup scale knob; emb_knn_join rotated to the
     # tail for it, green r6–r7, emb_ivf_knn_join keeps the kNN-join
@@ -195,6 +219,11 @@ _PRIORITY = [
     # green r2-r10; the quality family keeps doc_quality_bands +
     # events_quality_expectations in-window)
     "emb_hard_negatives",
+    # NEVER-HASHED r12: the IVF persisted-index family's first driver
+    # rows — auto-tuned (nlist/nprobe ∝ N) IVF top-k and the
+    # streaming serve-from-index parity; before this the whole family
+    # lived in the tail + pytest
+    "emb_ivf_auto_topk", "streaming_ivf_serve_parity",
     # streaming parities (+ NEW r8: the idempotent-sink replay parity
     # — K5/T5's first driver-hashed row — and the observe-metrics
     # fold parity; doc_frame_sample and emb_pq_topk rotated to the
@@ -214,6 +243,10 @@ _PRIORITY = [
     # NEW r8 session 2: incremental line-count maintenance + the
     # retroactive boilerplate gate (same oracle as doc_line_dedup)
     "streaming_line_dedup_parity",
+    # NEVER-HASHED r12: the funnel family's end-to-end streaming twin
+    # (incremental stage counts under micro-batches vs the batch
+    # funnel oracle)
+    "streaming_funnel_parity",
     # NEW r11: the KMV distinct-count sketch family — the estimate
     # with its accuracy audit, the union->k-smallest merge under real
     # micro-batches, and the cross-corpus Jaccard overlap from the
@@ -254,7 +287,13 @@ _PRIORITY = [
     "events_winsorized_stats",
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
-    # pytest
+    # pytest. r12 displacements first: cdc_dim_snapshot (r3-r11),
+    # stats_by_item_segment (r1-r11), emb_semantic_dedup (r4-r11),
+    # emb_semantic_dedup_clustered (r8-r11), doc_quality_bands
+    # (r5-r11), pricing_summary (r1-r11)
+    "cdc_dim_snapshot", "stats_by_item_segment", "emb_semantic_dedup",
+    "emb_semantic_dedup_clustered", "doc_quality_bands",
+    "pricing_summary",
     "order_graph_pagerank", "events_gap_filled_resample",
     "sliding_window_rollup", "doc_dup_clusters", "doc_line_dedup",
     "user_funnel",

@@ -211,6 +211,118 @@ INDEX_BUILDERS = [
 ]
 
 
+#: serving-latency protocol: requests per (endpoint, path) after two
+#: untimed warm-ups. Small on purpose — the section exists to compare
+#: the store-backed path against the fact-scan path (the reference's
+#: controller-reads-the-index architecture), not to load-test.
+SERVING_N = 12
+
+
+def _bench_serving(spark, sf_dir: str) -> dict:
+    """Latency of the two REST endpoints (p50/p95 ms over SERVING_N
+    requests) for BOTH /dauRealtime paths — served from the
+    streaming-maintained DAU store (the reference's architecture:
+    DwdDauApp keeps the deduped actives in an index, the controller
+    only queries that) vs aggregating the fact table per request —
+    plus /statsByItem (fact path only; it has no store twin). The
+    store build itself is reported but untimed in the percentiles.
+
+    Reading the local numbers: at sf0.01-0.1 both /dauRealtime paths
+    sit on the ~400 ms per-request floor of launching a Spark job
+    from the driver (measured: store 432 ms vs fact scan 450 ms p50
+    at sf0.1) — the store's advantage is the SCAN it avoids (one
+    pre-deduped (user, day) row vs every fact event), which is the
+    dominant term at cluster scale, not at 60k events."""
+    import urllib.request
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark import materialize
+    from sparkstreaming_realtime_spark.serving import serve
+    from sparkstreaming_realtime_spark.sources.files import events_with_ts
+    from sparkstreaming_realtime_spark.streaming import (
+        idempotent_parquet_sink,
+        streaming_dau_dedup,
+    )
+    from sparkstreaming_realtime_spark.streaming.pipelines import (
+        run_available_now,
+    )
+
+    td = "2024-01-15"  # the registry endpoint queries' pinned day
+
+    # build the DAU store once via the real streaming pipeline
+    # (session-scoped dir: swept at process exit, never mid-run)
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=materialize.ENGINE_TMP_PREFIX + "srvbench_")
+    materialize.track_session_dir(root)
+    store = os.path.join(root, "dau_store")
+    t0 = time.time()
+    raw = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    page_log = events_with_ts(
+        raw.filter(F.col("event_type") == "view")
+    ).select(
+        F.col("user_id").cast("string").alias("mid"),
+        F.lit(None).cast("string").alias("last_page_id"),
+        F.col("ts").cast("timestamp").alias("event_time"),
+    )
+    q = run_available_now(
+        streaming_dau_dedup(page_log),
+        idempotent_parquet_sink(
+            store, key_cols=("mid", "dt"), partition_col="dt"
+        ),
+        os.path.join(root, "ckpt"),
+        query_name="srvbench_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination(600)
+    store_build_s = round(time.time() - t0, 3)
+
+    def measure(base_url: str, path_qs: str) -> dict:
+        url = base_url + path_qs
+        lat: list[float] = []
+        for i in range(2 + SERVING_N):
+            t = time.time()
+            with urllib.request.urlopen(url, timeout=300) as resp:
+                resp.read()
+            if i >= 2:  # first two requests are warm-up
+                lat.append((time.time() - t) * 1000.0)
+        lat.sort()
+        return {
+            "n": len(lat),
+            "p50_ms": round(lat[len(lat) // 2], 1),
+            "p95_ms": round(lat[min(len(lat) - 1, int(len(lat) * 0.95))], 1),
+            "min_ms": round(lat[0], 1),
+        }
+
+    results: dict = {"store_build_sec": store_build_s, "n_requests": SERVING_N}
+    srv, _ = serve(spark, sf_dir, port=0, dau_store=store)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        results["dau_realtime_store"] = measure(base, f"/dauRealtime?td={td}")
+    finally:
+        srv.shutdown()
+    srv, _ = serve(spark, sf_dir, port=0)
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        results["dau_realtime_factscan"] = measure(
+            base, f"/dauRealtime?td={td}"
+        )
+        results["stats_by_item"] = measure(
+            base, "/statsByItem?itemName=widget&t=segment"
+        )
+    finally:
+        srv.shutdown()
+    return results
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -289,6 +401,17 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — min-of-2 already stands
                 pass
 
+    # endpoint latency section (r11 VERDICT #5): the serving layer is
+    # pytest-curled for correctness; this records its LATENCY against
+    # the streaming-maintained store vs the per-request fact scan.
+    # Isolated like everything else — a serving failure must not cost
+    # the per-query artifact.
+    serving: dict
+    try:
+        serving = _bench_serving(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001 — record and move on
+        serving = {"error": f"{type(e).__name__}: {e}"[:500]}
+
     total = round(sum(timings.values()), 3)
     # Per-query pass lists + relative spread ride along so a reader
     # can separate load noise from real drift WITHOUT re-running:
@@ -324,6 +447,7 @@ def main() -> None:
         # keys make round-over-round comparisons self-explaining.
         "prebuilt_indexes": prebuilt,
         "prebuild_sec": prebuild_s,
+        "serving": serving,
     }
     if errors:
         out["errors"] = errors
@@ -359,6 +483,12 @@ def main() -> None:
         "loadavg_1m": [load_at_start, round(os.getloadavg()[0], 2)],
         "prebuilt_indexes": prebuilt,
         "prebuild_sec": prebuild_s,
+        "serving_p50_ms": {
+            k: v.get("p50_ms")
+            for k, v in serving.items()
+            if isinstance(v, dict)
+        }
+        or serving,
         "full_artifact": "BENCH_local.json",
     }
     print(json.dumps(compact))

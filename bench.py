@@ -193,6 +193,10 @@ HEADLINE = [
     "events_winsorized_stats",
     "streaming_attribution_parity",
     "doc_split_leakage",
+    # r12: incremental co-purchase maintenance (basket-atomic
+    # micro-batches, read-time support threshold + lift over the
+    # folded counts — parity vs part_copurchase_pairs)
+    "streaming_copurchase_parity",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

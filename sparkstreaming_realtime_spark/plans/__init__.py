@@ -59,7 +59,12 @@ _PRIORITY = [
     # the analyzed match-AND and its BM25 ranked form
     "doc_phrase_search",
     # joins / rollups / TPC-H / extension sentinels
-    "order_wide_join", "hourly_window_rollup",
+    # (hourly_window_rollup rotated to the tail r12 for the NEW
+    # streaming co-purchase parity below — green r1-r11; the window
+    # family keeps revenue_rolling_windows +
+    # streaming_sliding_rollup_parity + streaming_anomaly_parity
+    # in-window)
+    "order_wide_join",
     # NEW r10: event-sequence analytics — ordered funnel + retention
     # cohorts (shipping_priority and doc_gopher_filters rotated to
     # the tail for them — green r1-r9 / r3-r9; TPC-H keeps
@@ -174,6 +179,10 @@ _PRIORITY = [
     # stays in-window inside the clustered-SemDeDup rows, which train
     # k-means end to end)
     "part_copurchase_pairs",
+    # NEW r12: incremental co-purchase maintenance — per-batch
+    # pair/item/basket partials, read-time support threshold + lift
+    # over the folded counts (same oracle as part_copurchase_pairs)
+    "streaming_copurchase_parity",
     # NEW r11 session 4: exact triangle counting (degree-ordered
     # orientation over the support-1 co-purchase graph) and
     # common-neighbor/Adamic-Adar link prediction over the strong
@@ -293,7 +302,7 @@ _PRIORITY = [
     # (r5-r11), pricing_summary (r1-r11)
     "cdc_dim_snapshot", "stats_by_item_segment", "emb_semantic_dedup",
     "emb_semantic_dedup_clustered", "doc_quality_bands",
-    "pricing_summary",
+    "pricing_summary", "hourly_window_rollup",
     "order_graph_pagerank", "events_gap_filled_resample",
     "sliding_window_rollup", "doc_dup_clusters", "doc_line_dedup",
     "user_funnel",

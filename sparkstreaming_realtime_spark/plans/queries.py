@@ -3777,6 +3777,56 @@ def part_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_copurchase_parity",
+    oracle=_COPURCHASE_ORACLE,
+    tags=("analytics", "basket", "extension", "streaming"),
+)
+def streaming_copurchase_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL co-purchase maintenance under the batch oracle
+    (streaming/sinks.py:copurchase_sink — the line_count_sink pattern
+    applied to the a-priori L2 pass): lineitem arrives as a real
+    Structured Streaming source in 4 BASKET-ATOMIC micro-batches (the
+    staged source repartitions by order key, so every basket's rows
+    travel together — the sink's decomposition contract), each batch
+    contributes only its pair/item/basket partial counts to
+    batch-keyed idempotent directories, and the merged top-k with the
+    support threshold and lift applied over the FOLDED counts must
+    hash-equal the one-shot part_copurchase_pairs — including pairs
+    that cross min_support only across batches (retroactive support,
+    which per-batch thresholding could never give). The oracle IS
+    part_copurchase_pairs's, unchanged."""
+    import os
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import copurchase_sink, read_copurchase
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    )
+    root = engine_tmpdir("copur_parity_")
+    src = os.path.join(root, "src")
+    li.repartition(4, F.col("basket")).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    state = os.path.join(root, "state")
+    q = run_available_now(
+        stream,
+        copurchase_sink(state, basket_col="basket", item_col="item"),
+        checkpoint=os.path.join(root, "ckpt"),
+        query_name="copur_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return read_copurchase(spark, state, k=20, min_pair_support=2)
+
+
 _TRANSITION_ORACLE = """
 WITH pairs AS (
   SELECT lag(event_type) OVER w AS from_event,

@@ -554,3 +554,109 @@ def read_rollup_sum(spark, path: str, key_cols: tuple[str, ...],
         .groupBy(*key_cols)
         .agg(F.sum(value_col).cast("bigint").alias(value_col))
     )
+
+
+def copurchase_sink(
+    path: str,
+    basket_col: str = "basket_id",
+    item_col: str = "item_id",
+    max_basket: int | None = None,
+):
+    """Incremental market-basket maintenance: keep the co-purchase
+    pair/item/basket counts (operators/basket.py:copurchase_pairs)
+    current across micro-batches — the `line_count_sink` pattern
+    applied to the a-priori L2 pass. Per batch, the rolled baskets'
+    pair counts (support threshold NOT applied — it belongs to read
+    time over the MERGED counts, so a pair crossing min_support only
+    in a later batch counts retroactively, exactly like a boilerplate
+    line crossing min_docs), item presence counts, and the basket
+    count land under one ``batch=<id>`` directory (deterministic
+    location → a replayed batch OVERWRITES its previous attempt, T5).
+
+    Decomposition contract (same as line_count_sink's document-atomic
+    rule, one level up): batches must partition BASKETS — every row
+    of a basket travels in one micro-batch (stage the source
+    ``repartition(n, basket_col)`` or key the topic by basket id).
+    Then per-batch counts over disjoint baskets are additive and the
+    merge :func:`read_copurchase` performs equals the one-shot batch
+    operator exactly. Crash ordering: the streaming checkpoint
+    commits offsets only after this writer returns, so every
+    COMMITTED batch has all three frames; a crash mid-batch replays
+    and overwrites — every crash point converges."""
+    from ..operators.basket import _pair_counts, _rolled_items
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        from ..materialize import release
+
+        rolled = _rolled_items(batch_df, basket_col, item_col, max_basket)
+        base = f"{path}/batch={batch_id}"
+        try:
+            _pair_counts(rolled, 1).write.mode("overwrite").parquet(
+                f"{base}/pairs"
+            )
+            (
+                rolled.select(F.explode("__items").alias("item"))
+                .groupBy("item")
+                .agg(F.count("*").cast("bigint").alias("n"))
+                .write.mode("overwrite")
+                .parquet(f"{base}/items")
+            )
+            rolled.agg(
+                F.count("*").cast("bigint").alias("n")
+            ).write.mode("overwrite").parquet(f"{base}/baskets")
+        finally:
+            # the rolled frame is per-batch scratch; holding its
+            # blocks across a long stream would pile up per batch
+            release(rolled)
+
+    return write
+
+
+def read_copurchase(
+    spark,
+    path: str,
+    k: int = 20,
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """The live co-purchase top-k from :func:`copurchase_sink` state:
+    key-wise integer sums over the batch directories (valid because
+    batches partition baskets), support threshold and exact-integer
+    lift applied over the MERGED counts — identical arithmetic to
+    operators/basket.py:copurchase_pairs, so the result hash-equals
+    the one-shot batch operator at any batch split."""
+    pairs = (
+        spark.read.parquet(f"{path}/batch=*/pairs")
+        .groupBy("item_a", "item_b")
+        .agg(F.sum("pair_n").cast("bigint").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_support)
+    )
+    item_n = (
+        spark.read.parquet(f"{path}/batch=*/items")
+        .groupBy("item")
+        .agg(F.sum("n").cast("bigint").alias("c"))
+    )
+    n_baskets = (
+        spark.read.parquet(f"{path}/batch=*/baskets")
+        .agg(F.sum("n").cast("bigint").alias("__n"))
+    )
+    na = item_n.select(F.col("item").alias("item_a"), F.col("c").alias("n_a"))
+    nb = item_n.select(F.col("item").alias("item_b"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(na, "item_a")
+        .join(nb, "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("pair_n") * F.col("__n")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("pair_n"), F.asc("item_a"), F.asc("item_b"))
+        .limit(k)
+    )

@@ -777,3 +777,48 @@ def test_line_count_sink_merges_and_gate_is_retroactive(spark, tmp_path):
     assert out[1]["text_clean"] == "unique one"
     assert out[2]["text_clean"] == "unique two"
     assert out[1]["n_removed"] == 1 and out[2]["n_removed"] == 1
+
+
+def test_copurchase_sink_merges_replays_and_retroactive_support(
+    spark, tmp_path
+):
+    """Co-purchase state merges across basket-disjoint batches to the
+    one-shot copurchase_pairs result (counts AND lift); a replayed
+    batch overwrites, never double-counts; and a pair whose support
+    reaches min_pair_support only ACROSS batches ranks retroactively
+    — the per-batch-threshold failure mode the read-time gate
+    exists to avoid."""
+    from sparkstreaming_realtime_spark.operators.basket import (
+        copurchase_pairs,
+    )
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        copurchase_sink,
+        read_copurchase,
+    )
+
+    # baskets 1-2 in batch 0, baskets 3-4 in batch 1. Pair (10, 20)
+    # has support 1 in EACH batch — only the merged counts see 2.
+    b1 = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 10), (2, 30)],
+        "basket long, item long",
+    )
+    b2 = spark.createDataFrame(
+        [(3, 10), (3, 20), (4, 10), (4, 30), (4, 30)],  # dup item row
+        "basket long, item long",
+    )
+    path = str(tmp_path / "copur")
+    sink = copurchase_sink(path, basket_col="basket", item_col="item")
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # replay: same batch id overwrites its directories
+    got = read_copurchase(spark, path, k=10, min_pair_support=2).collect()
+    want = copurchase_pairs(
+        b1.union(b2), basket_col="basket", item_col="item",
+        k=10, min_pair_support=2,
+    ).collect()
+    as_tuples = lambda rows: [  # noqa: E731
+        (r.item_a, r.item_b, r.pair_n, r.n_a, r.n_b, r.lift) for r in rows
+    ]
+    assert as_tuples(got) == as_tuples(want)
+    # the cross-batch pair really is present (support 1 + 1 = 2)
+    assert (10, 20) in {(r.item_a, r.item_b) for r in got}

@@ -195,8 +195,11 @@ HEADLINE = [
     "doc_split_leakage",
     # r12: incremental co-purchase maintenance (basket-atomic
     # micro-batches, read-time support threshold + lift over the
-    # folded counts — parity vs part_copurchase_pairs)
+    # folded counts — parity vs part_copurchase_pairs) and the skew
+    # profiler's incremental twin (additive key counts, profile at
+    # read — parity vs events_key_skew)
     "streaming_copurchase_parity",
+    "streaming_key_skew_parity",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

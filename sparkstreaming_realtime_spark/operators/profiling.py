@@ -64,7 +64,10 @@ def table_profile(df: DataFrame, exact: bool = True) -> DataFrame:
 
 
 def key_skew_profile(
-    df: DataFrame, key_col: str, k: int = 10
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Join-key skew diagnostic: the report to read BEFORE keying a
     100 TB shuffle on ``key_col`` — whether to salt, which keys to
@@ -93,10 +96,17 @@ def key_skew_profile(
     window is deterministic."""
     from ..materialize import materialize
 
+    # `counts` lets a streaming maintainer hand in pre-merged (key, n)
+    # rows (streaming/sinks.py:rollup_sum_sink state — per-key counts
+    # are additive over ANY row split, no atomicity contract needed);
+    # the histogram/Gini/top-k below are identical either way, so the
+    # served profile hash-equals the one-shot batch profile.
     counts = materialize(
         df.select(F.col(key_col).alias("key"))
         .groupBy("key")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        if counts is None
+        else counts.select("key", F.col("n").cast("bigint").alias("n"))
     )
     # histogram of counts: c -> (#keys with that count, c * #keys)
     hist = counts.groupBy("n").agg(

@@ -30,8 +30,12 @@ from . import cdc_queries  # noqa: F401 — populates REGISTRY on import
 _PRIORITY = [
     # serving / DAU sentinels (A1, endpoint)
     "dau_total_by_day", "dau_realtime_endpoint",
-    # log-split sentinels (P4/P5 projection, P9 multiplex)
-    "log_split_page", "multiplex_route_counts",
+    # log-split sentinel (P4/P5 projection)
+    # (multiplex_route_counts rotated to the tail r12 for the NEW
+    # streaming key-skew parity below — green r1-r11; the log-split
+    # family keeps log_split_page in-window and P9's streaming twin
+    # streaming_multiplex_parity stays in the tail's green union)
+    "log_split_page",
     # CDC sentinels (P10/P11 routing; the SCD2 family's sentinel is
     # streaming_scd2_parity below, which compares against the batch
     # operator and so covers both). r12 rotation theme: the six
@@ -120,6 +124,10 @@ _PRIORITY = [
     # (green r8-r10; the streaming block keeps five end-to-end
     # parities in-window and both stay pytest-pinned)
     "doc_bpe_compression", "events_key_skew",
+    # NEW r12: the skew profiler's incremental twin — per-batch key
+    # counts via rollup_sum_sink, histogram/Gini/top-k at read time
+    # over the folded counts (same oracle as events_key_skew)
+    "streaming_key_skew_parity",
     # (pricing_summary rotated to the tail r12 — green r1-r11 incl.
     # the r6 money-path edit; TPC-H keeps order_wide_join plus the
     # revenue rollup/anomaly pair in-window)
@@ -303,6 +311,7 @@ _PRIORITY = [
     "cdc_dim_snapshot", "stats_by_item_segment", "emb_semantic_dedup",
     "emb_semantic_dedup_clustered", "doc_quality_bands",
     "pricing_summary", "hourly_window_rollup",
+    "multiplex_route_counts",
     "order_graph_pagerank", "events_gap_filled_resample",
     "sliding_window_rollup", "doc_dup_clusters", "doc_line_dedup",
     "user_funnel",

@@ -4073,6 +4073,56 @@ def events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_key_skew_parity",
+    oracle=_KEY_SKEW_ORACLE,
+    tags=("analytics", "profiling", "extension", "streaming"),
+)
+def streaming_key_skew_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew profiler maintained INCREMENTALLY: events arrive as a
+    real Structured Streaming source in 4 micro-batches, each batch
+    contributes only its per-key counts to batch-keyed idempotent
+    directories (streaming/sinks.py:rollup_sum_sink — per-key counts
+    are additive over ANY row split, so unlike the basket/line sinks
+    this needs NO batch-atomicity contract), and the histogram/Gini/
+    top-k profile computed over the folded counts at read time must
+    hash-equal the one-shot events_key_skew. This is the production
+    shape for the pre-salting diagnostic: the count state stays
+    current per batch; profiling a 100 TB key never rescans facts.
+    The oracle IS events_key_skew's, unchanged."""
+    import os
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..operators.profiling import key_skew_profile
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import read_rollup_sum, rollup_sum_sink
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), F.lit(1).cast("bigint").alias("n")
+    )
+    root = engine_tmpdir("kskew_parity_")
+    src = os.path.join(root, "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    state = os.path.join(root, "state")
+    q = run_available_now(
+        stream,
+        rollup_sum_sink(state, key_cols=("key",), value_col="n"),
+        checkpoint=os.path.join(root, "ckpt"),
+        query_name="kskew_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    merged = read_rollup_sum(spark, state, key_cols=("key",), value_col="n")
+    return key_skew_profile(None, key_col="key", k=10, counts=merged)
+
+
+@register(
     "warehouse_schema_evolution",
     oracle="""
     SELECT CASE WHEN o_orderdate < DATE '1995-01-01'

@@ -822,3 +822,44 @@ def test_copurchase_sink_merges_replays_and_retroactive_support(
     assert as_tuples(got) == as_tuples(want)
     # the cross-batch pair really is present (support 1 + 1 = 2)
     assert (10, 20) in {(r.item_a, r.item_b) for r in got}
+
+
+def test_key_skew_from_streamed_counts_equals_batch(spark, tmp_path):
+    """Skew profile over rollup_sum_sink state equals the one-shot
+    batch profile — per-key counts are additive over ANY row split
+    (a key's rows may scatter across batches freely, unlike the
+    basket/line sinks), and a replayed batch overwrites."""
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.operators.profiling import (
+        key_skew_profile,
+    )
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        read_rollup_sum,
+        rollup_sum_sink,
+    )
+
+    rows = [(u,) for u in [1] * 6 + [2] * 3 + [3] * 3 + [4]]
+
+    def mk(rs):
+        return spark.createDataFrame(rs, "key long").withColumn(
+            "n", F.lit(1).cast("bigint")
+        )
+
+    df = mk(rows)
+    # split user 2's rows ACROSS the two batches on purpose
+    b1, b2 = mk(rows[:7]), mk(rows[7:])
+    path = str(tmp_path / "kskew")
+    sink = rollup_sum_sink(path, key_cols=("key",), value_col="n")
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # replay overwrites, never double-counts
+    merged = read_rollup_sum(spark, path, key_cols=("key",), value_col="n")
+    got = key_skew_profile(None, key_col="key", k=10, counts=merged).collect()
+    want = key_skew_profile(df, key_col="key", k=10).collect()
+    cols = ("rank", "key", "n", "share", "cum_share",
+            "n_keys", "n_rows", "gini")
+    assert [[r[c] for c in cols] for r in got] == [
+        [r[c] for c in cols] for r in want
+    ]
+    assert got[0]["n_rows"] == 13 and got[0]["n_keys"] == 4

@@ -251,6 +251,14 @@ PROBE = [
     # chain — already probed via doc_minhash_near_dup — plus two
     # id-keyed label joins)
     "doc_split_leakage",
+    # r12: the two incremental-twin parities — co-purchase (4
+    # basket-atomic batches, each rolls its baskets and writes three
+    # partial frames; merge + threshold + lift at read — expect ~the
+    # part_copurchase_pairs ratio plus fixed per-batch write costs)
+    # and key-skew (4 batches of additive key counts; histogram/Gini
+    # at read — expect ~the events_key_skew ratio)
+    "streaming_copurchase_parity",
+    "streaming_key_skew_parity",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

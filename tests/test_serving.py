@@ -139,6 +139,52 @@ def test_dau_endpoint_served_from_streaming_store(spark, sf_dir, tmp_path):
     assert sum(got["dauYd"].values()) == days.get(yd, 0)
 
 
+def test_dau_store_cache_serves_and_invalidates(spark, tmp_path):
+    """The store-backed endpoint caches the folded response per store
+    VERSION (the reference's controller-reads-the-index economics —
+    no compute job per request): repeat requests serve from the
+    cache, and a new micro-batch landing in the store invalidates it
+    so the next request sees the new data."""
+    import datetime as dt_
+
+    from sparkstreaming_realtime_spark import serving
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+    )
+
+    store = str(tmp_path / "dau_store")
+    sink = idempotent_parquet_sink(
+        store, key_cols=("mid", "dt"), partition_col="dt"
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(m, TD, dt_.datetime(2024, 1, 15, h)) for m, h in rows],
+            "mid string, dt string, event_time timestamp",
+        )
+
+    sink(mk([("u1", 10), ("u2", 11)]), 0)
+    serving._DAU_STORE_CACHE.clear()
+    srv, _ = serve(spark, str(tmp_path), port=0, dau_store=store)
+    try:
+        port = srv.server_address[1]
+        url = f"http://127.0.0.1:{port}/dauRealtime?td={TD}"
+        _, got1 = _get(url)
+        assert got1["dauTotal"] == 2
+        assert len(serving._DAU_STORE_CACHE) == 1  # folded once
+        _, got2 = _get(url)  # cache hit: same version, same day
+        assert got2 == got1
+        assert len(serving._DAU_STORE_CACHE) == 1
+        # a new batch lands -> version bumps -> next request refolds
+        sink(mk([("u3", 12)]), 1)
+        _, got3 = _get(url)
+        assert got3["dauTotal"] == 3
+        assert got3["dauTd"]["12"] == 1
+        assert len(serving._DAU_STORE_CACHE) == 2  # old version entry kept
+    finally:
+        srv.shutdown()
+
+
 def test_endpoint_errors_are_4xx_not_500(endpoint):
     import urllib.error
 

@@ -200,6 +200,10 @@ HEADLINE = [
     # read — parity vs events_key_skew)
     "streaming_copurchase_parity",
     "streaming_key_skew_parity",
+    # r12: the transition matrix's incremental twin (touched-user
+    # recompute over the deduped event store — parity vs
+    # event_transition_matrix at a random split)
+    "streaming_transition_parity",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

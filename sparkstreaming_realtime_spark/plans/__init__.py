@@ -78,6 +78,10 @@ _PRIORITY = [
     # sessions (user_retention_cohorts rotated to the tail for it —
     # green r10; the sequence family keeps user_funnel + the matrix)
     "event_transition_matrix",
+    # NEW r12: the matrix's incremental twin — touched-user recompute
+    # over a deduped event store (transitions are NOT
+    # batch-decomposable; same oracle as event_transition_matrix)
+    "streaming_transition_parity",
     # NEW r11 session 4: linear revenue attribution over the bucketed
     # touch range join (events_gap_filled_resample rotated to the
     # tail for it — green r10-r11; the timeseries family keeps the
@@ -86,9 +90,12 @@ _PRIORITY = [
     # NEW r10: zero-filled time-series resample (events_asof_last_order
     # rotated to the tail for it — green r4-r9, the as-of operator
     # stays pytest-pinned and in the r1-r9 green union)
-    # NEW this round (never driver-checked): warehouse maintenance +
-    # quality gate + z-order skipping
-    "events_quality_expectations", "warehouse_compaction_roundtrip",
+    # warehouse maintenance + quality gate
+    # (warehouse_compaction_roundtrip rotated to the tail r12 for the
+    # NEW streaming transition parity below — green r5-r11; the
+    # warehouse family keeps events_quality_expectations +
+    # warehouse_schema_evolution in-window)
+    "events_quality_expectations",
     # NEW r11 session 4: schema drift end-to-end — the two-era
     # mergeSchema read (streaming_quality_gate_parity rotated to the
     # tail for it — green r5-r10; the expectations family keeps
@@ -311,7 +318,7 @@ _PRIORITY = [
     "cdc_dim_snapshot", "stats_by_item_segment", "emb_semantic_dedup",
     "emb_semantic_dedup_clustered", "doc_quality_bands",
     "pricing_summary", "hourly_window_rollup",
-    "multiplex_route_counts",
+    "multiplex_route_counts", "warehouse_compaction_roundtrip",
     "order_graph_pagerank", "events_gap_filled_resample",
     "sliding_window_rollup", "doc_dup_clusters", "doc_line_dedup",
     "user_funnel",

@@ -3866,6 +3866,55 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_matrix(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "streaming_transition_parity",
+    oracle=_TRANSITION_ORACLE,
+    tags=("analytics", "sequence", "extension", "streaming"),
+)
+def streaming_transition_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Markov matrix maintained INCREMENTALLY
+    (streaming/sinks.py:transition_sink — the funnel_sink touched-key
+    pattern): events arrive as a real Structured Streaming source in
+    4 ARBITRARILY-split micro-batches (a random 4-way repartition, so
+    virtually every user's events straddle batches — the worst case:
+    transitions are NOT batch-decomposable, a late event can insert a
+    pair with or break the session gap to an earlier batch's event),
+    each batch merges the deduped event store and recomputes ONLY the
+    touched users' per-user pair counts, and the matrix folded from
+    the maintained counts must hash-equal the one-shot
+    event_transition_matrix. The oracle IS its oracle, unchanged."""
+    import os
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import read_transition, transition_sink
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("event_time"),
+    )
+    root = engine_tmpdir("trans_parity_")
+    src = os.path.join(root, "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    state = os.path.join(root, "state")
+    q = run_available_now(
+        stream,
+        transition_sink(state),
+        checkpoint=os.path.join(root, "ckpt"),
+        query_name="trans_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return read_transition(spark, state)
+
+
 _TRIANGLE_ORACLE = """
 WITH present AS (
   SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),

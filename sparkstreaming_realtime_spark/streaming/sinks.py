@@ -556,6 +556,92 @@ def read_rollup_sum(spark, path: str, key_cols: tuple[str, ...],
     )
 
 
+def transition_sink(
+    path: str,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "event_time",
+    id_col: str = "event_id",
+):
+    """Incremental Markov-transition maintenance: keep the per-user
+    (from_event, to_event) counts (operators/funnel.py:
+    transition_pairs_by_user) current across micro-batches — the
+    :func:`funnel_sink` touched-key recompute pattern, because
+    transitions are NOT batch-decomposable (a late event can insert a
+    pair with, or break the session gap to, an event from an earlier
+    batch — so per-batch pair counting would drift; only a user's
+    FULL ordered slice counts correctly).
+
+    Two snapshot-swapped state tables under ``path``: ``events`` (all
+    transition-relevant events, deduped on ``id_col`` — replays merge
+    to the identical store, T5) and ``pairs`` (per-user counts; per
+    batch ONLY the users present recompute from their full slice,
+    untouched users carry over byte-for-byte — batch cost scales with
+    the touched users' history, never the corpus). Crash ordering as
+    in funnel_sink: events swaps first; every crash point converges.
+    Read the live matrix with :func:`read_transition`."""
+    from ..operators.funnel import transition_pairs_by_user
+
+    ev_path = os.path.join(path, "events")
+    p_path = os.path.join(path, "pairs")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_snapshot(ev_path)
+        _recover_snapshot(p_path)
+        incoming = batch_df.select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("__type"),
+            F.col(ts_col).alias("__ts"),
+            F.col(id_col).alias("__id"),
+        )
+        if os.path.exists(ev_path):
+            merged = (
+                spark.read.parquet(ev_path)
+                .unionByName(incoming)
+                .dropDuplicates(["__id"])
+            )
+        else:
+            merged = incoming
+        _swap_snapshot(merged, ev_path)
+        store = spark.read.parquet(ev_path)
+        touched = incoming.select("__u").distinct()
+        recomputed = transition_pairs_by_user(
+            store.join(touched, "__u", "left_semi"),
+            gap_seconds=gap_seconds,
+            user_col="__u",
+            type_col="__type",
+            ts_col="__ts",
+            order_col="__id",
+        )
+        if os.path.exists(p_path):
+            prior = spark.read.parquet(p_path)
+            out = prior.join(touched, "__u", "left_anti").unionByName(
+                recomputed
+            )
+        else:
+            out = recomputed
+        _swap_snapshot(out, p_path)
+
+    return write
+
+
+def read_transition(spark, path: str) -> DataFrame:
+    """The live transition matrix from :func:`transition_sink` state:
+    per-user counts sum to the corpus counts (users partition the
+    pair set), then the SAME normalization as the one-shot
+    transition_matrix — bit-identical prob at any batch split."""
+    from ..operators.funnel import transition_matrix_from_counts
+
+    pairs = (
+        spark.read.parquet(os.path.join(path, "pairs"))
+        .groupBy("from_event", "to_event")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    return transition_matrix_from_counts(pairs)
+
+
 def copurchase_sink(
     path: str,
     basket_col: str = "basket_id",

@@ -824,6 +824,61 @@ def test_copurchase_sink_merges_replays_and_retroactive_support(
     assert (10, 20) in {(r.item_a, r.item_b) for r in got}
 
 
+def test_transition_sink_recomputes_touched_users(spark, tmp_path):
+    """Transitions are NOT batch-decomposable: a late event inserts a
+    pair INTO an earlier batch's sequence (A→C becomes A→B→C). The
+    touched-user recompute must converge to the one-shot matrix, a
+    replayed batch must not drift the counts, and the stale pair
+    (A→C) must be gone after the late arrival."""
+    import datetime as dt_
+
+    from sparkstreaming_realtime_spark.operators.funnel import (
+        transition_matrix,
+    )
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        read_transition,
+        transition_sink,
+    )
+
+    t0 = dt_.datetime(2024, 1, 10, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, u, ty, t0 + dt_.timedelta(minutes=m))
+                for eid, u, ty, m in rows
+            ],
+            "event_id long, user_id long, event_type string,"
+            " event_time timestamp",
+        )
+
+    # batch 0: user 1 does A then C (10 min apart — one A→C pair);
+    # user 2 does A then B
+    b1 = mk([(1, 1, "A", 0), (3, 1, "C", 10), (4, 2, "A", 0),
+             (5, 2, "B", 5)])
+    # batch 1: user 1's B arrives LATE, landing between A and C
+    b2 = mk([(2, 1, "B", 5)])
+    path = str(tmp_path / "trans")
+    sink = transition_sink(path)
+    sink(b1, 0)
+    mid = {(r.from_event, r.to_event): r.n
+           for r in read_transition(spark, path).collect()}
+    assert mid[("A", "C")] == 1  # correct GIVEN what had arrived
+    sink(b2, 1)
+    sink(b2, 1)  # replay: merge dedupes on event_id, counts stable
+    got = read_transition(spark, path).collect()
+    want = transition_matrix(
+        b1.union(b2), ts_col="event_time"
+    ).collect()
+    key = lambda rows: [  # noqa: E731
+        (r.from_event, r.to_event, r.n, r.prob) for r in rows
+    ]
+    assert key(got) == key(want)
+    pairs = {(r.from_event, r.to_event) for r in got}
+    assert ("A", "C") not in pairs  # the stale pair is gone
+    assert ("A", "B") in pairs and ("B", "C") in pairs
+
+
 def test_key_skew_from_streamed_counts_equals_batch(spark, tmp_path):
     """Skew profile over rollup_sum_sink state equals the one-shot
     batch profile — per-key counts are additive over ANY row split

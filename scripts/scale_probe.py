@@ -259,6 +259,10 @@ PROBE = [
     # at read — expect ~the events_key_skew ratio)
     "streaming_copurchase_parity",
     "streaming_key_skew_parity",
+    # r12: the transition twin — same touched-key recompute economics
+    # as streaming_funnel_parity (a random 4-way split touches ~every
+    # user every batch, the worst case; expect its ratio class)
+    "streaming_transition_parity",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

@@ -254,7 +254,10 @@ def _bench_serving(spark, sf_dir: str) -> dict:
 
     from sparkstreaming_realtime_spark import materialize
     from sparkstreaming_realtime_spark.serving import serve
-    from sparkstreaming_realtime_spark.sources.files import events_with_ts
+    from sparkstreaming_realtime_spark.sources.files import (
+        events_with_ts,
+        stream_table,
+    )
     from sparkstreaming_realtime_spark.streaming import (
         idempotent_parquet_sink,
         streaming_dau_dedup,
@@ -273,14 +276,8 @@ def _bench_serving(spark, sf_dir: str) -> dict:
     materialize.track_session_dir(root)
     store = os.path.join(root, "dau_store")
     t0 = time.time()
-    raw = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        )
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    # stream_table handles both table shapes (single file / directory)
+    raw = stream_table(spark, sf_dir, "events")
     page_log = events_with_ts(
         raw.filter(F.col("event_type") == "view")
     ).select(

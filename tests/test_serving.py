@@ -185,6 +185,41 @@ def test_dau_store_cache_serves_and_invalidates(spark, tmp_path):
         srv.shutdown()
 
 
+def test_dau_store_cache_is_bounded(spark, tmp_path):
+    """The response cache cannot grow without bound over a long-lived
+    server: at the cap it clears and keeps serving correctly."""
+    from sparkstreaming_realtime_spark import serving
+
+    serving._DAU_STORE_CACHE.clear()
+    try:
+        for i in range(serving._DAU_STORE_CACHE_MAX):
+            serving._DAU_STORE_CACHE[("p", i, "d")] = {"dauTotal": i}
+        assert len(serving._DAU_STORE_CACHE) == serving._DAU_STORE_CACHE_MAX
+        # the insert path (dau_realtime_cached) clears at the cap and
+        # re-seeds with the fresh fold
+        import datetime as dt_
+
+        from sparkstreaming_realtime_spark.streaming.sinks import (
+            idempotent_parquet_sink,
+        )
+
+        store = str(tmp_path / "tiny_store")
+        idempotent_parquet_sink(
+            store, key_cols=("mid", "dt"), partition_col="dt"
+        )(
+            spark.createDataFrame(
+                [("u1", TD, dt_.datetime(2024, 1, 15, 9))],
+                "mid string, dt string, event_time timestamp",
+            ),
+            0,
+        )
+        got = serving.dau_realtime_cached(spark, store, TD)
+        assert got["dauTotal"] == 1
+        assert len(serving._DAU_STORE_CACHE) == 1  # cleared, re-seeded
+    finally:
+        serving._DAU_STORE_CACHE.clear()
+
+
 def test_endpoint_errors_are_4xx_not_500(endpoint):
     import urllib.error
 

@@ -824,6 +824,49 @@ def test_copurchase_sink_merges_replays_and_retroactive_support(
     assert (10, 20) in {(r.item_a, r.item_b) for r in got}
 
 
+def test_copurchase_sink_honors_max_basket_and_support1_read(
+    spark, tmp_path
+):
+    """The degenerate-basket cap applies per batch (baskets are
+    batch-atomic, so a capped basket is dropped whole exactly as the
+    one-shot operator drops it), and a support-1 read surfaces
+    single-support pairs the default threshold hides."""
+    from sparkstreaming_realtime_spark.operators.basket import (
+        copurchase_pairs,
+    )
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        copurchase_sink,
+        read_copurchase,
+    )
+
+    # basket 1 is a 4-item mega-basket; cap=3 drops it entirely
+    b1 = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (1, 40), (2, 10), (2, 20)],
+        "basket long, item long",
+    )
+    b2 = spark.createDataFrame(
+        [(3, 20), (3, 30)], "basket long, item long"
+    )
+    path = str(tmp_path / "capped")
+    sink = copurchase_sink(
+        path, basket_col="basket", item_col="item", max_basket=3
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    got = read_copurchase(spark, path, k=10, min_pair_support=1).collect()
+    want = copurchase_pairs(
+        b1.union(b2), basket_col="basket", item_col="item",
+        k=10, min_pair_support=1, max_basket=3,
+    ).collect()
+    tup = lambda rows: [  # noqa: E731
+        (r.item_a, r.item_b, r.pair_n, r.n_a, r.n_b, r.lift) for r in rows
+    ]
+    assert tup(got) == tup(want)
+    pairs = {(r.item_a, r.item_b): r.pair_n for r in got}
+    # the mega-basket contributed nothing; support-1 pairs visible
+    assert pairs == {(10, 20): 1, (20, 30): 1}
+
+
 def test_transition_sink_recomputes_touched_users(spark, tmp_path):
     """Transitions are NOT batch-decomposable: a late event inserts a
     pair INTO an earlier batch's sequence (A→C becomes A→B→C). The

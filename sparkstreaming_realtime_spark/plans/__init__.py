@@ -51,6 +51,17 @@ _PRIORITY = [
     # hourly_window_rollup + streaming_sliding_rollup_parity
     # in-window)
     "cdc_snapshot_diff",
+    # ROTATED IN r13: the bucketed-state sink rewrite (funnel_sink /
+    # transition_sink / scd2_sink / dim_upsert_sink now hash-bucket
+    # their state by key and rewrite only TOUCHED buckets per batch)
+    # changes these two sinks' code paths, so the driver must re-hash
+    # their end-to-end parities (funnel + transition twins are already
+    # in-window below). corpus_overlap_sketch and revenue_anomaly_days
+    # rotated to the tail for them — green r11-r12; the KMV family
+    # keeps doc_shingle/lang_distinct_sketch + the streaming parity
+    # in-window, the timeseries family keeps revenue_rolling_windows +
+    # streaming_anomaly_parity
+    "streaming_scd2_parity", "streaming_cdc_dim_parity",
     # NEW this round: byte-exact PCM16 audio features
     "doc_audio_windows",
     # ES query-surface: the RANKED form (BM25 — ES's default
@@ -109,7 +120,7 @@ _PRIORITY = [
     # and the exact-integer z-score anomaly tripwire over the same
     # rollup (emb_ivf_compact_topk rotated to the tail — green r6-r10,
     # emb_ivf_append_topk keeps the persisted-index family in-window)
-    "revenue_rolling_windows", "revenue_anomaly_days",
+    "revenue_rolling_windows",
     # text-stats / quality family: per-doc unigram Shannon entropy —
     # the zero-shuffle information-theoretic quality signal
     # (streaming_dau_dedup_parity rotated to the tail r11s4 — green
@@ -281,7 +292,6 @@ _PRIORITY = [
     # profiling keeps events_table_profile's r1-r10 union green, the
     # dedup family keeps five in-window rows)
     "doc_shingle_distinct_sketch", "streaming_distinct_sketch_parity",
-    "corpus_overlap_sketch",
     # NEW r11 session 2: per-group KMV (one-pass per-language
     # vocabulary estimates) and the anomaly tripwire over an
     # incrementally-maintained rollup (doc_dup_keep_longest and
@@ -311,10 +321,13 @@ _PRIORITY = [
     "events_winsorized_stats",
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
-    # pytest. r12 displacements first: cdc_dim_snapshot (r3-r11),
+    # pytest. r13 displacements first: corpus_overlap_sketch (r11-r12),
+    # revenue_anomaly_days (r11-r12). r12 displacements:
+    # cdc_dim_snapshot (r3-r11),
     # stats_by_item_segment (r1-r11), emb_semantic_dedup (r4-r11),
     # emb_semantic_dedup_clustered (r8-r11), doc_quality_bands
     # (r5-r11), pricing_summary (r1-r11)
+    "corpus_overlap_sketch", "revenue_anomaly_days",
     "cdc_dim_snapshot", "stats_by_item_segment", "emb_semantic_dedup",
     "emb_semantic_dedup_clustered", "doc_quality_bands",
     "pricing_summary", "hourly_window_rollup",
@@ -323,7 +336,7 @@ _PRIORITY = [
     "sliding_window_rollup", "doc_dup_clusters", "doc_line_dedup",
     "user_funnel",
     "emb_semantic_dedup_clustered_auto", "streaming_dau_dedup_parity",
-    "streaming_scd2_parity", "doc_exact_k_sample",
+    "doc_exact_k_sample",
     "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",
     "streaming_quality_gate_parity",
     "doc_minhash_near_dup", "emb_ivf_append_topk",
@@ -369,7 +382,7 @@ _PRIORITY = [
     "log_split_start", "cdc_op_normalize", "cdc_fact_rows",
     "acctbal_bands", "relabel_segment", "top_k_grouped_avg",
     "delete_by_id_view", "upsert_single_view", "to_json_serialize",
-    "streaming_cdc_dim_parity", "streaming_multiplex_parity",
+    "streaming_multiplex_parity",
     "streaming_hourly_rollup_parity",
     "streaming_user_sessions_parity", "nation_acctbal_salted",
 ]

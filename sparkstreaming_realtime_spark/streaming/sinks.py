@@ -93,38 +93,127 @@ def reset_sink(path: str) -> None:
         shutil.rmtree(path)
 
 
-def _swap_snapshot(out: DataFrame, path: str) -> None:
-    """Crash-safe snapshot replacement for the state-carrying sinks.
-
-    The naive sequence (rmtree(path); rename(.next, path)) has a
-    window where the ONLY copy of the accumulated state is gone: the
-    streaming checkpoint replays at most the in-flight batch, not the
-    history that built the snapshot, so a crash inside the window
-    loses the sink's entire state (all SCD2 history, not just one
-    batch). Instead the old snapshot is renamed ASIDE (`.old`) until
-    the new one is durably in place — every crash point leaves a
-    complete snapshot on disk under `path` or `.old`, and
-    :func:`_recover_snapshot` rolls the aside copy back on restart."""
-    nxt, old = path + ".next", path + ".old"
-    out.write.mode("overwrite").parquet(nxt)
-    if os.path.exists(old):  # leftover from a crash after step 3
-        shutil.rmtree(old)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(nxt, path)
-    shutil.rmtree(old, ignore_errors=True)
+#: default bucket count for hash-bucketed state stores. Test-scale
+#: value; at production scale size B so one bucket is a sane parquet
+#: partition (B ≈ store_bytes / 128 MB..1 GB) — per-batch I/O is then
+#: O(touched_buckets × bucket_size), independent of store size once
+#: B exceeds the touched-key count of a batch.
+STATE_BUCKETS = 32
 
 
-def _recover_snapshot(path: str) -> None:
-    """Restore the aside copy if a previous :func:`_swap_snapshot`
-    crashed between rename-aside and rename-into-place (the replayed
-    batch then rebuilds forward from the restored prior state)."""
-    old = path + ".old"
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
+def _bucket_of(n_buckets: int, *cols) -> "F.Column":
+    """Deterministic state bucket of a key tuple. ``F.hash`` is
+    Murmur3 with a fixed seed, stable across sessions/restarts (the
+    bucket layout must survive the process); a NULL key hashes to the
+    seed, so NULL-keyed rows live in one bucket and round-trip the
+    store instead of being dropped."""
+    return F.pmod(F.hash(*cols), F.lit(int(n_buckets)))
 
 
-def dim_upsert_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")):
+def _read_buckets(spark, path: str, bucket_ids=None) -> DataFrame:
+    """Read a bucketed state store; with ``bucket_ids`` the ``__b``
+    filter is a PartitionFilter — Spark prunes to the touched bucket
+    directories and never opens the rest."""
+    df = spark.read.option("basePath", path).parquet(
+        os.path.join(path, "__b=*")
+    )
+    if bucket_ids is not None:
+        df = df.filter(F.col("__b").isin([int(b) for b in bucket_ids]))
+    return df
+
+
+def _touched_buckets(incoming: DataFrame) -> list[int]:
+    """The distinct ``__b`` values of a batch — bounded by
+    STATE_BUCKETS rows, so the collect is a constant-sized plan."""
+    return sorted(
+        r["__b"] for r in incoming.select("__b").distinct().collect()
+    )
+
+
+def _swap_buckets(out: DataFrame, path: str, bucket_ids: list[int]) -> None:
+    """Crash-safe bucket-granular state replacement: stage ``out``
+    (which carries ``__b``) partitioned by bucket, then swap ONLY the
+    touched buckets into place — untouched bucket directories are
+    never read, rewritten, or even listed, so per-batch I/O tracks
+    the touched buckets, not the store.
+
+    The naive per-bucket sequence (rmtree(dst); rename(src, dst))
+    has a window where the ONLY copy of a bucket's accumulated state
+    is gone — the streaming checkpoint replays at most the in-flight
+    batch, not the history that built the store, so a crash inside
+    the window would lose the bucket's entire history, not one batch.
+
+    A touched bucket with no staged output (possible only for stores
+    where a key can be evicted, e.g. dim tombstones) is REMOVED —
+    leaving the old directory would resurrect evicted keys.
+
+    Crash discipline per bucket mirrors the whole-store swap: old
+    renamed aside before new renamed in, so every crash point leaves
+    each bucket complete under ``path`` or ``path.aside``;
+    :func:`_recover_buckets` rolls asides back and the replayed batch
+    (offsets commit only after this writer returns) reconverges —
+    merges dedup on the write id and recomputes are deterministic."""
+    nxt, aside = path + ".next", path + ".aside"
+    shutil.rmtree(nxt, ignore_errors=True)
+    # co-locate each bucket in one task before the partitioned write:
+    # upstream shuffles (id-dedup, per-user aggregates) scatter every
+    # bucket across every task, and partitionBy would then emit
+    # n_tasks × n_buckets tiny files per swap — the shuffle is sized
+    # by the TOUCHED slice only and keeps the store at ~1 file/bucket
+    out = out.repartition(max(len(bucket_ids), 1), F.col("__b"))
+    out.write.mode("overwrite").partitionBy("__b").parquet(nxt)
+    os.makedirs(path, exist_ok=True)
+    os.makedirs(aside, exist_ok=True)
+    staged = {d for d in os.listdir(nxt) if d.startswith("__b=")}
+    expected = {f"__b={int(b)}" for b in bucket_ids}
+    for d in sorted(staged | expected):
+        src = os.path.join(nxt, d)
+        dst = os.path.join(path, d)
+        asd = os.path.join(aside, d)
+        shutil.rmtree(asd, ignore_errors=True)
+        if os.path.exists(dst):
+            os.rename(dst, asd)
+        if d in staged:
+            os.rename(src, dst)
+        shutil.rmtree(asd, ignore_errors=True)
+    shutil.rmtree(nxt, ignore_errors=True)
+    shutil.rmtree(aside, ignore_errors=True)
+
+
+def _recover_buckets(path: str) -> None:
+    """Roll back any buckets a crashed :func:`_swap_buckets` left
+    aside (restore only where the live bucket is missing), and drop a
+    half-written staging dir — the replayed batch rebuilds it."""
+    aside = path + ".aside"
+    if os.path.isdir(aside):
+        for d in os.listdir(aside):
+            dst = os.path.join(path, d)
+            if d.startswith("__b=") and not os.path.exists(dst):
+                os.rename(os.path.join(aside, d), dst)
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(path + ".next", ignore_errors=True)
+
+
+def _has_buckets(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        d.startswith("__b=") for d in os.listdir(path)
+    )
+
+
+def _semi_on_user(df: DataFrame, touched: DataFrame, how: str) -> DataFrame:
+    """Null-safe touched-user semi/anti join: ``eqNullSafe`` so a
+    NULL user id matches itself — the batch operators window NULL
+    users into one group and count them, and the streaming state must
+    agree (a plain column-name join would silently drop them)."""
+    t = touched.select(F.col("__u").alias("__tu"))
+    return df.join(t, df["__u"].eqNullSafe(t["__tu"]), how)
+
+
+def dim_upsert_sink(
+    path: str,
+    ord_cols: tuple[str, ...] = ("ts_ms", "event_id"),
+    n_buckets: int = STATE_BUCKETS,
+):
     """K4's streaming binding: maintain a last-write-wins dim snapshot
     across micro-batches — the engine's replacement for the per-row
     ``jedis.set("DIM:<TABLE>:<id>", json)`` loop
@@ -138,16 +227,20 @@ def dim_upsert_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")
     duplicates — so at-least-once delivery composes to exactly-once
     state (T5).
 
-    At 100 TB-scale the same pattern targets a table format with
-    row-level MERGE; the snapshot-swap keeps the test environment to
-    plain parquet while preserving the observable semantics."""
-    import os as _os
-
+    Snapshot state is hash-bucketed by (table, id) — ``__b``
+    partition dirs, :func:`_swap_buckets` — so a micro-batch reads
+    and rewrites ONLY the buckets its keys hash into: per-batch I/O
+    is O(touched_keys × store/n_buckets), not O(store). A delete
+    that empties a bucket removes the bucket directory (leaving it
+    would resurrect the evicted key). At 100 TB-scale the same
+    pattern targets a table format with row-level MERGE; the bucketed
+    swap keeps the test environment to plain parquet while preserving
+    the observable semantics AND the touched-partition economics."""
     from ..operators.cdc import dim_snapshot
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover_snapshot(path)
+        _recover_buckets(path)
         cols = ["table", "id", "data", "op", *ord_cols]
         incoming = batch_df.select(
             "table",
@@ -155,28 +248,41 @@ def dim_upsert_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")
             "data",
             "op",
             *[F.col(c) for c in ord_cols],
-        )
-        if _os.path.exists(path):
-            # prior snapshot rows re-enter the merge as latest-so-far
-            # writes (op=U) with their stored order columns
-            prior = spark.read.parquet(path).select(*cols)
-            incoming = prior.unionByName(incoming.select(*cols))
+        ).withColumn("__b", _bucket_of(n_buckets, "table", "id"))
+        buckets = _touched_buckets(incoming)
+        if not buckets:
+            return
+        if _has_buckets(path):
+            # prior snapshot rows of the TOUCHED buckets re-enter the
+            # merge as latest-so-far writes (op=U) with their stored
+            # order columns; untouched buckets are never read
+            prior = _read_buckets(spark, path, buckets).select(*cols)
+            merged = prior.unionByName(incoming.select(*cols))
         else:
-            incoming = incoming.select(*cols)
+            merged = incoming.select(*cols)
         snap = dim_snapshot(
-            incoming.drop("id"), ord_cols=ord_cols
+            merged.drop("id"), ord_cols=ord_cols
         )
         # dim_snapshot drops ord cols; re-derive them for the next merge
-        keep_ord = incoming.groupBy("table", "id").agg(
+        keep_ord = merged.groupBy("table", "id").agg(
             *[F.max(c).alias(c) for c in ord_cols]
         )
-        out = snap.join(keep_ord, ["table", "id"]).withColumn("op", F.lit("U"))
-        _swap_snapshot(out.select(*cols), path)
+        out = (
+            snap.join(keep_ord, ["table", "id"])
+            .withColumn("op", F.lit("U"))
+            .select(*cols)
+            .withColumn("__b", _bucket_of(n_buckets, "table", "id"))
+        )
+        _swap_buckets(out, path, buckets)
 
     return write
 
 
-def scd2_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")):
+def scd2_sink(
+    path: str,
+    ord_cols: tuple[str, ...] = ("ts_ms", "event_id"),
+    n_buckets: int = STATE_BUCKETS,
+):
     """Streaming SCD type-2 maintenance: keep the full versioned dim
     history (``operators.cdc.scd2_history``'s contract) current across
     micro-batches.
@@ -189,17 +295,20 @@ def scd2_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")):
 
     - State = every write ever seen (including deletes, which close
       intervals but emit no version), with its recomputed interval
-      columns. Replays dedupe on the total write order
-      (table, id, ord_cols), so at-least-once delivery composes to
-      exactly-once history (T5).
-    - Per batch, ONLY the keys present in the batch recompute: prior
-      state splits via anti/semi join on the touched keys, the
-      touched slice unions the new writes and re-windows (the same
-      entity-keyed window as the batch operator), the untouched
-      slice is carried over byte-for-byte. Cost per batch scales
-      with the touched keys' history, never the full table — at
+      columns, hash-bucketed by (table, id) — ``__b`` partition dirs
+      (:func:`_swap_buckets`). Replays dedupe on the total write
+      order (table, id, ord_cols), so at-least-once delivery composes
+      to exactly-once history (T5); the dedup is valid per bucket
+      because a write's duplicates share its key, hence its bucket.
+    - Per batch, ONLY the keys present in the batch recompute: the
+      TOUCHED buckets' prior state splits via null-safe anti/semi
+      join on the touched keys, the touched slice unions the new
+      writes and re-windows (the same entity-keyed window as the
+      batch operator), untouched keys within touched buckets carry
+      over; untouched buckets are never read or rewritten. Per-batch
+      I/O is O(touched_keys × store/n_buckets), not O(store) — at
       100 TB this is the MERGE-on-key pattern on a table format,
-      expressed on plain parquet via snapshot swap.
+      expressed on plain parquet via the bucketed swap.
 
     Read the current history with :func:`read_scd2` (filters the
     delete markers, projects the SCD2 contract columns)."""
@@ -207,9 +316,10 @@ def scd2_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")):
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover_snapshot(path)
+        _recover_buckets(path)
         state_cols = ["table", "id", "data", "op", *ord_cols,
                       "version", "valid_from", "valid_to", "is_current"]
+        write_cols = ["table", "id", "data", "op", *ord_cols]
         first_ord = ord_cols[0]
         incoming = batch_df.select(
             "table",
@@ -217,18 +327,28 @@ def scd2_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")):
             "data",
             "op",
             *[F.col(c) for c in ord_cols],
-        )
-        if os.path.exists(path):
-            prior = spark.read.parquet(path).select(*state_cols)
-            touched = incoming.select("table", "id").distinct()
-            untouched = prior.join(touched, ["table", "id"], "left_anti")
-            replay = prior.join(touched, ["table", "id"], "left_semi").select(
-                "table", "id", "data", "op", *ord_cols
+        ).withColumn("__b", _bucket_of(n_buckets, "table", "id"))
+        buckets = _touched_buckets(incoming)
+        if not buckets:
+            return
+        if _has_buckets(path):
+            prior = _read_buckets(spark, path, buckets)
+            touched = incoming.select("table", "id").distinct().select(
+                F.col("table").alias("__tt"), F.col("id").alias("__ti")
             )
-            writes = replay.unionByName(incoming)
+            key_match = prior["table"].eqNullSafe(
+                touched["__tt"]
+            ) & prior["id"].eqNullSafe(touched["__ti"])
+            untouched = prior.join(touched, key_match, "left_anti").select(
+                *state_cols, "__b"
+            )
+            replay = prior.join(touched, key_match, "left_semi").select(
+                *write_cols
+            )
+            writes = replay.unionByName(incoming.select(*write_cols))
         else:
             untouched = None
-            writes = incoming
+            writes = incoming.select(*write_cols)
         # at-least-once → exactly-once: a replayed batch re-delivers
         # identical writes; the total write order dedupes them
         writes = writes.dropDuplicates(["table", "id", *ord_cols])
@@ -243,13 +363,14 @@ def scd2_sink(path: str, ord_cols: tuple[str, ...] = ("ts_ms", "event_id")):
                 "is_current", F.col("valid_to").isNull().cast("int")
             )
             .select(*state_cols)
+            .withColumn("__b", _bucket_of(n_buckets, "table", "id"))
         )
         out = (
             recomputed
             if untouched is None
             else untouched.unionByName(recomputed)
         )
-        _swap_snapshot(out, path)
+        _swap_buckets(out, path, buckets)
 
     return write
 
@@ -258,6 +379,7 @@ def read_scd2(spark, path: str) -> DataFrame:
     """Project the SCD2 contract (operators/cdc.py:scd2_history) out
     of :func:`scd2_sink` state: delete markers close intervals but
     carry no version row."""
+    _recover_buckets(path)
     return (
         spark.read.parquet(path)
         .filter(F.col("op") != "D")
@@ -437,6 +559,7 @@ def funnel_sink(
     type_col: str = "event_type",
     ts_col: str = "event_time",
     id_col: str = "event_id",
+    n_buckets: int = STATE_BUCKETS,
 ):
     """Incremental ORDERED-funnel maintenance: keep the per-user
     first-touch completion times (operators/funnel.py:funnel_times)
@@ -445,22 +568,37 @@ def funnel_sink(
 
     Funnel times are NOT batch-decomposable (a late stage-0 event can
     retroactively move t_0 and cascade through every later stage), so
-    the sink keeps two snapshot-swapped state tables under ``path``:
+    the sink keeps two state tables under ``path``, each hash-bucketed
+    by user (``__b = pmod(hash(user), n_buckets)`` partition dirs):
 
     - ``events``: every funnel-stage event seen, deduped on
       ``id_col`` — replays merge to the identical store, so
       at-least-once delivery composes to exactly-once times (T5).
+      Valid per bucket: an event's duplicates share its user, hence
+      its bucket.
     - ``times``: the per-user funnel_times frame. Per batch, ONLY the
       users present in the batch recompute, from their full event
-      slice; untouched users carry over byte-for-byte — cost per
-      batch scales with the touched users' history, never the
-      corpus.
+      slice; untouched users in touched buckets carry over.
 
-    Crash ordering: events swaps BEFORE times. A crash between the
-    two replays the batch against the already-merged store — the
-    dedup makes the merge a no-op and the recompute is deterministic,
-    so every crash point converges to the same state. Read the live
-    funnel with :func:`read_funnel`."""
+    Per-batch I/O is confined to the TOUCHED buckets: the merge, the
+    id-dedup, the carry-over anti-join, and the swap all read and
+    rewrite only ``__b`` partitions the batch's users hash into —
+    untouched buckets are never listed (see :func:`_swap_buckets`).
+    Cost per batch is therefore O(touched_buckets × bucket_size) ≈
+    O(touched_users × store/n_buckets), NOT O(store): at production
+    scale size ``n_buckets`` so a bucket is a normal parquet
+    partition (~store/128 MB) and a sparse batch touches a sliver of
+    the store. (A batch touching ≥ n_buckets distinct users still
+    rewrites everything — that is the dense case where a full pass is
+    genuinely required.)
+
+    Crash ordering: events swaps BEFORE times. A crash at any point
+    replays the batch (offsets commit only after this writer returns)
+    against recovered per-bucket state — the id-dedup makes the merge
+    idempotent and the recompute deterministic, so every crash point
+    converges. NULL user ids are kept (they bucket on the hash seed
+    and join null-safely), matching the batch operator's windowing.
+    Read the live funnel with :func:`read_funnel`."""
     from ..operators.funnel import funnel_times
 
     ev_path = os.path.join(path, "events")
@@ -468,8 +606,8 @@ def funnel_sink(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover_snapshot(ev_path)
-        _recover_snapshot(t_path)
+        _recover_buckets(ev_path)
+        _recover_buckets(t_path)
         incoming = batch_df.filter(
             F.col(type_col).isin(list(stages))
         ).select(
@@ -477,35 +615,39 @@ def funnel_sink(
             F.col(type_col).alias("__type"),
             F.col(ts_col).alias("__ts"),
             F.col(id_col).alias("__id"),
-        )
-        if os.path.exists(ev_path):
+        ).withColumn("__b", _bucket_of(n_buckets, "__u"))
+        buckets = _touched_buckets(incoming)
+        if not buckets:
+            return
+        if _has_buckets(ev_path):
             merged = (
-                spark.read.parquet(ev_path)
+                _read_buckets(spark, ev_path, buckets)
                 .unionByName(incoming)
                 .dropDuplicates(["__id"])
             )
         else:
             merged = incoming
-        # _swap_snapshot computes the plan into `.next` while the old
-        # directory is still in place, so no checkpoint is needed;
-        # afterwards RE-READ the swapped store so the recompute scans
-        # the new snapshot directly (no localCheckpoint — unreplicated
-        # executor-local blocks, the materialize.py r2 lesson)
-        _swap_snapshot(merged, ev_path)
-        store = spark.read.parquet(ev_path)
+        # _swap_buckets computes the plan into `.next` while the old
+        # directories are still in place, so no checkpoint is needed;
+        # afterwards RE-READ the swapped buckets so the recompute
+        # scans the new snapshot directly (no localCheckpoint —
+        # unreplicated executor-local blocks, the materialize.py r2
+        # lesson)
+        _swap_buckets(merged, ev_path, buckets)
+        store = _read_buckets(spark, ev_path, buckets)
         touched = incoming.select("__u").distinct()
         recomputed = funnel_times(
-            store.join(touched, "__u", "left_semi"),
+            _semi_on_user(store, touched, "left_semi"),
             list(stages), user_col="__u", type_col="__type", ts_col="__ts",
-        )
-        if os.path.exists(t_path):
-            prior = spark.read.parquet(t_path)
-            out = prior.join(touched, "__u", "left_anti").unionByName(
+        ).withColumn("__b", _bucket_of(n_buckets, "__u"))
+        if _has_buckets(t_path):
+            prior = _read_buckets(spark, t_path, buckets)
+            out = _semi_on_user(prior, touched, "left_anti").unionByName(
                 recomputed
             )
         else:
             out = recomputed
-        _swap_snapshot(out, t_path)
+        _swap_buckets(out, t_path, buckets)
 
     return write
 
@@ -515,8 +657,10 @@ def read_funnel(spark, path: str, stages: list[str]) -> DataFrame:
     :func:`funnel_sink` state."""
     from ..operators.funnel import funnel_counts_from_times
 
+    t_path = os.path.join(path, "times")
+    _recover_buckets(t_path)
     return funnel_counts_from_times(
-        spark.read.parquet(os.path.join(path, "times")), list(stages)
+        spark.read.parquet(t_path), list(stages)
     )
 
 
@@ -563,6 +707,7 @@ def transition_sink(
     type_col: str = "event_type",
     ts_col: str = "event_time",
     id_col: str = "event_id",
+    n_buckets: int = STATE_BUCKETS,
 ):
     """Incremental Markov-transition maintenance: keep the per-user
     (from_event, to_event) counts (operators/funnel.py:
@@ -573,14 +718,21 @@ def transition_sink(
     batch — so per-batch pair counting would drift; only a user's
     FULL ordered slice counts correctly).
 
-    Two snapshot-swapped state tables under ``path``: ``events`` (all
-    transition-relevant events, deduped on ``id_col`` — replays merge
-    to the identical store, T5) and ``pairs`` (per-user counts; per
-    batch ONLY the users present recompute from their full slice,
-    untouched users carry over byte-for-byte — batch cost scales with
-    the touched users' history, never the corpus). Crash ordering as
-    in funnel_sink: events swaps first; every crash point converges.
-    Read the live matrix with :func:`read_transition`."""
+    Two user-hash-bucketed state tables under ``path`` (``__b``
+    partition dirs, see :func:`funnel_sink` for the layout contract):
+    ``events`` (all transition-relevant events, deduped on ``id_col``
+    — replays merge to the identical store, T5; valid per bucket
+    because an event's duplicates share its user's bucket) and
+    ``pairs`` (per-user counts; per batch ONLY the users present
+    recompute from their full slice, untouched users in touched
+    buckets carry over). Per-batch I/O is confined to the touched
+    buckets — O(touched_users × store/n_buckets), not O(store); a
+    batch touching ≥ n_buckets distinct users rewrites everything,
+    which is the genuinely-dense case. NULL user ids are kept (hash
+    seed bucket + null-safe joins), matching the batch window's
+    NULL grouping. Crash ordering as in funnel_sink: events swaps
+    first; every crash point replays and converges. Read the live
+    matrix with :func:`read_transition`."""
     from ..operators.funnel import transition_pairs_by_user
 
     ev_path = os.path.join(path, "events")
@@ -588,41 +740,44 @@ def transition_sink(
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover_snapshot(ev_path)
-        _recover_snapshot(p_path)
+        _recover_buckets(ev_path)
+        _recover_buckets(p_path)
         incoming = batch_df.select(
             F.col(user_col).alias("__u"),
             F.col(type_col).alias("__type"),
             F.col(ts_col).alias("__ts"),
             F.col(id_col).alias("__id"),
-        )
-        if os.path.exists(ev_path):
+        ).withColumn("__b", _bucket_of(n_buckets, "__u"))
+        buckets = _touched_buckets(incoming)
+        if not buckets:
+            return
+        if _has_buckets(ev_path):
             merged = (
-                spark.read.parquet(ev_path)
+                _read_buckets(spark, ev_path, buckets)
                 .unionByName(incoming)
                 .dropDuplicates(["__id"])
             )
         else:
             merged = incoming
-        _swap_snapshot(merged, ev_path)
-        store = spark.read.parquet(ev_path)
+        _swap_buckets(merged, ev_path, buckets)
+        store = _read_buckets(spark, ev_path, buckets)
         touched = incoming.select("__u").distinct()
         recomputed = transition_pairs_by_user(
-            store.join(touched, "__u", "left_semi"),
+            _semi_on_user(store, touched, "left_semi"),
             gap_seconds=gap_seconds,
             user_col="__u",
             type_col="__type",
             ts_col="__ts",
             order_col="__id",
-        )
-        if os.path.exists(p_path):
-            prior = spark.read.parquet(p_path)
-            out = prior.join(touched, "__u", "left_anti").unionByName(
+        ).withColumn("__b", _bucket_of(n_buckets, "__u"))
+        if _has_buckets(p_path):
+            prior = _read_buckets(spark, p_path, buckets)
+            out = _semi_on_user(prior, touched, "left_anti").unionByName(
                 recomputed
             )
         else:
             out = recomputed
-        _swap_snapshot(out, p_path)
+        _swap_buckets(out, p_path, buckets)
 
     return write
 
@@ -634,8 +789,10 @@ def read_transition(spark, path: str) -> DataFrame:
     transition_matrix — bit-identical prob at any batch split."""
     from ..operators.funnel import transition_matrix_from_counts
 
+    p_path = os.path.join(path, "pairs")
+    _recover_buckets(p_path)
     pairs = (
-        spark.read.parquet(os.path.join(path, "pairs"))
+        spark.read.parquet(p_path)
         .groupBy("from_event", "to_event")
         .agg(F.sum("n").cast("bigint").alias("n"))
     )

@@ -539,12 +539,13 @@ def test_scd2_sink_replay_is_idempotent(spark, tmp_path):
 
 
 def test_snapshot_swap_survives_crash_between_renames(spark, tmp_path):
-    """The swap's worst crash point — old snapshot renamed aside, new
-    one not yet in place — must not lose the accumulated state: the
-    next write() restores the aside copy and rebuilds forward from it
-    (with the crashed batch replayed by the checkpoint, history is
-    complete). Before the `.old` aside existed, this window deleted
-    the only copy of the entire SCD2 history."""
+    """The bucket swap's worst crash point — a bucket's old state
+    renamed aside, its replacement not yet in place — must not lose
+    the accumulated state: the next write() restores the aside
+    buckets and rebuilds forward from them (with the crashed batch
+    replayed by the checkpoint, history is complete). Before the
+    aside existed, this window deleted the only copy of the bucket's
+    entire SCD2 history."""
     import os
 
     from sparkstreaming_realtime_spark.streaming.sinks import (
@@ -561,17 +562,21 @@ def test_snapshot_swap_survives_crash_between_renames(spark, tmp_path):
     hist = str(tmp_path / "hist")
     sink = scd2_sink(hist)
     sink(b1, 0)
-    # simulate the crash window: prior snapshot set aside, replacement
-    # never arrived (this is exactly the on-disk state if the process
-    # dies between the two renames)
-    os.rename(hist, hist + ".old")
+    # simulate the crash window: every live bucket set aside, its
+    # replacement never arrived (this is exactly the on-disk state if
+    # the process dies between the two per-bucket renames)
+    aside = hist + ".aside"
+    os.makedirs(aside)
+    for d in os.listdir(hist):
+        if d.startswith("__b="):
+            os.rename(os.path.join(hist, d), os.path.join(aside, d))
     sink(b2, 1)  # restart: recovery + the replayed batch
     got = {
         (r["id"], r["version"]): (r["valid_from"], r["valid_to"])
         for r in read_scd2(spark, hist).collect()
     }
     assert got == {("1", 1): (1000, 2000), ("1", 2): (2000, None)}
-    assert not os.path.exists(hist + ".old")
+    assert not os.path.exists(hist + ".aside")
     assert not os.path.exists(hist + ".next")
 
 
@@ -920,6 +925,115 @@ def test_transition_sink_recomputes_touched_users(spark, tmp_path):
     pairs = {(r.from_event, r.to_event) for r in got}
     assert ("A", "C") not in pairs  # the stale pair is gone
     assert ("A", "B") in pairs and ("B", "C") in pairs
+
+
+def test_bucketed_state_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB contract of the touched-key sinks: a micro-batch's
+    state I/O is confined to the buckets its users hash into. After a
+    wide first batch populates many buckets, a one-user second batch
+    must leave every OTHER bucket's parquet files byte-identical in
+    place (same file names — a rewrite always generates fresh part
+    files), in both the events store and the pairs store."""
+    import datetime as dt_
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        transition_sink,
+    )
+
+    t0 = dt_.datetime(2024, 1, 10, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, u, ty, t0 + dt_.timedelta(minutes=m))
+                for eid, u, ty, m in rows
+            ],
+            "event_id long, user_id long, event_type string,"
+            " event_time timestamp",
+        )
+
+    # 40 users × 2 events each → with 8 buckets, every bucket populated
+    b1 = mk(
+        [(2 * u, u, "A", 0) for u in range(40)]
+        + [(2 * u + 1, u, "B", 5) for u in range(40)]
+    )
+    b2 = mk([(1000, 7, "C", 10)])  # touches exactly user 7
+    path = str(tmp_path / "trans")
+    sink = transition_sink(path, n_buckets=8)
+    sink(b1, 0)
+
+    def listing(store):
+        root = os.path.join(path, store)
+        return {
+            d: sorted(os.listdir(os.path.join(root, d)))
+            for d in os.listdir(root)
+            if d.startswith("__b=")
+        }
+
+    ev_before, p_before = listing("events"), listing("pairs")
+    assert len(ev_before) == 8  # every bucket populated
+    touched = spark.range(1).select(
+        F.pmod(F.hash(F.lit(7).cast("long")), F.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    sink(b2, 1)
+    ev_after, p_after = listing("events"), listing("pairs")
+    for store_before, store_after in ((ev_before, ev_after),
+                                      (p_before, p_after)):
+        for d in store_before:
+            if d == f"__b={touched}":
+                assert store_after[d] != store_before[d]  # rewritten
+            else:
+                assert store_after[d] == store_before[d]  # untouched
+
+
+def test_transition_sink_keeps_null_users(spark, tmp_path):
+    """NULL user ids must round-trip the streaming state exactly like
+    the batch window, which groups all NULLs into one partition and
+    counts their pairs — the null-safe touched-user joins and the
+    hash-seed bucket keep them (a plain equi-join would silently drop
+    them from state)."""
+    import datetime as dt_
+
+    from sparkstreaming_realtime_spark.operators.funnel import (
+        transition_matrix,
+    )
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        read_transition,
+        transition_sink,
+    )
+
+    t0 = dt_.datetime(2024, 1, 10, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, u, ty, t0 + dt_.timedelta(minutes=m))
+                for eid, u, ty, m in rows
+            ],
+            "event_id long, user_id long, event_type string,"
+            " event_time timestamp",
+        )
+
+    # NULL-user events straddle the two batches: the second batch's
+    # NULL rows must find the first batch's NULL slice in state
+    b1 = mk([(1, None, "A", 0), (3, 1, "A", 0), (4, 1, "B", 5)])
+    b2 = mk([(2, None, "B", 5), (5, None, "C", 10)])
+    path = str(tmp_path / "trans")
+    sink = transition_sink(path)
+    sink(b1, 0)
+    sink(b2, 1)
+    got = read_transition(spark, path).collect()
+    want = transition_matrix(b1.union(b2), ts_col="event_time").collect()
+    key = lambda rows: [  # noqa: E731
+        (r.from_event, r.to_event, r.n, r.prob) for r in rows
+    ]
+    assert key(got) == key(want)
+    counts = {(r.from_event, r.to_event): r.n for r in got}
+    # the NULL user's chain A→B→C is present (2 pairs)
+    assert counts[("A", "B")] == 2 and counts[("B", "C")] == 1
 
 
 def test_key_skew_from_streamed_counts_equals_batch(spark, tmp_path):

@@ -293,7 +293,12 @@ def _bench_serving(spark, sf_dir: str) -> dict:
         os.path.join(root, "ckpt"),
         query_name="srvbench_" + uuid.uuid4().hex[:8],
     )
-    q.awaitTermination(600)
+    store_built = q.awaitTermination(600)
+    if not store_built:
+        # a partial store would make every latency below misleading —
+        # stop the build and flag the artifact instead of recording
+        # numbers measured against incomplete state
+        q.stop()
     store_build_s = round(time.time() - t0, 3)
 
     def measure(base_url: str, path_qs: str) -> dict:
@@ -314,6 +319,11 @@ def _bench_serving(spark, sf_dir: str) -> dict:
         }
 
     results: dict = {"store_build_sec": store_build_s, "n_requests": SERVING_N}
+    if not store_built:
+        results["error"] = (
+            "store build exceeded 600s and was stopped; store-backed "
+            "latencies below are against a PARTIAL store"
+        )
     srv, _ = serve(spark, sf_dir, port=0, dau_store=store)
     try:
         base = f"http://127.0.0.1:{srv.server_address[1]}"

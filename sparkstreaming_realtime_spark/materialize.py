@@ -87,15 +87,57 @@ def _exit_sweep() -> None:  # pragma: no cover — runs at interpreter exit
     _EXIT_SWEEP_DIRS.clear()
 
 
+#: liveness marker dropped in every engine-owned tmp dir: the owning
+#: process's pid, checked with os.kill(pid, 0) by the startup sweep.
+#: A dot-prefixed name so Spark's readers treat it as hidden.
+OWNER_MARKER = ".spark-graft-owner.pid"
+
+
 def _track_for_exit(path: str) -> None:
     global _EXIT_SWEEP_REGISTERED
     if path not in _EXIT_SWEEP_DIRS:
         _EXIT_SWEEP_DIRS.append(path)
+        import os
+
+        # liveness marker for CONCURRENT sessions' startup sweeps: a
+        # dir a live peer wrote once and only reads afterward (an IVF
+        # index dir, an idle checkpoint dir) never refreshes its
+        # mtime, so the age rule alone could reclaim it from under
+        # the peer — the pid marker makes ownership explicit
+        try:
+            with open(os.path.join(path, OWNER_MARKER), "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:  # dir raced away / read-only — age rule applies
+            pass
     if not _EXIT_SWEEP_REGISTERED:
         import atexit
 
         atexit.register(_exit_sweep)
         _EXIT_SWEEP_REGISTERED = True
+
+
+def _owner_alive(marker_path: str) -> bool:
+    """True iff ``marker_path`` names a pid that is still running (a
+    LIVE concurrent session owns the dir). Missing/unreadable marker
+    → False: pre-marker dirs fall back to the age rule."""
+    import os
+
+    try:
+        with open(marker_path) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return False
+    if pid == os.getpid():
+        return True
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:  # alive under another uid
+        return True
+    except OSError:
+        return False
 
 
 #: one recognizable stamp on EVERY engine-created temp dir (scratch
@@ -117,10 +159,14 @@ def sweep_stale_engine_dirs(
     OOM-killed JVM never runs atexit, so its ``spark-graft-*``
     checkpoint/scratch dirs survive in tmp forever (VERDICT r11
     observed six). On session start we reclaim any engine-prefixed
-    dir whose mtime is older than ``max_age_seconds`` (default 3 h —
-    far beyond any single query, and an ACTIVE session keeps its
-    dirs' mtimes fresh by creating/removing children). Dirs tracked
-    by THIS process are never touched. Returns the swept paths."""
+    dir that (a) carries no LIVE owner pid marker (every engine dir
+    is stamped with its creator's pid at track time; os.kill(pid, 0)
+    decides liveness — a concurrent session's write-once dirs, whose
+    mtimes never refresh, are protected by this even across the age
+    threshold) and (b) has an mtime older than ``max_age_seconds``
+    (default 3 h — the fallback rule for pre-marker orphans). Dirs
+    tracked by THIS process are never touched. Returns the swept
+    paths."""
     import glob
     import os
     import shutil
@@ -134,6 +180,8 @@ def sweep_stale_engine_dirs(
         try:
             if not os.path.isdir(d) or d in _EXIT_SWEEP_DIRS:
                 continue
+            if _owner_alive(os.path.join(d, OWNER_MARKER)):
+                continue  # a LIVE concurrent session owns it
             if now - os.path.getmtime(d) < max_age_seconds:
                 continue
         except OSError:  # raced with another cleanup — skip

@@ -64,7 +64,7 @@ def table_profile(df: DataFrame, exact: bool = True) -> DataFrame:
 
 
 def key_skew_profile(
-    df: DataFrame,
+    df: DataFrame | None,
     key_col: str,
     k: int = 10,
     counts: DataFrame | None = None,
@@ -100,7 +100,13 @@ def key_skew_profile(
     # rows (streaming/sinks.py:rollup_sum_sink state — per-key counts
     # are additive over ANY row split, no atomicity contract needed);
     # the histogram/Gini/top-k below are identical either way, so the
-    # served profile hash-equals the one-shot batch profile.
+    # served profile hash-equals the one-shot batch profile. Exactly
+    # one input source: both/neither would otherwise fail deep in the
+    # plan builder with an opaque AttributeError.
+    if (df is None) == (counts is None):
+        raise ValueError(
+            "key_skew_profile needs exactly one of df or counts"
+        )
     counts = materialize(
         df.select(F.col(key_col).alias("key"))
         .groupBy("key")

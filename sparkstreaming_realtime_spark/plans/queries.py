@@ -4168,7 +4168,7 @@ def streaming_key_skew_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     merged = read_rollup_sum(spark, state, key_cols=("key",), value_col="n")
-    return key_skew_profile(None, key_col="key", k=10, counts=merged)
+    return key_skew_profile(df=None, key_col="key", k=10, counts=merged)
 
 
 @register(

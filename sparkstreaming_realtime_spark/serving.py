@@ -193,13 +193,21 @@ def dau_realtime_cached(spark, store_path: str, td: str) -> dict:
     (see _DAU_STORE_CACHE). Safe under the threading server: worst
     case two threads fold the same version concurrently and one
     overwrites the other with an identical dict."""
-    key = (store_path, _store_version(store_path), td)
+    pre = _store_version(store_path)
+    key = (store_path, pre, td)
     body = _DAU_STORE_CACHE.get(key)
     if body is None:
         body = dau_realtime_from_store(spark, store_path, td)
-        if len(_DAU_STORE_CACHE) >= _DAU_STORE_CACHE_MAX:
-            _DAU_STORE_CACHE.clear()
-        _DAU_STORE_CACHE[key] = body
+        # a micro-batch committing MID-fold could leave `body` built
+        # from a partially-visible store; caching it under the
+        # pre-fold stamp would serve the inconsistent counts until
+        # the next version bump. Cache only when the version is
+        # unchanged after the fold — otherwise serve this response
+        # uncached and let the next request fold the settled store.
+        if _store_version(store_path) == pre:
+            if len(_DAU_STORE_CACHE) >= _DAU_STORE_CACHE_MAX:
+                _DAU_STORE_CACHE.clear()
+            _DAU_STORE_CACHE[key] = body
     return body
 
 

@@ -2717,6 +2717,23 @@ def test_key_skew_profile_hand_computed(spark):
     assert got[2].cum_share == round(7 / 8, 6)
 
 
+def test_key_skew_profile_requires_exactly_one_input(spark):
+    """ADVICE r12: both df and counts (or neither) must fail loudly
+    up front, not with an AttributeError deep in the plan builder."""
+    import pytest
+
+    from sparkstreaming_realtime_spark.operators.profiling import (
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame([("a",)], "k string")
+    counts = spark.createDataFrame([("a", 1)], "key string, n long")
+    with pytest.raises(ValueError, match="exactly one"):
+        key_skew_profile(df, "k", counts=counts)
+    with pytest.raises(ValueError, match="exactly one"):
+        key_skew_profile(None, "k")
+
+
 def test_key_skew_profile_uniform_gini_zero(spark):
     from sparkstreaming_realtime_spark.operators.profiling import (
         key_skew_profile,

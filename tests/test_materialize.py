@@ -270,6 +270,53 @@ def test_startup_sweep_reclaims_sigkill_orphans(tmp_path):
     assert fresh.is_dir() and foreign.is_dir() and mine.is_dir()
 
 
+def test_startup_sweep_respects_live_owner_marker(tmp_path):
+    """ADVICE r12: a concurrent LIVE session's write-once dirs (an
+    IVF index dir, an idle checkpoint) never refresh their mtime, so
+    the age rule alone could reclaim them from under the peer. The
+    pid liveness marker protects them — and a DEAD owner's marker
+    does not block reclamation."""
+    import subprocess
+    import time
+
+    from sparkstreaming_realtime_spark import materialize as m
+
+    live = tmp_path / "spark-graft-peer-live"
+    dead = tmp_path / "spark-graft-peer-dead"
+    for d in (live, dead):
+        d.mkdir()
+    # this process stands in for the live peer; a reaped child for
+    # the dead one
+    (live / m.OWNER_MARKER).write_text(str(os.getpid()))
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    (dead / m.OWNER_MARKER).write_text(str(proc.pid))
+    stale = time.time() - 4 * 3600
+    for d in (live, dead):
+        os.utime(d, (stale, stale))
+    swept = m.sweep_stale_engine_dirs(tmp_root=str(tmp_path))
+    assert swept == [str(dead)]
+    assert live.is_dir() and not dead.exists()
+
+
+def test_engine_tmpdir_stamps_owner_marker():
+    """Every engine-owned tmp dir carries its creator's pid so peer
+    sessions' sweeps can check liveness."""
+    import shutil
+
+    from sparkstreaming_realtime_spark import materialize as m
+
+    d = m.engine_tmpdir("markertest_")
+    try:
+        marker = os.path.join(d, m.OWNER_MARKER)
+        with open(marker) as f:
+            assert f.read() == str(os.getpid())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        m._TMP_DIRS.remove(d)
+        m._EXIT_SWEEP_DIRS.remove(d)
+
+
 def test_startup_sweep_runs_on_checkpoint_install(spark, tmp_path, monkeypatch):
     """Kill-then-restart: a fresh engine session (here: the next
     ensure_checkpoint_dir install) sweeps a predecessor's stale

@@ -204,6 +204,11 @@ HEADLINE = [
     # recompute over the deduped event store — parity vs
     # event_transition_matrix at a random split)
     "streaming_transition_parity",
+    # r13: the statsByItem rollup store's end-to-end twin (additive
+    # exact-cents partials at the query-agnostic part/segment/band
+    # grain, match-AND + grouping at read — parity vs
+    # stats_by_item_segment)
+    "streaming_item_stats_parity",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first
@@ -324,10 +329,51 @@ def _bench_serving(spark, sf_dir: str) -> dict:
             "store build exceeded 600s and was stopped; store-backed "
             "latencies below are against a PARTIAL store"
         )
-    srv, _ = serve(spark, sf_dir, port=0, dau_store=store)
+    # statsByItem rollup store (r13): additive exact-cents partials at
+    # the query-agnostic (part, name, segment, band) grain — same
+    # pipeline shape as streaming_item_stats_parity
+    from sparkstreaming_realtime_spark.functions.money import money_units
+    from sparkstreaming_realtime_spark.serving import ITEM_STATS_KEYS
+    from sparkstreaming_realtime_spark.sources.files import read_table
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        rollup_sum_sink,
+    )
+
+    item_store = os.path.join(root, "item_store")
+    t0 = time.time()
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 2000, "low")
+        .when(F.col("c_acctbal") <= 6000, "mid")
+        .otherwise("high")
+    )
+    wide = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "p_partkey", "p_name",
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("band"),
+            money_units(F.col("l_extendedprice"), 2).alias("cents"),
+        )
+    )
+    rollup_sum_sink(item_store, key_cols=ITEM_STATS_KEYS, value_col="cents")(
+        wide, 0
+    )
+    results["item_store_build_sec"] = round(time.time() - t0, 3)
+
+    srv, _ = serve(spark, sf_dir, port=0, dau_store=store,
+                   item_store=item_store)
     try:
         base = f"http://127.0.0.1:{srv.server_address[1]}"
         results["dau_realtime_store"] = measure(base, f"/dauRealtime?td={td}")
+        results["stats_by_item_store"] = measure(
+            base, "/statsByItem?itemName=widget&t=segment"
+        )
     finally:
         srv.shutdown()
     srv, _ = serve(spark, sf_dir, port=0)

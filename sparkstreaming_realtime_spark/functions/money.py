@@ -23,6 +23,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def money_units(expr: Column, decimals: int = 4) -> Column:
+    """The exact integer units :func:`money_sum` accumulates (one row
+    of the accumulator), exposed so ADDITIVE streaming partials can
+    bank per-batch unit sums that later fold to the bit-identical
+    money_sum total (streaming/sinks.py:rollup_sum_sink +
+    serving.py:stats_by_item_store_frame)."""
+    return F.round(expr * (10**decimals)).cast("bigint")
+
+
 def money_sum(expr: Column, decimals: int = 4, wide: bool = False) -> Column:
     """Deterministic SUM of a money expression with ≤``decimals``
     decimal places, emitted as a 2-decimal double.
@@ -44,7 +53,7 @@ def money_sum(expr: Column, decimals: int = 4, wide: bool = False) -> Column:
     scale = 10**decimals
     unit = scale // 100  # integer units per cent
     half = unit // 2
-    units = F.round(expr * scale).cast("bigint")
+    units = money_units(expr, decimals)
     if wide:
         # Split-accumulator: BOTH halves sum in the vectorized long
         # path (measured ~1.5× faster than one decimal(38,0) sum on

@@ -146,6 +146,15 @@ _PRIORITY = [
     # counts via rollup_sum_sink, histogram/Gini/top-k at read time
     # over the folded counts (same oracle as events_key_skew)
     "streaming_key_skew_parity",
+    # NEW r13: the statsByItem SERVING store's end-to-end twin —
+    # additive exact-cents partials at the query-agnostic
+    # (part, name, segment, band) grain via rollup_sum_sink, analyzed
+    # match-AND + grouping applied at read over the merged store
+    # (same oracle as stats_by_item_segment, which rotated to the
+    # tail r12 and stays covered by this row's shared oracle).
+    # doc_topk_similar rotated to the tail for it — green r12; the
+    # similarity family keeps six in-window rows
+    "streaming_item_stats_parity",
     # (pricing_summary rotated to the tail r12 — green r1-r11 incl.
     # the r6 money-path edit; TPC-H keeps order_wide_join plus the
     # revenue rollup/anomaly pair in-window)
@@ -193,7 +202,7 @@ _PRIORITY = [
     # verify sibling of MinHash banding) and TF-IDF cosine top-k doc
     # similarity — both green in every session replica, never inside
     # the driver window before
-    "doc_ngram_jaccard_dedup", "doc_topk_similar",
+    "doc_ngram_jaccard_dedup",
     # (sampling family note: doc_exact_k_sample rotated to the tail
     # r11s4 for doc_bpe_learn_merges — green r1-r10;
     # doc_temperature_resample / doc_stratified_sample went to the
@@ -322,12 +331,12 @@ _PRIORITY = [
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest. r13 displacements first: corpus_overlap_sketch (r11-r12),
-    # revenue_anomaly_days (r11-r12). r12 displacements:
-    # cdc_dim_snapshot (r3-r11),
+    # revenue_anomaly_days (r11-r12), doc_topk_similar (r12). r12
+    # displacements: cdc_dim_snapshot (r3-r11),
     # stats_by_item_segment (r1-r11), emb_semantic_dedup (r4-r11),
     # emb_semantic_dedup_clustered (r8-r11), doc_quality_bands
     # (r5-r11), pricing_summary (r1-r11)
-    "corpus_overlap_sketch", "revenue_anomaly_days",
+    "corpus_overlap_sketch", "revenue_anomaly_days", "doc_topk_similar",
     "cdc_dim_snapshot", "stats_by_item_segment", "emb_semantic_dedup",
     "emb_semantic_dedup_clustered", "doc_quality_bands",
     "pricing_summary", "hourly_window_rollup",

@@ -1438,10 +1438,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ITEM_QUERY = "widget"  # multi-doc match term for p_name (ES match-AND analog)
 
-
-@register(
-    "stats_by_item_segment",
-    oracle=rf"""
+#: shared by the fact-scan query and its streaming-store parity twin —
+#: ONE oracle, two engine paths that must hash-equal it
+_STATS_BY_ITEM_ORACLE = rf"""
     SELECT c.c_mktsegment AS segment,
            {_money_sum_sql("l.l_extendedprice", 2)} AS sum_amount
     FROM lineitem l
@@ -1453,7 +1452,12 @@ _ITEM_QUERY = "widget"  # multi-doc match term for p_name (ES match-AND analog)
                        x -> x),
         ['{_ITEM_QUERY}'])
     GROUP BY 1
-    """,
+    """
+
+
+@register(
+    "stats_by_item_segment",
+    oracle=_STATS_BY_ITEM_ORACLE,
     tags=("A3", "F11"),
 )
 def stats_by_item_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1474,6 +1478,84 @@ def stats_by_item_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(_money_sum(F.col("l_extendedprice"), 2).alias("sum_amount"))
+    )
+
+
+@register(
+    "streaming_item_stats_parity",
+    oracle=_STATS_BY_ITEM_ORACLE,
+    tags=("A3", "F11", "serving", "streaming"),
+)
+def streaming_item_stats_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GET /statsByItem`` the way the reference actually serves it:
+    the controller aggregates a MAINTAINED index
+    (PublisherServiceImpl.java:31-78 filters+aggs order_wide ES docs,
+    milliseconds), it never scans raw facts per request. Here the
+    lineitem facts arrive as a real Structured Streaming source in 4
+    arbitrary micro-batches, each batch stream-static-joins the dims
+    and banks ADDITIVE exact-cents partials at the query-AGNOSTIC
+    (p_partkey, p_name, segment, band) grain via ``rollup_sum_sink``
+    (deterministic batch=<id> location → replays overwrite, T5; cents
+    partials are money_sum's own integer units, so their key-wise sum
+    folds to its presentation bit-for-bit). The analyzed match-AND
+    and the grouping dimension apply at READ time over the merged
+    store (serving.py:stats_by_item_store_frame — parts-table-sized,
+    facts never re-read), so one store serves every (itemName, t)
+    request and the result must hash-equal the fact-scan
+    ``stats_by_item_segment``. The oracle IS its oracle, unchanged."""
+    import os
+    import uuid
+
+    from ..functions.money import money_units
+    from ..materialize import engine_tmpdir
+    from ..serving import ITEM_STATS_KEYS, stats_by_item_store_frame
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import rollup_sum_sink
+
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    root = engine_tmpdir("itemstats_parity_")
+    src = os.path.join(root, "src")
+    l.select("l_orderkey", "l_partkey", "l_extendedprice").repartition(
+        4
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    band = (
+        F.when(F.col("c_acctbal") < 2000, "low")
+        .when(F.col("c_acctbal") <= 6000, "mid")
+        .otherwise("high")
+    )
+    wide = (
+        stream.join(p, stream.l_partkey == p.p_partkey)
+        .join(o, stream.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("c_mktsegment").alias("segment"),
+            band.alias("band"),
+            money_units(F.col("l_extendedprice"), 2).alias("cents"),
+        )
+    )
+    state = os.path.join(root, "state")
+    q = run_available_now(
+        wide,
+        rollup_sum_sink(state, key_cols=ITEM_STATS_KEYS, value_col="cents"),
+        checkpoint=os.path.join(root, "ckpt"),
+        query_name="itemstats_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return stats_by_item_store_frame(
+        spark, state, _ITEM_QUERY, "segment",
+        group_alias="segment", amount_alias="sum_amount",
     )
 
 

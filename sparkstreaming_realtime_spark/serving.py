@@ -188,16 +188,16 @@ def _store_version(path: str) -> int:
         return 0
 
 
-def dau_realtime_cached(spark, store_path: str, td: str) -> dict:
-    """:func:`dau_realtime_from_store` behind the version-keyed cache
-    (see _DAU_STORE_CACHE). Safe under the threading server: worst
-    case two threads fold the same version concurrently and one
-    overwrites the other with an identical dict."""
+def _cached_versioned(cache: dict, store_path: str, req_key: tuple, fold):
+    """Version-keyed response caching shared by the store-backed
+    endpoints. Safe under the threading server: worst case two
+    threads fold the same version concurrently and one overwrites the
+    other with an identical body."""
     pre = _store_version(store_path)
-    key = (store_path, pre, td)
-    body = _DAU_STORE_CACHE.get(key)
+    key = (store_path, pre, *req_key)
+    body = cache.get(key)
     if body is None:
-        body = dau_realtime_from_store(spark, store_path, td)
+        body = fold()
         # a micro-batch committing MID-fold could leave `body` built
         # from a partially-visible store; caching it under the
         # pre-fold stamp would serve the inconsistent counts until
@@ -205,10 +205,97 @@ def dau_realtime_cached(spark, store_path: str, td: str) -> dict:
         # unchanged after the fold — otherwise serve this response
         # uncached and let the next request fold the settled store.
         if _store_version(store_path) == pre:
-            if len(_DAU_STORE_CACHE) >= _DAU_STORE_CACHE_MAX:
-                _DAU_STORE_CACHE.clear()
-            _DAU_STORE_CACHE[key] = body
+            if len(cache) >= _DAU_STORE_CACHE_MAX:
+                cache.clear()
+            cache[key] = body
     return body
+
+
+def dau_realtime_cached(spark, store_path: str, td: str) -> dict:
+    """:func:`dau_realtime_from_store` behind the version-keyed cache
+    (see _DAU_STORE_CACHE)."""
+    return _cached_versioned(
+        _DAU_STORE_CACHE,
+        store_path,
+        (td,),
+        lambda: dau_realtime_from_store(spark, store_path, td),
+    )
+
+
+#: the (p_partkey, p_name, segment, band) grain of the statsByItem
+#: rollup store — query-AGNOSTIC: the match terms and the grouping
+#: dimension both apply at read time, so one maintained store serves
+#: every (itemName, t) request, and a part whose name matches a query
+#: first issued later is already counted (the line_count_sink
+#: retroactivity argument at the serving layer).
+ITEM_STATS_KEYS = ("p_partkey", "p_name", "segment", "band")
+
+_ITEM_STORE_CACHE: dict[tuple, list] = {}
+
+
+def stats_by_item_store_frame(
+    spark: SparkSession,
+    store_path: str,
+    item_name: str,
+    t: str = "segment",
+    group_alias: str = "name",
+    amount_alias: str = "amount",
+) -> DataFrame:
+    """``GET /statsByItem`` served from the STREAMING-maintained
+    rollup store instead of re-scanning facts — the reference's
+    architecture for this endpoint too: the controller aggregates a
+    maintained ES index (PublisherServiceImpl.java:31-78 runs a
+    filtered agg over order_wide docs), it never launches a scan of
+    the raw facts. The store is the additive cents rollup
+    ``rollup_sum_sink`` maintains at ITEM_STATS_KEYS grain (one row
+    per part × segment × band ever sold — parts-table-sized, facts
+    never re-read); this fold filters it with the SAME analyzed
+    match-AND and reassembles money_sum's exact integer cents, so the
+    response hash-equals the fact-scan query (pinned by the
+    ``streaming_item_stats_parity`` registry row)."""
+    from .streaming.sinks import read_rollup_sum
+
+    if t == "segment":
+        group = F.col("segment")
+    elif t == "band":
+        group = F.col("band")
+    else:
+        raise ValueError(f"unknown grouping t={t!r} (segment|band)")
+    rows = read_rollup_sum(
+        spark, store_path, key_cols=ITEM_STATS_KEYS, value_col="cents"
+    )
+    return (
+        rows.filter(match_all_terms("p_name", item_name))
+        .groupBy(group.alias(group_alias))
+        # cents partials are the exact units money_sum(expr, 2) sums;
+        # their total reassembles its double presentation bit-for-bit
+        .agg(
+            (F.sum("cents").cast("double") / 100.0).alias(amount_alias)
+        )
+        .orderBy(group_alias)
+    )
+
+
+def stats_by_item_from_store(
+    spark: SparkSession, store_path: str, item_name: str, t: str = "segment"
+) -> list[dict]:
+    rows = stats_by_item_store_frame(spark, store_path, item_name, t).collect()
+    return [{"name": r["name"], "amount": r["amount"]} for r in rows]
+
+
+def stats_by_item_cached(
+    spark, store_path: str, item_name: str, t: str = "segment"
+) -> list[dict]:
+    """:func:`stats_by_item_from_store` behind the version-keyed
+    cache — repeated (itemName, t) requests against an unchanged
+    store are dict lookups; a new micro-batch bumps the store version
+    and invalidates."""
+    return _cached_versioned(
+        _ITEM_STORE_CACHE,
+        store_path,
+        (item_name, t),
+        lambda: stats_by_item_from_store(spark, store_path, item_name, t),
+    )
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -216,7 +303,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
         url = urlparse(self.path)
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
-        spark, sf_dir, dau_store = self.server.engine  # type: ignore[attr-defined]
+        spark, sf_dir, dau_store, item_store = self.server.engine  # type: ignore[attr-defined]
         try:
             if url.path == "/dauRealtime":
                 body = (
@@ -225,8 +312,14 @@ class _Handler(BaseHTTPRequestHandler):
                     else dau_realtime(spark, sf_dir, q["td"])
                 )
             elif url.path == "/statsByItem":
-                body = stats_by_item(
-                    spark, sf_dir, q["itemName"], q.get("t", "segment")
+                body = (
+                    stats_by_item_cached(
+                        spark, item_store, q["itemName"], q.get("t", "segment")
+                    )
+                    if item_store is not None
+                    else stats_by_item(
+                        spark, sf_dir, q["itemName"], q.get("t", "segment")
+                    )
                 )
             else:
                 self._reply(404, {"error": f"no route {url.path}"})
@@ -253,16 +346,17 @@ def serve(
     sf_dir: str,
     port: int = 0,
     dau_store: str | None = None,
+    item_store: str | None = None,
 ) -> tuple[ThreadingHTTPServer, threading.Thread]:
     """Start the endpoint server on ``port`` (0 = ephemeral; read the
     bound port from ``server.server_address[1]``). Runs on a daemon
     thread so the Spark driver stays interactive; ``shutdown()`` the
-    returned server to stop. ``dau_store`` switches /dauRealtime to
-    the streaming-maintained store (the reference's controller-reads-
-    the-index architecture); without it the endpoint aggregates the
-    facts directly."""
+    returned server to stop. ``dau_store`` switches /dauRealtime —
+    and ``item_store`` /statsByItem — to their streaming-maintained
+    stores (the reference's controller-reads-the-index architecture);
+    without them the endpoints aggregate the facts directly."""
     srv = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
-    srv.engine = (spark, sf_dir, dau_store)  # type: ignore[attr-defined]
+    srv.engine = (spark, sf_dir, dau_store, item_store)  # type: ignore[attr-defined]
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     return srv, thread

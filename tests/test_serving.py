@@ -220,6 +220,69 @@ def test_dau_store_cache_is_bounded(spark, tmp_path):
         serving._DAU_STORE_CACHE.clear()
 
 
+def test_stats_by_item_store_serves_and_invalidates(spark, tmp_path):
+    """/statsByItem served from the streaming-maintained rollup store
+    (VERDICT r12 #5): the match-AND and grouping apply at read time
+    over the merged cents partials, repeat requests hit the
+    version-keyed cache, and a new micro-batch invalidates it. The
+    cents fold reassembles money_sum's presentation exactly."""
+    from sparkstreaming_realtime_spark import serving
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        rollup_sum_sink,
+    )
+
+    store = str(tmp_path / "item_store")
+    sink = rollup_sum_sink(
+        store, key_cols=serving.ITEM_STATS_KEYS, value_col="cents"
+    )
+    schema = (
+        "p_partkey long, p_name string, segment string, band string,"
+        " cents long"
+    )
+    sink(
+        spark.createDataFrame(
+            [
+                (1, "small widget box", "AUTO", "low", 1000),
+                (2, "plain gadget", "BUILD", "mid", 500),
+            ],
+            schema,
+        ),
+        0,
+    )
+    sink(
+        spark.createDataFrame(
+            [(1, "small widget box", "AUTO", "low", 250)], schema
+        ),
+        1,
+    )
+    serving._ITEM_STORE_CACHE.clear()
+    srv, _ = serve(spark, str(tmp_path), port=0, item_store=store)
+    try:
+        port = srv.server_address[1]
+        url = f"http://127.0.0.1:{port}/statsByItem?itemName=widget"
+        _, got1 = _get(url)
+        # cross-batch cents merged: 1000 + 250 = $12.50, gadget filtered
+        assert got1 == [{"name": "AUTO", "amount": 12.5}]
+        assert len(serving._ITEM_STORE_CACHE) == 1
+        _, got2 = _get(url)  # cache hit
+        assert got2 == got1 and len(serving._ITEM_STORE_CACHE) == 1
+        # the band grouping serves from the SAME query-agnostic store
+        _, band = _get(url + "&t=band")
+        assert band == [{"name": "low", "amount": 12.5}]
+        # a new batch lands -> version bumps -> next request refolds
+        sink(
+            spark.createDataFrame(
+                [(3, "giant widget", "AUTO", "high", 100)], schema
+            ),
+            2,
+        )
+        _, got3 = _get(url)
+        assert got3 == [{"name": "AUTO", "amount": 13.5}]
+    finally:
+        srv.shutdown()
+        serving._ITEM_STORE_CACHE.clear()
+
+
 def test_endpoint_errors_are_4xx_not_500(endpoint):
     import urllib.error
 

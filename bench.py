@@ -209,6 +209,10 @@ HEADLINE = [
     # grain, match-AND + grouping at read — parity vs
     # stats_by_item_segment)
     "streaming_item_stats_parity",
+    # r13: exact threshold-pruned link prediction (hub-probe τ + the
+    # min-degree containment bound cut the pair shuffle map-side;
+    # same oracle as part_link_prediction)
+    "part_link_prediction_pruned",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

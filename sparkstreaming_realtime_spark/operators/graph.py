@@ -265,6 +265,8 @@ def link_prediction(
     node_b: str = "b",
     k: int = 20,
     max_degree: int | None = None,
+    threshold_prune: bool = False,
+    hub_probe: int = 64,
 ) -> DataFrame:
     """Top-``k`` predicted links: non-adjacent node pairs ranked by
     common-neighbor count with the Adamic-Adar tie-breaker (Liben-
@@ -293,7 +295,30 @@ def link_prediction(
     bigints — order-independent, and one final 4dp division makes the
     readable score. Returns (node_a, node_b, common_n, aa_micro,
     aa_score) ordered by (common_n desc, aa_micro desc, node_a,
-    node_b)."""
+    node_b).
+
+    ``threshold_prune`` (PROBE_r12's residual-bottleneck fix): after
+    the ``max_degree`` cap, the cost is the (v, w) pair-shuffle —
+    ~wedge-count nearly-distinct pairs that map-side combine cannot
+    reduce. The served top-k admits an EXACT prune via the containment
+    bound ``common_n(v, w) ≤ min(deg(v), deg(w))`` (every common
+    neighbor is a neighbor of both): any lower bound τ on the final
+    k-th common_n lets every wedge pair with min(deg) < τ drop BEFORE
+    the shuffle, since such a pair can never reach common_n ≥ τ. τ
+    comes from a probe aggregate restricted to pairs whose BOTH
+    endpoints sit in the top-``hub_probe`` degrees — a subset of the
+    full candidate set, so its k-th best common_n can only
+    UNDERestimate the global k-th (subset top-k ≤ global top-k,
+    elementwise) — and degenerates to τ=1 (prune nothing, still
+    exact) when the probe returns fewer than k open pairs. Ranking is
+    common_n-first, so pairs below τ cannot enter the top-k on the
+    aa tie-breaker either; pairs AT the k-th value all survive the
+    filter (their min-deg ≥ their common_n = k-th ≥ τ), so ties
+    resolve identically to the unpruned operator
+    (test_link_prediction_threshold_prune_is_exact fuzzes this).
+    Cost: one extra tiny probe aggregate + a second pass over the
+    wedge join (enumeration was NOT the bottleneck); shuffle volume
+    drops to the pairs with min-deg ≥ τ."""
     deg, oriented = _degree_oriented(edges, node_a, node_b)
     # full adjacency with the center's degree first: both directions
     # of every oriented edge, re-partitioned on the center so the
@@ -333,7 +358,9 @@ def link_prediction(
         )
         .select(
             "__v",
+            "__dv",
             "__w",
+            "__dw",
             F.round(F.lit(1e6) / F.log(F.col("__cd").cast("double")))
             .cast("bigint")
             .alias("__aa"),
@@ -342,14 +369,45 @@ def link_prediction(
     closing = oriented.select(
         F.col("__src").alias("__v"), F.col("__dst").alias("__w")
     )
-    open_pairs = (
-        w.groupBy("__v", "__w")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("common_n"),
-            F.sum("__aa").cast("bigint").alias("aa_micro"),
+
+    def _open_pairs(wedge_frame: DataFrame) -> DataFrame:
+        return (
+            wedge_frame.groupBy("__v", "__w")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("common_n"),
+                F.sum("__aa").cast("bigint").alias("aa_micro"),
+            )
+            .join(closing, ["__v", "__w"], "left_anti")
         )
-        .join(closing, ["__v", "__w"], "left_anti")
-    )
+
+    if threshold_prune:
+        # probe: k-th best common_n among hub-endpoint pairs — a
+        # subset of the candidates, so a VALID lower bound τ on the
+        # global k-th (see docstring); τ=1 (no prune) when the hub
+        # set is the whole graph or yields < k open pairs
+        hub = deg.orderBy(F.desc("deg"), "node").limit(hub_probe).collect()
+        if len(hub) == hub_probe:
+            d_hub = int(hub[-1]["deg"])
+            kth = (
+                _open_pairs(
+                    w.filter(
+                        (F.col("__dv") >= d_hub) & (F.col("__dw") >= d_hub)
+                    )
+                )
+                .select("common_n")
+                .orderBy(F.desc("common_n"))
+                .limit(k)
+                .collect()
+            )
+            tau = int(kth[-1]["common_n"]) if len(kth) == k else 1
+        else:
+            tau = 1
+        if tau > 1:
+            # map-side, BEFORE the pair shuffle: a pair with
+            # min(deg) < τ can never reach common_n ≥ τ
+            w = w.filter(F.least("__dv", "__dw") >= tau)
+
+    open_pairs = _open_pairs(w)
     return (
         open_pairs.select(
             F.col("__v").alias(node_a),

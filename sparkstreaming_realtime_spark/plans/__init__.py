@@ -227,7 +227,15 @@ _PRIORITY = [
     # clustered-SemDeDup family keeps two in-window rows and the SCD2
     # family's batch oracle cdc_scd2_history stays in the r1-r10
     # green union)
-    "part_copurchase_triangles", "part_link_prediction",
+    "part_copurchase_triangles",
+    # NEW r13: the EXACT threshold-pruned link prediction (hub-probe
+    # lower bound τ on the k-th common_n + the min-degree containment
+    # bound drop wedge pairs BEFORE the pair shuffle — PROBE_r13: 60×
+    # shuffle reduction on a skewed graph, exact no-op on uniform).
+    # Shares part_link_prediction's oracle and exercises a superset
+    # of its code path, so the unpruned row rotates to the tail for
+    # it — green r11s4-r12
+    "part_link_prediction_pruned",
     # LLM dedup/similarity (re-verify the r6 width edits: the 6×6
     # re-pin, the width-adaptive auto oracle's first hash row, the
     # Hadoop-FS index maintenance behind append + NEW compact, and
@@ -331,12 +339,15 @@ _PRIORITY = [
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest. r13 displacements first: corpus_overlap_sketch (r11-r12),
-    # revenue_anomaly_days (r11-r12), doc_topk_similar (r12). r12
+    # revenue_anomaly_days (r11-r12), doc_topk_similar (r12),
+    # part_link_prediction (r11s4-r12; superset code path stays
+    # in-window via the pruned row). r12
     # displacements: cdc_dim_snapshot (r3-r11),
     # stats_by_item_segment (r1-r11), emb_semantic_dedup (r4-r11),
     # emb_semantic_dedup_clustered (r8-r11), doc_quality_bands
     # (r5-r11), pricing_summary (r1-r11)
     "corpus_overlap_sketch", "revenue_anomaly_days", "doc_topk_similar",
+    "part_link_prediction",
     "cdc_dim_snapshot", "stats_by_item_segment", "emb_semantic_dedup",
     "emb_semantic_dedup_clustered", "doc_quality_bands",
     "pricing_summary", "hourly_window_rollup",

@@ -4156,6 +4156,38 @@ def part_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "part_link_prediction_pruned",
+    oracle=_LINK_PRED_ORACLE,
+    tags=("analytics", "graph", "extension"),
+)
+def part_link_prediction_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part_link_prediction with the EXACT threshold prune
+    (operators/graph.py:link_prediction threshold_prune=True —
+    PROBE_r12's residual-bottleneck fix): a hub-subset probe lower-
+    bounds the k-th common-neighbor count τ, and the containment
+    bound common_n(v,w) ≤ min(deg v, deg w) drops every wedge pair
+    with min(deg) < τ BEFORE the pair shuffle — the shuffle the r12
+    probe measured as the post-cap bottleneck (map-side combine
+    cannot reduce ~wedge-count nearly-distinct pairs; this filter
+    can). Subset top-k underestimates global top-k, so τ is always
+    valid and the result must hash-equal the unpruned operator under
+    the SAME oracle (it does — one oracle, two engine plans)."""
+    from ..operators.basket import copurchase_edges
+    from ..operators.graph import link_prediction
+
+    edges = copurchase_edges(
+        _t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_pair_support=2,
+    )
+    return link_prediction(
+        edges, node_a="item_a", node_b="item_b", k=20,
+        threshold_prune=True,
+    )
+
+
 _KEY_SKEW_ORACLE = """
 WITH counts AS (
   SELECT user_id AS key, count(*)::BIGINT AS n FROM events GROUP BY 1),

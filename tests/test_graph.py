@@ -218,3 +218,51 @@ def test_link_prediction_max_degree_drops_hub_centers(spark):
     df = spark.createDataFrame(edges, "a long, b long")
     assert link_prediction(df).count() == 6  # C(4,2) open pairs
     assert link_prediction(df, max_degree=3).count() == 0
+
+
+def test_link_prediction_threshold_prune_is_exact(spark):
+    """The min-degree containment prune (common_n <= min(deg_v,
+    deg_w), τ from the hub-subset probe) must return EXACTLY the
+    unpruned top-k — values AND tie order — on random graphs, with a
+    hub_probe small enough that τ > 1 actually prunes."""
+    import random
+
+    from sparkstreaming_realtime_spark.operators.graph import (
+        link_prediction,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 60
+        edges = {
+            tuple(sorted((rng.randrange(n), rng.randrange(n))))
+            for _ in range(260)
+        }
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "a long, b long")
+        key = lambda r: (r.a, r.b, r.common_n, r.aa_micro, r.aa_score)  # noqa: E731
+        for k in (5, 20):
+            want = [key(r) for r in link_prediction(df, k=k).collect()]
+            got = [
+                key(r)
+                for r in link_prediction(
+                    df, k=k, threshold_prune=True, hub_probe=12
+                ).collect()
+            ]
+            assert got == want, f"trial {trial} k={k}"
+
+
+def test_link_prediction_threshold_prune_degenerates_safely(spark):
+    """Graphs smaller than hub_probe (or probes yielding < k open
+    pairs) must fall back to τ=1 — no pruning, identical output."""
+    from sparkstreaming_realtime_spark.operators.graph import (
+        link_prediction,
+    )
+
+    edges = [(1, 10), (2, 10), (3, 10), (4, 10)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    want = sorted(map(tuple, link_prediction(df).collect()))
+    got = sorted(
+        map(tuple, link_prediction(df, threshold_prune=True).collect())
+    )
+    assert got == want and len(got) == 6

@@ -213,6 +213,10 @@ HEADLINE = [
     # min-degree containment bound cut the pair shuffle map-side;
     # same oracle as part_link_prediction)
     "part_link_prediction_pruned",
+    # r13: streaming BM25 inverted-index maintenance (per-batch
+    # postings/doclen/stats shards over disjoint docs, served through
+    # the shared bm25_rank fold; same oracle as doc_bm25_search)
+    "streaming_bm25_parity",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

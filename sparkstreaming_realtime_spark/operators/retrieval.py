@@ -87,6 +87,26 @@ def bm25_search(
         F.avg("dl").alias("avgdl"),
     )
 
+    return bm25_rank(tf, dfreq, dl, stats, k=k, k1=k1, b=b, id_col=id_col)
+
+
+def bm25_rank(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The BM25 scoring fold over its four index frames — tf
+    (id, term, tf), dfreq (term, df), dl (id, dl), stats (one row:
+    n_docs double, avgdl double) — shared VERBATIM by the one-shot
+    :func:`bm25_search` and the streaming index read path
+    (streaming/sinks.py:read_bm25_index), so both produce
+    bit-identical scores (the transition_matrix_from_counts
+    discipline)."""
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

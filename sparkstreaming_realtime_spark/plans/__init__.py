@@ -70,6 +70,14 @@ _PRIORITY = [
     # the ES family keeps doc_bm25_search + doc_phrase_search and the
     # serving family keeps dau_realtime_endpoint in-window)
     "doc_bm25_search",
+    # NEW r13: the BM25 index's streaming twin — per-batch inverted-
+    # index shards over disjoint documents (postings/doclen/additive
+    # stats), query served from the merged index through the SHARED
+    # bm25_rank fold (same oracle as doc_bm25_search).
+    # doc_ngram_jaccard_dedup rotated to the tail for it — green r12;
+    # the dedup family keeps doc_split_leakage + curation funnel +
+    # line-dedup parity in-window
+    "streaming_bm25_parity",
     # NEW r11 session 4: ES match_phrase — the positional sibling of
     # the analyzed match-AND and its BM25 ranked form
     "doc_phrase_search",
@@ -202,7 +210,6 @@ _PRIORITY = [
     # verify sibling of MinHash banding) and TF-IDF cosine top-k doc
     # similarity — both green in every session replica, never inside
     # the driver window before
-    "doc_ngram_jaccard_dedup",
     # (sampling family note: doc_exact_k_sample rotated to the tail
     # r11s4 for doc_bpe_learn_merges — green r1-r10;
     # doc_temperature_resample / doc_stratified_sample went to the
@@ -341,13 +348,13 @@ _PRIORITY = [
     # pytest. r13 displacements first: corpus_overlap_sketch (r11-r12),
     # revenue_anomaly_days (r11-r12), doc_topk_similar (r12),
     # part_link_prediction (r11s4-r12; superset code path stays
-    # in-window via the pruned row). r12
-    # displacements: cdc_dim_snapshot (r3-r11),
+    # in-window via the pruned row), doc_ngram_jaccard_dedup (r12).
+    # r12 displacements: cdc_dim_snapshot (r3-r11),
     # stats_by_item_segment (r1-r11), emb_semantic_dedup (r4-r11),
     # emb_semantic_dedup_clustered (r8-r11), doc_quality_bands
     # (r5-r11), pricing_summary (r1-r11)
     "corpus_overlap_sketch", "revenue_anomaly_days", "doc_topk_similar",
-    "part_link_prediction",
+    "part_link_prediction", "doc_ngram_jaccard_dedup",
     "cdc_dim_snapshot", "stats_by_item_segment", "emb_semantic_dedup",
     "emb_semantic_dedup_clustered", "doc_quality_bands",
     "pricing_summary", "hourly_window_rollup",

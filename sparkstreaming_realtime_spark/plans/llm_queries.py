@@ -3225,6 +3225,58 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_bm25_parity",
+    oracle=_BM25_ORACLE,
+    tags=("LLM", "text", "retrieval", "streaming"),
+)
+def streaming_bm25_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 the way ES actually serves it: a continuously-MAINTAINED
+    inverted index, never a per-query corpus re-tokenization
+    (PublishDaoImpl.java:58-61 queries the index DwdDauApp-era
+    pipelines keep current). Documents arrive as a real Structured
+    Streaming source in 4 micro-batches; each batch tokenizes once
+    and banks its postings/doclen/stats shard under a deterministic
+    ``batch=<id>`` dir (streaming/sinks.py:bm25_index_sink — replays
+    overwrite, T5; batches partition documents, so per-batch
+    (doc, term) tf rows are disjoint, df is their per-term count, and
+    N/avgdl fold from additive stats rows). The query filters the
+    merged postings to its terms and reuses the one-shot scorer
+    VERBATIM (operators/retrieval.py:bm25_rank — the
+    transition_matrix_from_counts discipline), so the served top-10
+    must hash-equal doc_bm25_search. The oracle IS its oracle,
+    unchanged."""
+    import os
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import bm25_index_sink, read_bm25_index
+
+    docs = _t(spark, sf_dir, "documents")
+    root = engine_tmpdir("bm25_parity_")
+    src = os.path.join(root, "src")
+    docs.select("doc_id", "text").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    index = os.path.join(root, "index")
+    q = run_available_now(
+        stream,
+        bm25_index_sink(index),
+        checkpoint=os.path.join(root, "ckpt"),
+        query_name="bm25_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return read_bm25_index(spark, index, list(_BM25_TERMS), k=10)
+
+
 _BPE_ORACLE = rf"""
 SELECT lang,
        sum(len({_toks_sql("text")}))::BIGINT AS word_tokens,

@@ -799,6 +799,101 @@ def read_transition(spark, path: str) -> DataFrame:
     return transition_matrix_from_counts(pairs)
 
 
+def bm25_index_sink(path: str, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Streaming BM25 inverted-index maintenance — the reference's ES
+    architecture for ranked search (PublishDaoImpl.java:58-61 queries
+    a continuously-indexed store; it never re-tokenizes the corpus
+    per query): each micro-batch of documents tokenizes ONCE and
+    lands three frames under its own ``batch=<id>`` directory
+    (deterministic location → a replayed batch OVERWRITES its
+    previous attempt, T5):
+
+    - ``postings``: (doc_id, term, tf) over the FULL batch vocabulary
+      — the index is query-agnostic;
+    - ``doclen``: (doc_id, dl);
+    - ``stats``: one additive row (n_docs, sum_dl).
+
+    Decomposition contract (the line_count_sink document-atomic
+    rule): batches must partition DOCUMENTS — a document's one row
+    travels whole, so per-batch (doc, term) tf rows are DISJOINT
+    across batches, df is their per-term count, and N/avgdl fold from
+    the additive stats rows: the merged index is exactly the one-shot
+    corpus index at any batch split. Per-batch work is O(batch
+    tokens); a query (:func:`read_bm25_index`) filters the merged
+    postings to its terms (predicate pushdown — at production scale,
+    term-bucketed postings) and reuses the one-shot scorer verbatim,
+    so serving cost never re-reads document text."""
+    from ..functions.text import tokenize
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        toked = batch_df.select(
+            F.col(id_col).alias("doc_id"),
+            tokenize(text_col).alias("__toks"),
+        )
+        base = f"{path}/batch={batch_id}"
+        dl = toked.select("doc_id", F.size("__toks").alias("dl"))
+        (
+            toked.select("doc_id", F.explode("__toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .write.mode("overwrite")
+            .parquet(f"{base}/postings")
+        )
+        dl.write.mode("overwrite").parquet(f"{base}/doclen")
+        dl.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        ).write.mode("overwrite").parquet(f"{base}/stats")
+
+    return write
+
+
+def read_bm25_index(
+    spark,
+    path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float | None = None,
+    b: float | None = None,
+) -> DataFrame:
+    """Serve a BM25 query from :func:`bm25_index_sink` state: filter
+    the merged postings to the query terms (disjoint across batches —
+    no re-aggregation), count df per term, fold the additive stats
+    rows to (N, avgdl) with the same exact-integer-sum-then-divide
+    arithmetic as the one-shot ``avg(dl)``, and hand the four frames
+    to the SHARED scorer (operators/retrieval.py:bm25_rank) — the
+    result hash-equals the one-shot ``bm25_search`` over the same
+    corpus."""
+    from ..operators import retrieval as rt
+
+    if not query_terms:
+        raise ValueError("read_bm25_index needs at least one query term")
+    terms = sorted({t.lower() for t in query_terms})
+    tf = spark.read.parquet(f"{path}/batch=*/postings").filter(
+        F.col("term").isin(terms)
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    dl = spark.read.parquet(f"{path}/batch=*/doclen")
+    stats = (
+        spark.read.parquet(f"{path}/batch=*/stats")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("__n"),
+            F.sum("sum_dl").cast("bigint").alias("__s"),
+        )
+        # Spark's avg(long) divides the exact long sum by the count —
+        # the identical double division this fold performs
+        .select(
+            F.col("__n").cast("double").alias("n_docs"),
+            (F.col("__s").cast("double") / F.col("__n").cast("double"))
+            .alias("avgdl"),
+        )
+    )
+    kk1 = rt.BM25_K1 if k1 is None else k1
+    kb = rt.BM25_B if b is None else b
+    return rt.bm25_rank(tf, dfreq, dl, stats, k=k, k1=kk1, b=kb)
+
+
 def copurchase_sink(
     path: str,
     basket_col: str = "basket_id",

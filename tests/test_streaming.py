@@ -1036,6 +1036,50 @@ def test_transition_sink_keeps_null_users(spark, tmp_path):
     assert counts[("A", "B")] == 2 and counts[("B", "C")] == 1
 
 
+def test_bm25_index_sink_merges_and_replays(spark, tmp_path):
+    """Streaming inverted-index maintenance: per-batch postings over
+    DISJOINT documents merge to the one-shot corpus index (df from
+    the per-term row count, N/avgdl from additive stats rows), a
+    replayed batch overwrites idempotently, and the served top-k
+    equals bm25_search over the concatenated corpus — scores
+    bit-identical via the shared bm25_rank fold."""
+    from sparkstreaming_realtime_spark.operators.retrieval import (
+        bm25_search,
+    )
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        bm25_index_sink,
+        read_bm25_index,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "spark streams spark facts"), (2, "duck pond facts")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "spark pond"), (4, "entirely unrelated words")],
+        "doc_id long, text string",
+    )
+    index = str(tmp_path / "bm25")
+    sink = bm25_index_sink(index)
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # replay: deterministic dir overwrites, counts stable
+    got = [
+        (r.doc_id, r.bm25, r.n_hit_terms)
+        for r in read_bm25_index(
+            spark, index, ["spark", "pond"], k=10
+        ).collect()
+    ]
+    want = [
+        (r.doc_id, r.bm25, r.n_hit_terms)
+        for r in bm25_search(
+            b1.union(b2), ["spark", "pond"], k=10
+        ).collect()
+    ]
+    assert got == want
+    assert {d for d, _, _ in got} == {1, 2, 3}  # doc 4 never appears
+
+
 def test_key_skew_from_streamed_counts_equals_batch(spark, tmp_path):
     """Skew profile over rollup_sum_sink state equals the one-shot
     batch profile — per-key counts are additive over ANY row split

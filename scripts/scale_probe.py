@@ -263,6 +263,21 @@ PROBE = [
     # as streaming_funnel_parity (a random 4-way split touches ~every
     # user every batch, the worst case; expect its ratio class)
     "streaming_transition_parity",
+    # r13: the statsByItem rollup-store twin (4 batches of
+    # stream-static dim joins + additive cents partials; match-AND +
+    # grouping over the parts-sized merged store at read — expect
+    # ~the stats_by_item_segment ratio plus fixed per-batch writes)
+    "streaming_item_stats_parity",
+    # r13: the BM25 inverted-index twin (per-batch tokenize + postings
+    # shards over disjoint docs; query = term-filtered merged postings
+    # through the shared scorer — expect ~linear in corpus tokens)
+    "streaming_bm25_parity",
+    # r13: threshold-pruned link prediction (NOTE: the ×100 fixture is
+    # 100 sparse sf0.01 copies — degree-UNIFORM, so τ degenerates to 1
+    # by design and this row measures the prune's overhead-when-idle,
+    # not its win; the win is measured on the skewed fixture in
+    # PROBE_r13)
+    "part_link_prediction_pruned",
 ]
 
 # NOTE (r9): at factors where the corpus passes 50k vectors, the

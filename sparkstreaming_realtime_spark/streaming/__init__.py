@@ -28,12 +28,21 @@ from .pipelines import (
     with_batch_metrics,
 )
 from .sinks import (
+    bm25_index_sink,
     dim_upsert_sink,
+    funnel_sink,
     idempotent_parquet_sink,
     ivf_append_sink,
     kafka_sink_options,
     quality_gate_sink,
+    read_bm25_index,
+    read_funnel,
+    read_rollup_sum,
+    read_scd2,
+    read_transition,
+    rollup_sum_sink,
     scd2_sink,
+    transition_sink,
 )
 from .sources import file_stream, kafka_stream, kafka_stream_options
 
@@ -48,6 +57,15 @@ __all__ = [
     "scd2_sink",
     "ivf_append_sink",
     "quality_gate_sink",
+    "funnel_sink",
+    "transition_sink",
+    "rollup_sum_sink",
+    "bm25_index_sink",
+    "read_funnel",
+    "read_transition",
+    "read_rollup_sum",
+    "read_scd2",
+    "read_bm25_index",
     "kafka_sink_options",
     "file_stream",
     "kafka_stream",

@@ -217,6 +217,10 @@ HEADLINE = [
     # postings/doclen/stats shards over disjoint docs, served through
     # the shared bm25_rank fold; same oracle as doc_bm25_search)
     "streaming_bm25_parity",
+    # r13: retention's incremental twin (per-batch distinct user-day
+    # sets, distinct-over-union + the shared fold at read; same
+    # oracle as user_retention_cohorts)
+    "streaming_retention_parity",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

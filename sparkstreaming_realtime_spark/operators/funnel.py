@@ -105,6 +105,37 @@ def funnel(
     )
 
 
+def active_days(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Distinct (``__u``, ``__d``) activity days — the decomposable
+    unit of retention: user-day presence is a SET, so per-batch
+    distinct frames over any row split union+distinct to the corpus
+    set exactly (the streaming maintainer's contract,
+    streaming/sinks.py:retention_sink)."""
+    return events.select(
+        F.col(user_col).alias("__u"),
+        F.to_date(F.col(ts_col)).alias("__d"),
+    ).distinct()
+
+
+def retention_from_active(active: DataFrame) -> DataFrame:
+    """Fold a distinct (``__u``, ``__d``) frame to the retention
+    matrix — shared VERBATIM by the one-shot operator and the
+    streaming read path so both produce identical cells."""
+    first = active.groupBy("__u").agg(F.min("__d").alias("__cohort"))
+    return (
+        active.join(first, "__u")
+        .groupBy(
+            F.col("__cohort").cast("string").alias("cohort_date"),
+            F.datediff(F.col("__d"), F.col("__cohort")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user_id",
@@ -115,19 +146,7 @@ def retention_cohorts(
     day_offset days later (offset 0 = the cohort itself, so
     n_active(c, 0) is the cohort size). Distinct activity first, so a
     chatty user costs one row per active day, not per event."""
-    d = F.to_date(F.col(ts_col)).alias("__d")
-    active = events.select(
-        F.col(user_col).alias("__u"), d
-    ).distinct()
-    first = active.groupBy("__u").agg(F.min("__d").alias("__cohort"))
-    return (
-        active.join(first, "__u")
-        .groupBy(
-            F.col("__cohort").cast("string").alias("cohort_date"),
-            F.datediff(F.col("__d"), F.col("__cohort")).alias("day_offset"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
-    )
+    return retention_from_active(active_days(events, user_col, ts_col))
 
 
 def transition_matrix(

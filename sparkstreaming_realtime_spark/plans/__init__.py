@@ -101,6 +101,14 @@ _PRIORITY = [
     # over a deduped event store (transitions are NOT
     # batch-decomposable; same oracle as event_transition_matrix)
     "streaming_transition_parity",
+    # NEW r13: retention's incremental twin — per-batch distinct
+    # (user, day) sets, distinct-over-union + the shared
+    # retention_from_active fold at read; a late older event moves
+    # its user's cohort retroactively (same oracle as
+    # user_retention_cohorts). doc_bpe_compression rotated to the
+    # tail for it — green r11s4-r12; the BPE family keeps
+    # doc_bpe_learn_merges in-window
+    "streaming_retention_parity",
     # NEW r11 session 4: linear revenue attribution over the bucketed
     # touch range join (events_gap_filled_resample rotated to the
     # tail for it — green r10-r11; the timeseries family keeps the
@@ -149,7 +157,7 @@ _PRIORITY = [
     # streaming_observe_metrics_parity rotated to the tail for them
     # (green r8-r10; the streaming block keeps five end-to-end
     # parities in-window and both stay pytest-pinned)
-    "doc_bpe_compression", "events_key_skew",
+    "events_key_skew",
     # NEW r12: the skew profiler's incremental twin — per-batch key
     # counts via rollup_sum_sink, histogram/Gini/top-k at read time
     # over the folded counts (same oracle as events_key_skew)
@@ -348,13 +356,15 @@ _PRIORITY = [
     # pytest. r13 displacements first: corpus_overlap_sketch (r11-r12),
     # revenue_anomaly_days (r11-r12), doc_topk_similar (r12),
     # part_link_prediction (r11s4-r12; superset code path stays
-    # in-window via the pruned row), doc_ngram_jaccard_dedup (r12).
+    # in-window via the pruned row), doc_ngram_jaccard_dedup (r12),
+    # doc_bpe_compression (r11s4-r12).
     # r12 displacements: cdc_dim_snapshot (r3-r11),
     # stats_by_item_segment (r1-r11), emb_semantic_dedup (r4-r11),
     # emb_semantic_dedup_clustered (r8-r11), doc_quality_bands
     # (r5-r11), pricing_summary (r1-r11)
     "corpus_overlap_sketch", "revenue_anomaly_days", "doc_topk_similar",
     "part_link_prediction", "doc_ngram_jaccard_dedup",
+    "doc_bpe_compression",
     "cdc_dim_snapshot", "stats_by_item_segment", "emb_semantic_dedup",
     "emb_semantic_dedup_clustered", "doc_quality_bands",
     "pricing_summary", "hourly_window_rollup",

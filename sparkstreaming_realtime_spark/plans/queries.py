@@ -3612,6 +3612,54 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "streaming_retention_parity",
+    oracle=_RETENTION_ORACLE,
+    tags=("analytics", "sequence", "streaming"),
+)
+def streaming_retention_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention matrix maintained INCREMENTALLY
+    (streaming/sinks.py:retention_sink): events stream in 4 arbitrary
+    micro-batches, each banks only its distinct (user, day) frame —
+    user-day activity is a SET, so distinct-over-union at read merges
+    ANY split (cross-batch repeats included) to the one-shot corpus
+    set, and a late-arriving OLDER event retroactively moves its
+    user's cohort, which per-batch cohort assignment never could. The
+    read fold is the one-shot operator's own
+    (funnel.py:retention_from_active, shared verbatim) over (user,
+    day) rows — facts are never rescanned. The oracle is
+    user_retention_cohorts', unchanged."""
+    import os
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import read_retention, retention_sink
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("event_time")
+    )
+    root = engine_tmpdir("retention_parity_")
+    src = os.path.join(root, "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    state = os.path.join(root, "state")
+    q = run_available_now(
+        stream,
+        retention_sink(state),
+        checkpoint=os.path.join(root, "ckpt"),
+        query_name="retention_" + uuid.uuid4().hex[:8],
+    )
+    q.awaitTermination()
+    return read_retention(spark, state)
+
+
 _ROLLING_ORACLE = """
 WITH daily AS (
   SELECT n_name AS nation, o_orderdate::DATE AS d,

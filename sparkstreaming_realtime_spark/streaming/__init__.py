@@ -37,6 +37,8 @@ from .sinks import (
     quality_gate_sink,
     read_bm25_index,
     read_funnel,
+    read_retention,
+    retention_sink,
     read_rollup_sum,
     read_scd2,
     read_transition,
@@ -61,7 +63,9 @@ __all__ = [
     "transition_sink",
     "rollup_sum_sink",
     "bm25_index_sink",
+    "retention_sink",
     "read_funnel",
+    "read_retention",
     "read_transition",
     "read_rollup_sum",
     "read_scd2",

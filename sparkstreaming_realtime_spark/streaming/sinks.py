@@ -799,6 +799,48 @@ def read_transition(spark, path: str) -> DataFrame:
     return transition_matrix_from_counts(pairs)
 
 
+def retention_sink(path: str, user_col: str = "user_id",
+                   ts_col: str = "event_time"):
+    """Streaming retention-cohort maintenance — the cheapest member
+    of the additive-twin family, because user-day activity is a SET:
+    each micro-batch folds to its distinct (``__u``, ``__d``) frame
+    (operators/funnel.py:active_days) under a deterministic
+    ``batch=<id>`` directory (replays OVERWRITE, T5), and the live
+    matrix is distinct-over-union at read — set union is idempotent,
+    associative, and commutative, so ANY batch split (cross-batch
+    repeats of the same user-day included) merges to the one-shot
+    corpus set exactly; no atomicity contract needed. A user's cohort
+    (min day) can move EARLIER when an older event arrives late —
+    min over the merged set handles that retroactively, which
+    per-batch cohort assignment never could. The expensive half (the
+    raw-event scan + dedup) is incremental per batch; the read fold
+    (:func:`read_retention`) touches only (user, day) rows, never
+    facts."""
+    from ..operators.funnel import active_days
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        active_days(batch_df, user_col, ts_col).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/batch={batch_id}")
+
+    return write
+
+
+def read_retention(spark, path: str) -> DataFrame:
+    """The live retention matrix from :func:`retention_sink` state:
+    distinct over the union of batch directories, then the SAME fold
+    as the one-shot operator (funnel.py:retention_from_active)."""
+    from ..operators.funnel import retention_from_active
+
+    active = (
+        spark.read.option("basePath", path)
+        .parquet(f"{path}/batch=*")
+        .select("__u", "__d")
+        .distinct()
+    )
+    return retention_from_active(active)
+
+
 def bm25_index_sink(path: str, id_col: str = "doc_id",
                     text_col: str = "text"):
     """Streaming BM25 inverted-index maintenance — the reference's ES

@@ -1036,6 +1036,60 @@ def test_transition_sink_keeps_null_users(spark, tmp_path):
     assert counts[("A", "B")] == 2 and counts[("B", "C")] == 1
 
 
+def test_retention_sink_late_event_moves_cohort(spark, tmp_path):
+    """A late-arriving OLDER event must retroactively move its user's
+    cohort (min day over the merged set) — per-batch cohort
+    assignment could never do this; replays overwrite (T5); the fold
+    equals the one-shot operator over the concatenation."""
+    import datetime as dt_
+
+    from sparkstreaming_realtime_spark.operators.funnel import (
+        retention_cohorts,
+    )
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        read_retention,
+        retention_sink,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, u, dt_.datetime(2024, 1, d, 12))
+                for eid, u, d in rows
+            ],
+            "event_id long, user_id long, event_time timestamp",
+        )
+
+    # batch 0: user 1 first seen Jan 5 (also active Jan 6)
+    b1 = mk([(1, 1, 5), (2, 1, 6), (3, 2, 5)])
+    # batch 1: user 1's Jan 3 event arrives LATE -> cohort moves to
+    # Jan 3, and Jan 5/6 become offsets 2 and 3 of the NEW cohort
+    b2 = mk([(4, 1, 3)])
+    state = str(tmp_path / "ret")
+    sink = retention_sink(state)
+    sink(b1, 0)
+    mid = {(r.cohort_date, r.day_offset): r.n_active
+           for r in read_retention(spark, state).collect()}
+    assert mid[("2024-01-05", 0)] == 2  # both users cohorted Jan 5
+    sink(b2, 1)
+    sink(b2, 1)  # replay
+    got = sorted(
+        (r.cohort_date, r.day_offset, r.n_active)
+        for r in read_retention(spark, state).collect()
+    )
+    want = sorted(
+        (r.cohort_date, r.day_offset, r.n_active)
+        for r in retention_cohorts(
+            b1.union(b2), ts_col="event_time"
+        ).collect()
+    )
+    assert got == want
+    cells = dict(((c, o), n) for c, o, n in got)
+    assert cells[("2024-01-03", 0)] == 1  # user 1 re-cohorted
+    assert cells[("2024-01-03", 2)] == 1  # Jan 5 now offset 2
+    assert cells[("2024-01-05", 0)] == 1  # only user 2 left on Jan 5
+
+
 def test_bm25_index_sink_merges_and_replays(spark, tmp_path):
     """Streaming inverted-index maintenance: per-batch postings over
     DISJOINT documents merge to the one-shot corpus index (df from

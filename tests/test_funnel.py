@@ -144,6 +144,47 @@ def test_funnel_sink_untouched_users_carry_over(spark, tmp_path):
     assert counts == {"view": 2, "click": 1}
 
 
+def test_funnel_sink_null_users_match_batch(spark, tmp_path):
+    """NULL-user parity for the funnel twin (the transition sink's
+    ADVICE fix applies here too): a NULL user's cross-batch chain must
+    round-trip streaming state exactly as the batch operator treats it
+    — funnel_times groups NULL as one user at stage 0 (its stage-1+
+    joins drop NULL by column-name join semantics, in BOTH paths, so
+    shared code keeps parity by construction)."""
+    import datetime as dt
+
+    from sparkstreaming_realtime_spark.operators.funnel import funnel
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        funnel_sink,
+        read_funnel,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(eid, u, t, dt.datetime(2024, 1, 1, h)) for eid, u, t, h in rows],
+            "event_id long, user_id long, event_type string,"
+            " event_time timestamp",
+        )
+
+    b1 = batch([(1, None, "view", 1), (2, 7, "view", 1)])
+    b2 = batch([(3, None, "click", 2), (4, 7, "click", 2)])
+    state = str(tmp_path / "nulls")
+    sink = funnel_sink(state, ["view", "click"])
+    sink(b1, 0)
+    sink(b2, 1)
+    got = {
+        r.stage: r.n_users
+        for r in read_funnel(spark, state, ["view", "click"]).collect()
+    }
+    want = {
+        r.stage: r.n_users
+        for r in funnel(
+            b1.union(b2), ["view", "click"], ts_col="event_time"
+        ).collect()
+    }
+    assert got == want  # streaming == batch, NULLs included
+
+
 def test_transition_matrix_hand_computed_with_session_gap(spark):
     """a: view->click->view within gaps; the 40-min gap transition is
     EXCLUDED; user b contributes one view->view. Probabilities are

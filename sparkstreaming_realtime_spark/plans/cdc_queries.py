@@ -239,7 +239,7 @@ def streaming_cdc_dim_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..schemas import ODS_BASE_DB_SCHEMA
     from ..sources.files import events_with_ts
     from ..streaming.pipelines import run_available_now
-    from ..streaming.sinks import dim_upsert_sink
+    from ..streaming.sinks import dim_upsert_sink, read_dim_snapshot
 
     _t(spark, sf_dir, "events")  # sets the temporal read confs
     raw = _stream_t(spark, sf_dir, "events")
@@ -264,7 +264,7 @@ def streaming_cdc_dim_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_name="dimp_" + uuid.uuid4().hex[:8],
     )
     q.awaitTermination()
-    return spark.read.parquet(snap).select("table", "id", "data")
+    return read_dim_snapshot(spark, snap).select("table", "id", "data")
 
 
 @register(

@@ -36,6 +36,7 @@ from .sinks import (
     kafka_sink_options,
     quality_gate_sink,
     read_bm25_index,
+    read_dim_snapshot,
     read_funnel,
     read_retention,
     retention_sink,
@@ -64,6 +65,7 @@ __all__ = [
     "rollup_sum_sink",
     "bm25_index_sink",
     "retention_sink",
+    "read_dim_snapshot",
     "read_funnel",
     "read_retention",
     "read_transition",

@@ -18,6 +18,14 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .store import (
+    COMPACT_EVERY,
+    SubFold,
+    compact_additive,
+    read_additive,
+    store_parts,
+)
+
 
 def kafka_sink_options(
     topic: str,
@@ -52,6 +60,7 @@ def idempotent_parquet_sink(
     path: str,
     key_cols: tuple[str, ...],
     partition_col: str | None = "dt",
+    compact_every: int = COMPACT_EVERY,
 ):
     """T5/K5: a ``foreachBatch`` writer with replay-safe semantics.
 
@@ -63,8 +72,12 @@ def idempotent_parquet_sink(
     Readers take ``read_sink(path)``.
 
     At scale the per-batch directory write is embarrassingly
-    parallel; the dedup is one narrow shuffle on the doc key.
-    """
+    parallel; the dedup is one narrow shuffle on the doc key. The
+    per-batch directories themselves are bounded by append-mode
+    compaction (streaming/store.py): every ``compact_every`` batches
+    the committed tail consolidates into one immutable segment (the
+    ``dt`` layout preserved), so directory counts track segments, not
+    stream lifetime."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         out = os.path.join(path, f"batch={batch_id}")
@@ -73,19 +86,34 @@ def idempotent_parquet_sink(
         if partition_col and partition_col in batch_df.columns:
             writer = writer.partitionBy(partition_col)
         writer.parquet(out)
+        if compact_every:
+            compact_additive(
+                batch_df.sparkSession,
+                path,
+                batch_id,
+                {"": SubFold(partition_by=partition_col,
+                             use_base_path=True)},
+                compact_every=compact_every,
+            )
 
     return write
 
 
 def read_sink(spark, path: str) -> DataFrame:
-    """Read everything the idempotent sink has committed. ``basePath``
-    anchors partition discovery so the batch=N layer and any dt=
-    partition layer below it both resolve as partition columns."""
-    return (
-        spark.read.option("basePath", path)
-        .parquet(os.path.join(path, "batch=*"))
-        .drop("batch")
-    )
+    """Read everything the idempotent sink has committed: compacted
+    segments ∪ live tail (one manifest snapshot, never mutates the
+    store). ``basePath`` anchors the tail read so any ``dt=``
+    partition layer below ``batch=<id>`` resolves; segments carry the
+    same layout at their roots."""
+    parts = store_parts(spark, path, use_base_path=True)
+    if not parts:
+        return spark.read.option("basePath", path).parquet(
+            os.path.join(path, "batch=*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def reset_sink(path: str) -> None:
@@ -110,16 +138,97 @@ def _bucket_of(n_buckets: int, *cols) -> "F.Column":
     return F.pmod(F.hash(*cols), F.lit(int(n_buckets)))
 
 
+#: the bucketed-store manifest. Versioned layout::
+#:
+#:     <store>/_STORE.json          # atomic os.replace publish:
+#:                                  # {"n_buckets": N,
+#:                                  #  "ver": {"<bucket>": version},
+#:                                  #  "gc": [stale dir names]}
+#:     <store>/b=<bucket>-v<ver>/   # one parquet dir per LIVE bucket
+#:
+#: The manifest is the single commit point: a micro-batch stages its
+#: touched buckets as NEW version directories (old versions untouched
+#: in place), then publishes the manifest — readers resolve one
+#: manifest and see a CONSISTENT store (no torn window mixing pre-
+#: and post-batch buckets, which the in-place per-bucket rename swap
+#: had), and they never mutate anything (recovery/GC runs only in the
+#: write path). Superseded versions are reclaimed one batch LATER
+#: (the manifest's ``gc`` hand-off), giving a concurrent reader a
+#: full micro-batch interval of grace. ``n_buckets`` persists in the
+#: manifest, so reopening a store with a different value is a loud
+#: ValueError instead of silently splitting keys' state across two
+#: bucket layouts.
+_STORE_META = "_STORE.json"
+
+
+def _load_bucket_meta(path: str) -> dict | None:
+    import json
+
+    try:
+        with open(os.path.join(path, _STORE_META)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _publish_bucket_meta(path: str, meta: dict) -> None:
+    import json
+
+    tmp = os.path.join(path, _STORE_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, _STORE_META))
+
+
+def _bucket_meta(path: str, n_buckets: int) -> dict:
+    """Load-or-init the store manifest, enforcing the persisted
+    bucket count: the layout is a pure function of ``n_buckets``, so
+    reopening with a different value would scatter each key's state
+    across two incompatible hash layouts — refuse loudly."""
+    meta = _load_bucket_meta(path)
+    if meta is None:
+        return {"n_buckets": int(n_buckets), "ver": {}, "gc": []}
+    if int(meta["n_buckets"]) != int(n_buckets):
+        raise ValueError(
+            f"bucketed store {path} was created with "
+            f"n_buckets={meta['n_buckets']}; reopening with "
+            f"n_buckets={n_buckets} would split keys across layouts"
+        )
+    return meta
+
+
+def _bucket_dir(bucket: int, version: int) -> str:
+    return f"b={int(bucket)}-v{int(version)}"
+
+
 def _read_buckets(spark, path: str, bucket_ids=None) -> DataFrame:
-    """Read a bucketed state store; with ``bucket_ids`` the ``__b``
-    filter is a PartitionFilter — Spark prunes to the touched bucket
-    directories and never opens the rest."""
-    df = spark.read.option("basePath", path).parquet(
-        os.path.join(path, "__b=*")
-    )
+    """Read a bucketed state store from one manifest snapshot; with
+    ``bucket_ids`` only the touched buckets' CURRENT version dirs are
+    even listed — the pruning the old layout got from a partition
+    filter, without exposing readers to in-flight writers. Never
+    mutates the store. Rows come back without ``__b`` (callers
+    re-derive it from the key columns — same hash, same value)."""
+    meta = _load_bucket_meta(path)
+    if meta is None or not meta["ver"]:
+        # never-written store: surface the same missing-path error
+        # the legacy layout raised
+        return spark.read.parquet(os.path.join(path, "b=*"))
+    ver = meta["ver"]
     if bucket_ids is not None:
-        df = df.filter(F.col("__b").isin([int(b) for b in bucket_ids]))
-    return df
+        wanted = {str(int(b)) for b in bucket_ids}
+        keys = [k for k in ver if k in wanted]
+    else:
+        keys = list(ver)
+    dirs = [os.path.join(path, _bucket_dir(int(k), ver[k])) for k in keys]
+    if not dirs:
+        # all touched buckets are new: an empty, correctly-typed frame
+        any_dir = os.path.join(
+            path, _bucket_dir(int(next(iter(ver))), ver[next(iter(ver))])
+        )
+        return spark.read.parquet(any_dir).filter(F.lit(False))
+    return spark.read.parquet(*dirs)
 
 
 def _touched_buckets(incoming: DataFrame) -> list[int]:
@@ -130,30 +239,30 @@ def _touched_buckets(incoming: DataFrame) -> list[int]:
     )
 
 
-def _swap_buckets(out: DataFrame, path: str, bucket_ids: list[int]) -> None:
-    """Crash-safe bucket-granular state replacement: stage ``out``
-    (which carries ``__b``) partitioned by bucket, then swap ONLY the
-    touched buckets into place — untouched bucket directories are
-    never read, rewritten, or even listed, so per-batch I/O tracks
-    the touched buckets, not the store.
+def _swap_buckets(
+    out: DataFrame, path: str, bucket_ids: list[int], meta: dict
+) -> None:
+    """Manifest-committed bucket-granular state replacement: stage
+    ``out`` (which carries ``__b``) partitioned by bucket, rename
+    each staged bucket in as a NEW version directory (old versions
+    stay in place untouched), then atomically publish the manifest.
 
-    The naive per-bucket sequence (rmtree(dst); rename(src, dst))
-    has a window where the ONLY copy of a bucket's accumulated state
-    is gone — the streaming checkpoint replays at most the in-flight
-    batch, not the history that built the store, so a crash inside
-    the window would lose the bucket's entire history, not one batch.
-
-    A touched bucket with no staged output (possible only for stores
-    where a key can be evicted, e.g. dim tombstones) is REMOVED —
-    leaving the old directory would resurrect evicted keys.
-
-    Crash discipline per bucket mirrors the whole-store swap: old
-    renamed aside before new renamed in, so every crash point leaves
-    each bucket complete under ``path`` or ``path.aside``;
-    :func:`_recover_buckets` rolls asides back and the replayed batch
-    (offsets commit only after this writer returns) reconverges —
-    merges dedup on the write id and recomputes are deterministic."""
-    nxt, aside = path + ".next", path + ".aside"
+    - Untouched buckets are never read, rewritten, or even listed —
+      per-batch I/O tracks the touched buckets, not the store.
+    - Readers resolve one manifest: they see the whole pre-batch
+      store or the whole post-batch store, never a torn mix, and a
+      crash at ANY point before the publish leaves the old manifest
+      pointing at fully-intact old versions (no recovery dance with
+      aside copies — the old data was never moved).
+    - A touched bucket with no staged output (possible only for
+      stores where a key can be evicted, e.g. dim tombstones) drops
+      out of the manifest — leaving it would resurrect evicted keys.
+    - Superseded version dirs go on the manifest's ``gc`` list and
+      are reclaimed at the NEXT swap (one-interval reader grace);
+      version dirs a crash orphaned before their publish are swept by
+      :func:`_recover_buckets` in the write path only.
+    """
+    nxt = path + ".next"
     shutil.rmtree(nxt, ignore_errors=True)
     # co-locate each bucket in one task before the partitioned write:
     # upstream shuffles (id-dedup, per-user aggregates) scatter every
@@ -163,41 +272,61 @@ def _swap_buckets(out: DataFrame, path: str, bucket_ids: list[int]) -> None:
     out = out.repartition(max(len(bucket_ids), 1), F.col("__b"))
     out.write.mode("overwrite").partitionBy("__b").parquet(nxt)
     os.makedirs(path, exist_ok=True)
-    os.makedirs(aside, exist_ok=True)
-    staged = {d for d in os.listdir(nxt) if d.startswith("__b=")}
-    expected = {f"__b={int(b)}" for b in bucket_ids}
-    for d in sorted(staged | expected):
-        src = os.path.join(nxt, d)
-        dst = os.path.join(path, d)
-        asd = os.path.join(aside, d)
-        shutil.rmtree(asd, ignore_errors=True)
-        if os.path.exists(dst):
-            os.rename(dst, asd)
-        if d in staged:
-            os.rename(src, dst)
-        shutil.rmtree(asd, ignore_errors=True)
+    # last swap's superseded versions have had a full batch interval
+    # of reader grace — reclaim them now
+    for d in meta.get("gc", []):
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    staged = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(nxt)
+        if d.startswith("__b=")
+    }
+    ver = dict(meta["ver"])
+    next_gc: list[str] = []
+    for b in sorted(staged | {int(x) for x in bucket_ids}):
+        old = ver.get(str(b))
+        if b in staged:
+            new_v = 0 if old is None else int(old) + 1
+            os.rename(
+                os.path.join(nxt, f"__b={b}"),
+                os.path.join(path, _bucket_dir(b, new_v)),
+            )
+            ver[str(b)] = new_v
+        else:
+            ver.pop(str(b), None)
+        if old is not None:
+            next_gc.append(_bucket_dir(b, int(old)))
+    _publish_bucket_meta(
+        path,
+        {"n_buckets": int(meta["n_buckets"]), "ver": ver, "gc": next_gc},
+    )
     shutil.rmtree(nxt, ignore_errors=True)
-    shutil.rmtree(aside, ignore_errors=True)
 
 
 def _recover_buckets(path: str) -> None:
-    """Roll back any buckets a crashed :func:`_swap_buckets` left
-    aside (restore only where the live bucket is missing), and drop a
-    half-written staging dir — the replayed batch rebuilds it."""
-    aside = path + ".aside"
-    if os.path.isdir(aside):
-        for d in os.listdir(aside):
-            dst = os.path.join(path, d)
-            if d.startswith("__b=") and not os.path.exists(dst):
-                os.rename(os.path.join(aside, d), dst)
-        shutil.rmtree(aside, ignore_errors=True)
+    """WRITE-PATH-ONLY sweep of crash leftovers: version directories
+    no manifest references (a swap that died between its renames and
+    its publish) and half-written staging dirs. Read paths never call
+    this — a reader must not rmtree state out from under a live
+    writer (nor can it here: everything swept is invisible to every
+    manifest snapshot)."""
+    meta = _load_bucket_meta(path)
+    if meta is not None and os.path.isdir(path):
+        live = {
+            _bucket_dir(int(k), v) for k, v in meta["ver"].items()
+        } | set(meta.get("gc", []))
+        for d in os.listdir(path):
+            if d.startswith("b=") and d not in live:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     shutil.rmtree(path + ".next", ignore_errors=True)
+    # pre-manifest layouts staged via .aside are not produced anymore;
+    # a leftover from an older engine version is plain garbage here
+    shutil.rmtree(path + ".aside", ignore_errors=True)
 
 
 def _has_buckets(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        d.startswith("__b=") for d in os.listdir(path)
-    )
+    meta = _load_bucket_meta(path)
+    return meta is not None and bool(meta["ver"])
 
 
 def _semi_on_user(df: DataFrame, touched: DataFrame, how: str) -> DataFrame:
@@ -227,20 +356,24 @@ def dim_upsert_sink(
     duplicates — so at-least-once delivery composes to exactly-once
     state (T5).
 
-    Snapshot state is hash-bucketed by (table, id) — ``__b``
-    partition dirs, :func:`_swap_buckets` — so a micro-batch reads
-    and rewrites ONLY the buckets its keys hash into: per-batch I/O
-    is O(touched_keys × store/n_buckets), not O(store). A delete
-    that empties a bucket removes the bucket directory (leaving it
+    Snapshot state is hash-bucketed by (table, id) — versioned
+    ``b=<bucket>-v<ver>`` dirs behind a manifest,
+    :func:`_swap_buckets` — so a micro-batch reads and rewrites ONLY
+    the buckets its keys hash into: per-batch I/O is
+    O(touched_keys × store/n_buckets), not O(store). A delete
+    that empties a bucket drops it from the manifest (leaving it
     would resurrect the evicted key). At 100 TB-scale the same
-    pattern targets a table format with row-level MERGE; the bucketed
-    swap keeps the test environment to plain parquet while preserving
-    the observable semantics AND the touched-partition economics."""
+    pattern targets a table format with row-level MERGE; the
+    manifest-committed swap keeps the test environment to plain
+    parquet while preserving the observable semantics AND the
+    touched-partition economics. Read with
+    :func:`read_dim_snapshot`."""
     from ..operators.cdc import dim_snapshot
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover_buckets(path)
+        meta = _bucket_meta(path, n_buckets)
         cols = ["table", "id", "data", "op", *ord_cols]
         incoming = batch_df.select(
             "table",
@@ -273,9 +406,16 @@ def dim_upsert_sink(
             .select(*cols)
             .withColumn("__b", _bucket_of(n_buckets, "table", "id"))
         )
-        _swap_buckets(out, path, buckets)
+        _swap_buckets(out, path, buckets, meta)
 
     return write
+
+
+def read_dim_snapshot(spark, path: str) -> DataFrame:
+    """The live last-write-wins dim snapshot from
+    :func:`dim_upsert_sink` state — one manifest snapshot, never
+    mutates the store."""
+    return _read_buckets(spark, path)
 
 
 def scd2_sink(
@@ -295,7 +435,8 @@ def scd2_sink(
 
     - State = every write ever seen (including deletes, which close
       intervals but emit no version), with its recomputed interval
-      columns, hash-bucketed by (table, id) — ``__b`` partition dirs
+      columns, hash-bucketed by (table, id) — versioned
+      ``b=<bucket>-v<ver>`` dirs behind a manifest
       (:func:`_swap_buckets`). Replays dedupe on the total write
       order (table, id, ord_cols), so at-least-once delivery composes
       to exactly-once history (T5); the dedup is valid per bucket
@@ -317,6 +458,7 @@ def scd2_sink(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover_buckets(path)
+        meta = _bucket_meta(path, n_buckets)
         state_cols = ["table", "id", "data", "op", *ord_cols,
                       "version", "valid_from", "valid_to", "is_current"]
         write_cols = ["table", "id", "data", "op", *ord_cols]
@@ -332,7 +474,9 @@ def scd2_sink(
         if not buckets:
             return
         if _has_buckets(path):
-            prior = _read_buckets(spark, path, buckets)
+            prior = _read_buckets(spark, path, buckets).withColumn(
+                "__b", _bucket_of(n_buckets, "table", "id")
+            )
             touched = incoming.select("table", "id").distinct().select(
                 F.col("table").alias("__tt"), F.col("id").alias("__ti")
             )
@@ -370,7 +514,7 @@ def scd2_sink(
             if untouched is None
             else untouched.unionByName(recomputed)
         )
-        _swap_buckets(out, path, buckets)
+        _swap_buckets(out, path, buckets, meta)
 
     return write
 
@@ -378,10 +522,10 @@ def scd2_sink(
 def read_scd2(spark, path: str) -> DataFrame:
     """Project the SCD2 contract (operators/cdc.py:scd2_history) out
     of :func:`scd2_sink` state: delete markers close intervals but
-    carry no version row."""
-    _recover_buckets(path)
+    carry no version row. Resolves one manifest snapshot; never
+    mutates the store."""
     return (
-        spark.read.parquet(path)
+        _read_buckets(spark, path)
         .filter(F.col("op") != "D")
         .select(
             "table", "id", "data", "version",
@@ -390,8 +534,22 @@ def read_scd2(spark, path: str) -> DataFrame:
     )
 
 
+def _sum_fold(key_cols: tuple[str, ...], value_col: str):
+    """The additive-store merge: key-wise exact integer SUM — shared
+    verbatim by the read path and compaction, so a compacted store
+    folds to the same frame by construction."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key_cols).agg(
+            F.sum(value_col).cast("bigint").alias(value_col)
+        )
+
+    return fold
+
+
 def count_min_sink(path: str, item_col: str = "item",
-                   depth: int | None = None, width: int | None = None):
+                   depth: int | None = None, width: int | None = None,
+                   compact_every: int = COMPACT_EVERY):
     """Streaming count-min maintenance: each micro-batch's cell
     counts land in their own ``batch=<id>`` directory (deterministic
     location → a replayed batch OVERWRITES its previous attempt, the
@@ -408,6 +566,12 @@ def count_min_sink(path: str, item_col: str = "item",
     def write(batch_df: DataFrame, batch_id: int) -> None:
         cells = sk.count_min_cells(batch_df, item_col, d, w)
         cells.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+        if compact_every:
+            compact_additive(
+                batch_df.sparkSession, path, batch_id,
+                {"": SubFold(fold=_sum_fold(("row", "col"), "c"))},
+                compact_every=compact_every,
+            )
 
     return write
 
@@ -415,6 +579,7 @@ def count_min_sink(path: str, item_col: str = "item",
 def quality_gate_sink(
     path: str,
     expectations: list[tuple],
+    compact_every: int = COMPACT_EVERY,
 ):
     """Streaming data-quality gate: every micro-batch runs the
     declarative expectation suite (operators/expectations.py — ONE
@@ -446,6 +611,20 @@ def quality_gate_sink(
         verdict.write.mode("overwrite").parquet(
             os.path.join(path, "verdicts", f"batch={batch_id}")
         )
+        if compact_every:
+            # bound the ACCEPTED store's directory growth (append-mode
+            # consolidation; id gaps from quarantined batches are
+            # fine — `upto` marks them folded, their rows live in the
+            # other stores). quarantine/ and verdicts/ stay one dir
+            # per batch deliberately: they are the audit/replay log,
+            # read per-incident, never folded.
+            compact_additive(
+                batch_df.sparkSession,
+                os.path.join(path, "accepted"),
+                batch_id,
+                {"": SubFold()},
+                compact_every=compact_every,
+            )
 
     return write
 
@@ -469,16 +648,25 @@ def ivf_append_sink(index_path: str, vec_col: str = "embedding"):
 
 
 def read_count_min(spark, path: str) -> DataFrame:
-    """Merge the per-batch sketches: cell-wise addition over the
-    batch directories (the count-min merge)."""
-    return (
-        spark.read.option("basePath", path).parquet(f"{path}/batch=*")
-        .groupBy("row", "col")
-        .agg(F.sum("c").cast("bigint").alias("c"))
-    )
+    """Merge the live sketch: cell-wise addition over the compacted
+    base ∪ live tail (the count-min merge — the same fold compaction
+    applies, so any compaction point yields the same sketch)."""
+    return _sum_fold(("row", "col"), "c")(read_additive(spark, path))
 
 
-def kmv_sink(path: str, item_col: str = "item", k: int | None = None):
+def _kmv_fold(k: int):
+    """The KMV merge: distinct hashes, re-take the k smallest — a
+    min-like (idempotent, associative, commutative) fold shared by
+    the read path and compaction."""
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.select("h").distinct().orderBy("h").limit(k)
+
+    return fold
+
+
+def kmv_sink(path: str, item_col: str = "item", k: int | None = None,
+             compact_every: int = COMPACT_EVERY):
     """Streaming distinct-count sketch maintenance: each micro-batch
     folds to its own ≤ k-row KMV sketch under a deterministic
     ``batch=<id>`` directory (replays OVERWRITE — the T5 idempotence
@@ -496,28 +684,30 @@ def kmv_sink(path: str, item_col: str = "item", k: int | None = None):
     def write(batch_df: DataFrame, batch_id: int) -> None:
         sketch = sk.kmv_sketch(batch_df, item_col, kk)
         sketch.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
+        if compact_every:
+            compact_additive(
+                batch_df.sparkSession, path, batch_id,
+                {"": SubFold(fold=_kmv_fold(kk))},
+                compact_every=compact_every,
+            )
 
     return write
 
 
 def read_kmv(spark, path: str, k: int | None = None) -> DataFrame:
-    """Merge the per-batch KMV sketches: distinct over the union of
-    batch directories, re-take the k smallest (the order-statistics
-    merge — ≤ k·n_batches input rows, trivially small)."""
+    """Merge the live KMV sketch: distinct over base ∪ tail, re-take
+    the k smallest (the order-statistics merge — ≤ k·n_parts input
+    rows, trivially small; compaction applies the identical fold, so
+    any compaction point yields the same sketch)."""
     from ..operators import sketches as sk
 
     kk = sk.KMV_K if k is None else k
-    return (
-        spark.read.option("basePath", path).parquet(f"{path}/batch=*")
-        .select("h")
-        .distinct()
-        .orderBy("h")
-        .limit(kk)
-    )
+    return _kmv_fold(kk)(read_additive(spark, path))
 
 
 def line_count_sink(path: str, text_col: str = "text",
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id",
+                    compact_every: int = COMPACT_EVERY):
     """Streaming line-frequency maintenance for the boilerplate gate
     (operators/dedup.py:line_dedup): each micro-batch's per-line
     distinct-document counts land in their own ``batch=<id>``
@@ -537,19 +727,21 @@ def line_count_sink(path: str, text_col: str = "text",
         line_counts(batch_df, text_col, id_col).write.mode(
             "overwrite"
         ).parquet(f"{path}/batch={batch_id}")
+        if compact_every:
+            compact_additive(
+                batch_df.sparkSession, path, batch_id,
+                {"": SubFold(fold=_sum_fold(("line_fp",), "n_docs"))},
+                compact_every=compact_every,
+            )
 
     return write
 
 
 def read_line_counts(spark, path: str) -> DataFrame:
-    """Merge the per-batch line counts: fingerprint-wise addition
-    over the batch directories (valid because batches partition the
-    documents — see :func:`line_count_sink`)."""
-    return (
-        spark.read.option("basePath", path).parquet(f"{path}/batch=*")
-        .groupBy("line_fp")
-        .agg(F.sum("n_docs").cast("bigint").alias("n_docs"))
-    )
+    """Merge the live line counts: fingerprint-wise addition over
+    base ∪ tail (valid because batches partition the documents — see
+    :func:`line_count_sink`; compaction applies the identical fold)."""
+    return _sum_fold(("line_fp",), "n_docs")(read_additive(spark, path))
 
 
 def funnel_sink(
@@ -569,7 +761,8 @@ def funnel_sink(
     Funnel times are NOT batch-decomposable (a late stage-0 event can
     retroactively move t_0 and cascade through every later stage), so
     the sink keeps two state tables under ``path``, each hash-bucketed
-    by user (``__b = pmod(hash(user), n_buckets)`` partition dirs):
+    by user (``__b = pmod(hash(user), n_buckets)``; manifest-committed
+    versioned bucket dirs, :func:`_swap_buckets`):
 
     - ``events``: every funnel-stage event seen, deduped on
       ``id_col`` — replays merge to the identical store, so
@@ -608,6 +801,8 @@ def funnel_sink(
         spark = batch_df.sparkSession
         _recover_buckets(ev_path)
         _recover_buckets(t_path)
+        ev_meta = _bucket_meta(ev_path, n_buckets)
+        t_meta = _bucket_meta(t_path, n_buckets)
         incoming = batch_df.filter(
             F.col(type_col).isin(list(stages))
         ).select(
@@ -622,6 +817,7 @@ def funnel_sink(
         if _has_buckets(ev_path):
             merged = (
                 _read_buckets(spark, ev_path, buckets)
+                .withColumn("__b", _bucket_of(n_buckets, "__u"))
                 .unionByName(incoming)
                 .dropDuplicates(["__id"])
             )
@@ -633,7 +829,7 @@ def funnel_sink(
         # scans the new snapshot directly (no localCheckpoint —
         # unreplicated executor-local blocks, the materialize.py r2
         # lesson)
-        _swap_buckets(merged, ev_path, buckets)
+        _swap_buckets(merged, ev_path, buckets, ev_meta)
         store = _read_buckets(spark, ev_path, buckets)
         touched = incoming.select("__u").distinct()
         recomputed = funnel_times(
@@ -641,13 +837,15 @@ def funnel_sink(
             list(stages), user_col="__u", type_col="__type", ts_col="__ts",
         ).withColumn("__b", _bucket_of(n_buckets, "__u"))
         if _has_buckets(t_path):
-            prior = _read_buckets(spark, t_path, buckets)
+            prior = _read_buckets(spark, t_path, buckets).withColumn(
+                "__b", _bucket_of(n_buckets, "__u")
+            )
             out = _semi_on_user(prior, touched, "left_anti").unionByName(
                 recomputed
             )
         else:
             out = recomputed
-        _swap_buckets(out, t_path, buckets)
+        _swap_buckets(out, t_path, buckets, t_meta)
 
     return write
 
@@ -658,14 +856,14 @@ def read_funnel(spark, path: str, stages: list[str]) -> DataFrame:
     from ..operators.funnel import funnel_counts_from_times
 
     t_path = os.path.join(path, "times")
-    _recover_buckets(t_path)
     return funnel_counts_from_times(
-        spark.read.parquet(t_path), list(stages)
+        _read_buckets(spark, t_path), list(stages)
     )
 
 
 def rollup_sum_sink(path: str, key_cols: tuple[str, ...],
-                    value_col: str = "v"):
+                    value_col: str = "v",
+                    compact_every: int = COMPACT_EVERY):
     """Streaming additive-rollup maintenance: each micro-batch's
     per-key integer sums land in their own ``batch=<id>`` directory
     (deterministic location → replays OVERWRITE, T5), and the live
@@ -685,19 +883,22 @@ def rollup_sum_sink(path: str, key_cols: tuple[str, ...],
             .write.mode("overwrite")
             .parquet(f"{path}/batch={batch_id}")
         )
+        if compact_every:
+            compact_additive(
+                batch_df.sparkSession, path, batch_id,
+                {"": SubFold(fold=_sum_fold(key_cols, value_col))},
+                compact_every=compact_every,
+            )
 
     return write
 
 
 def read_rollup_sum(spark, path: str, key_cols: tuple[str, ...],
                     value_col: str = "v") -> DataFrame:
-    """Merge the per-batch rollups: key-wise integer SUM over the
-    batch directories."""
-    return (
-        spark.read.option("basePath", path).parquet(f"{path}/batch=*")
-        .groupBy(*key_cols)
-        .agg(F.sum(value_col).cast("bigint").alias(value_col))
-    )
+    """Merge the live rollup: key-wise integer SUM over the compacted
+    base ∪ live tail (the identical fold compaction applies — exact
+    integer sums commute with any compaction point)."""
+    return _sum_fold(key_cols, value_col)(read_additive(spark, path))
 
 
 def transition_sink(
@@ -718,8 +919,9 @@ def transition_sink(
     batch — so per-batch pair counting would drift; only a user's
     FULL ordered slice counts correctly).
 
-    Two user-hash-bucketed state tables under ``path`` (``__b``
-    partition dirs, see :func:`funnel_sink` for the layout contract):
+    Two user-hash-bucketed state tables under ``path``
+    (manifest-committed versioned bucket dirs, see :func:`funnel_sink`
+    and :func:`_swap_buckets` for the layout contract):
     ``events`` (all transition-relevant events, deduped on ``id_col``
     — replays merge to the identical store, T5; valid per bucket
     because an event's duplicates share its user's bucket) and
@@ -742,6 +944,8 @@ def transition_sink(
         spark = batch_df.sparkSession
         _recover_buckets(ev_path)
         _recover_buckets(p_path)
+        ev_meta = _bucket_meta(ev_path, n_buckets)
+        p_meta = _bucket_meta(p_path, n_buckets)
         incoming = batch_df.select(
             F.col(user_col).alias("__u"),
             F.col(type_col).alias("__type"),
@@ -754,12 +958,13 @@ def transition_sink(
         if _has_buckets(ev_path):
             merged = (
                 _read_buckets(spark, ev_path, buckets)
+                .withColumn("__b", _bucket_of(n_buckets, "__u"))
                 .unionByName(incoming)
                 .dropDuplicates(["__id"])
             )
         else:
             merged = incoming
-        _swap_buckets(merged, ev_path, buckets)
+        _swap_buckets(merged, ev_path, buckets, ev_meta)
         store = _read_buckets(spark, ev_path, buckets)
         touched = incoming.select("__u").distinct()
         recomputed = transition_pairs_by_user(
@@ -771,13 +976,15 @@ def transition_sink(
             order_col="__id",
         ).withColumn("__b", _bucket_of(n_buckets, "__u"))
         if _has_buckets(p_path):
-            prior = _read_buckets(spark, p_path, buckets)
+            prior = _read_buckets(spark, p_path, buckets).withColumn(
+                "__b", _bucket_of(n_buckets, "__u")
+            )
             out = _semi_on_user(prior, touched, "left_anti").unionByName(
                 recomputed
             )
         else:
             out = recomputed
-        _swap_buckets(out, p_path, buckets)
+        _swap_buckets(out, p_path, buckets, p_meta)
 
     return write
 
@@ -786,21 +993,28 @@ def read_transition(spark, path: str) -> DataFrame:
     """The live transition matrix from :func:`transition_sink` state:
     per-user counts sum to the corpus counts (users partition the
     pair set), then the SAME normalization as the one-shot
-    transition_matrix — bit-identical prob at any batch split."""
+    transition_matrix — bit-identical prob at any batch split.
+    Resolves one manifest snapshot; never mutates the store."""
     from ..operators.funnel import transition_matrix_from_counts
 
     p_path = os.path.join(path, "pairs")
-    _recover_buckets(p_path)
     pairs = (
-        spark.read.parquet(p_path)
+        _read_buckets(spark, p_path)
         .groupBy("from_event", "to_event")
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
     return transition_matrix_from_counts(pairs)
 
 
+def _active_days_fold(df: DataFrame) -> DataFrame:
+    """The retention-store merge: set union of (user, day) rows —
+    idempotent, so cross-batch repeats and compaction both collapse."""
+    return df.select("__u", "__d").distinct()
+
+
 def retention_sink(path: str, user_col: str = "user_id",
-                   ts_col: str = "event_time"):
+                   ts_col: str = "event_time",
+                   compact_every: int = COMPACT_EVERY):
     """Streaming retention-cohort maintenance — the cheapest member
     of the additive-twin family, because user-day activity is a SET:
     each micro-batch folds to its distinct (``__u``, ``__d``) frame
@@ -822,27 +1036,52 @@ def retention_sink(path: str, user_col: str = "user_id",
         active_days(batch_df, user_col, ts_col).write.mode(
             "overwrite"
         ).parquet(f"{path}/batch={batch_id}")
+        if compact_every:
+            compact_additive(
+                batch_df.sparkSession, path, batch_id,
+                {"": SubFold(fold=_active_days_fold)},
+                compact_every=compact_every,
+            )
 
     return write
 
 
 def read_retention(spark, path: str) -> DataFrame:
     """The live retention matrix from :func:`retention_sink` state:
-    distinct over the union of batch directories, then the SAME fold
-    as the one-shot operator (funnel.py:retention_from_active)."""
+    distinct over base ∪ tail (set union is idempotent, so compaction
+    at any point folds to the same set), then the SAME fold as the
+    one-shot operator (funnel.py:retention_from_active)."""
     from ..operators.funnel import retention_from_active
 
-    active = (
-        spark.read.option("basePath", path)
-        .parquet(f"{path}/batch=*")
-        .select("__u", "__d")
-        .distinct()
+    return retention_from_active(
+        _active_days_fold(read_additive(spark, path))
     )
-    return retention_from_active(active)
+
+
+def _bm25_stats_fold(df: DataFrame) -> DataFrame:
+    """Fold the additive corpus stats rows to one row of exact
+    integer sums — N and sum_dl commute with any batch/compaction
+    split; avgdl divides at read time only."""
+    return df.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    )
+
+
+#: BM25 store compaction spec: postings/doclen rows are DISJOINT
+#: across batches (batches partition documents), so they consolidate
+#: append-mode — immutable segments, no rewrite of prior postings;
+#: the one-row stats frames fold additively.
+_BM25_FOLDS = {
+    "postings": SubFold(),
+    "doclen": SubFold(),
+    "stats": SubFold(fold=_bm25_stats_fold),
+}
 
 
 def bm25_index_sink(path: str, id_col: str = "doc_id",
-                    text_col: str = "text"):
+                    text_col: str = "text",
+                    compact_every: int = COMPACT_EVERY):
     """Streaming BM25 inverted-index maintenance — the reference's ES
     architecture for ranked search (PublishDaoImpl.java:58-61 queries
     a continuously-indexed store; it never re-tokenizes the corpus
@@ -887,6 +1126,11 @@ def bm25_index_sink(path: str, id_col: str = "doc_id",
             F.count("*").cast("bigint").alias("n_docs"),
             F.sum("dl").cast("bigint").alias("sum_dl"),
         ).write.mode("overwrite").parquet(f"{base}/stats")
+        if compact_every:
+            compact_additive(
+                batch_df.sparkSession, path, batch_id, _BM25_FOLDS,
+                compact_every=compact_every,
+            )
 
     return write
 
@@ -912,16 +1156,16 @@ def read_bm25_index(
     if not query_terms:
         raise ValueError("read_bm25_index needs at least one query term")
     terms = sorted({t.lower() for t in query_terms})
-    tf = spark.read.parquet(f"{path}/batch=*/postings").filter(
+    tf = read_additive(spark, path, "postings").filter(
         F.col("term").isin(terms)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    dl = spark.read.parquet(f"{path}/batch=*/doclen")
+    dl = read_additive(spark, path, "doclen")
     stats = (
-        spark.read.parquet(f"{path}/batch=*/stats")
-        .agg(
-            F.sum("n_docs").cast("bigint").alias("__n"),
-            F.sum("sum_dl").cast("bigint").alias("__s"),
+        _bm25_stats_fold(read_additive(spark, path, "stats"))
+        .select(
+            F.col("n_docs").alias("__n"),
+            F.col("sum_dl").alias("__s"),
         )
         # Spark's avg(long) divides the exact long sum by the count —
         # the identical double division this fold performs
@@ -936,11 +1180,25 @@ def read_bm25_index(
     return rt.bm25_rank(tf, dfreq, dl, stats, k=k, k1=kk1, b=kb)
 
 
+#: co-purchase store compaction spec: all three frames are key-wise
+#: (or global) exact integer counts over disjoint baskets — pure
+#: additive folds; the support threshold stays read-side so it keeps
+#: applying to the MERGED counts (retroactivity preserved).
+_COPURCHASE_FOLDS = {
+    "pairs": SubFold(fold=_sum_fold(("item_a", "item_b"), "pair_n")),
+    "items": SubFold(fold=_sum_fold(("item",), "n")),
+    "baskets": SubFold(
+        fold=lambda df: df.agg(F.sum("n").cast("bigint").alias("n"))
+    ),
+}
+
+
 def copurchase_sink(
     path: str,
     basket_col: str = "basket_id",
     item_col: str = "item_id",
     max_basket: int | None = None,
+    compact_every: int = COMPACT_EVERY,
 ):
     """Incremental market-basket maintenance: keep the co-purchase
     pair/item/basket counts (operators/basket.py:copurchase_pairs)
@@ -984,6 +1242,11 @@ def copurchase_sink(
             rolled.agg(
                 F.count("*").cast("bigint").alias("n")
             ).write.mode("overwrite").parquet(f"{base}/baskets")
+            if compact_every:
+                compact_additive(
+                    batch_df.sparkSession, path, batch_id,
+                    _COPURCHASE_FOLDS, compact_every=compact_every,
+                )
         finally:
             # the rolled frame is per-batch scratch; holding its
             # blocks across a long stream would pile up per batch
@@ -1005,18 +1268,18 @@ def read_copurchase(
     operators/basket.py:copurchase_pairs, so the result hash-equals
     the one-shot batch operator at any batch split."""
     pairs = (
-        spark.read.parquet(f"{path}/batch=*/pairs")
-        .groupBy("item_a", "item_b")
-        .agg(F.sum("pair_n").cast("bigint").alias("pair_n"))
+        _sum_fold(("item_a", "item_b"), "pair_n")(
+            read_additive(spark, path, "pairs")
+        )
         .filter(F.col("pair_n") >= min_pair_support)
     )
     item_n = (
-        spark.read.parquet(f"{path}/batch=*/items")
+        read_additive(spark, path, "items")
         .groupBy("item")
         .agg(F.sum("n").cast("bigint").alias("c"))
     )
     n_baskets = (
-        spark.read.parquet(f"{path}/batch=*/baskets")
+        read_additive(spark, path, "baskets")
         .agg(F.sum("n").cast("bigint").alias("__n"))
     )
     na = item_n.select(F.col("item").alias("item_a"), F.col("c").alias("n_a"))

@@ -413,9 +413,13 @@ def test_dim_upsert_sink_maintains_snapshot_across_batches(spark, tmp_path):
     stream = file_stream(spark, src, CDC_SCHEMA, max_files_per_trigger=1)
     _drain(stream, dim_upsert_sink(snap_path), str(tmp_path / "ckpt"))
 
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        read_dim_snapshot,
+    )
+
     got = sorted(
         (r["table"], r["id"], r["data"])
-        for r in spark.read.parquet(snap_path).collect()
+        for r in read_dim_snapshot(spark, snap_path).collect()
     )
     assert got == [
         ("base_province", "3", '{"id":3,"v":30}'),
@@ -448,9 +452,13 @@ def test_dim_upsert_sink_replay_is_idempotent(spark, tmp_path):
     snap = str(tmp_path / "snap")
     sink = dim_upsert_sink(snap)
     sink(batch, 0)
-    first = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        read_dim_snapshot,
+    )
+
+    first = sorted(map(tuple, read_dim_snapshot(spark, snap).collect()))
     sink(batch, 0)  # replay of the same epoch
-    second = sorted(map(tuple, spark.read.parquet(snap).collect()))
+    second = sorted(map(tuple, read_dim_snapshot(spark, snap).collect()))
     assert first == second
     assert [(r[0], r[1]) for r in first] == [("user_info", "1")]
 
@@ -539,16 +547,18 @@ def test_scd2_sink_replay_is_idempotent(spark, tmp_path):
 
 
 def test_snapshot_swap_survives_crash_between_renames(spark, tmp_path):
-    """The bucket swap's worst crash point — a bucket's old state
-    renamed aside, its replacement not yet in place — must not lose
-    the accumulated state: the next write() restores the aside
-    buckets and rebuilds forward from them (with the crashed batch
-    replayed by the checkpoint, history is complete). Before the
-    aside existed, this window deleted the only copy of the bucket's
-    entire SCD2 history."""
+    """The bucket swap's worst crash point — new version directories
+    renamed into place but the manifest never published — must not
+    lose or corrupt the accumulated state: the old manifest still
+    points at the fully-intact old versions (readers are unaffected),
+    and the next write() sweeps the orphaned versions and rebuilds
+    forward (the crashed batch replays via the checkpoint, so history
+    is complete)."""
+    import json
     import os
 
     from sparkstreaming_realtime_spark.streaming.sinks import (
+        _load_bucket_meta,
         read_scd2,
         scd2_sink,
     )
@@ -562,22 +572,37 @@ def test_snapshot_swap_survives_crash_between_renames(spark, tmp_path):
     hist = str(tmp_path / "hist")
     sink = scd2_sink(hist)
     sink(b1, 0)
-    # simulate the crash window: every live bucket set aside, its
-    # replacement never arrived (this is exactly the on-disk state if
-    # the process dies between the two per-bucket renames)
-    aside = hist + ".aside"
-    os.makedirs(aside)
-    for d in os.listdir(hist):
-        if d.startswith("__b="):
-            os.rename(os.path.join(hist, d), os.path.join(aside, d))
-    sink(b2, 1)  # restart: recovery + the replayed batch
+    meta = _load_bucket_meta(hist)
+    # simulate the crash window: for every live bucket, an orphaned
+    # NEXT version dir exists (renamed in, garbage content) but the
+    # manifest was never published — exactly the on-disk state if the
+    # process dies between the renames and the manifest os.replace
+    for k, v in meta["ver"].items():
+        orphan = os.path.join(hist, f"b={int(k)}-v{v + 1}")
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+            f.write("not parquet")
+    # a reader BETWEEN crash and restart sees the committed state
+    pre = read_scd2(spark, hist).collect()
+    assert {(r["id"], r["version"]) for r in pre} == {("1", 1)}
+    sink(b2, 1)  # restart: write-path recovery + the replayed batch
     got = {
         (r["id"], r["version"]): (r["valid_from"], r["valid_to"])
         for r in read_scd2(spark, hist).collect()
     }
     assert got == {("1", 1): (1000, 2000), ("1", 2): (2000, None)}
-    assert not os.path.exists(hist + ".aside")
     assert not os.path.exists(hist + ".next")
+    # every on-disk version dir is accounted for by the manifest
+    # (live or gc-pending) — no orphans survive recovery
+    meta2 = _load_bucket_meta(hist)
+    referenced = {
+        f"b={int(k)}-v{v}" for k, v in meta2["ver"].items()
+    } | set(meta2["gc"])
+    on_disk = {d for d in os.listdir(hist) if d.startswith("b=")}
+    assert on_disk <= referenced
+    assert json.loads(
+        open(os.path.join(hist, "_STORE.json")).read()
+    )["n_buckets"] == 32
 
 
 def test_quality_gate_sink_routes_batches_by_verdict(spark, tmp_path):
@@ -965,12 +990,20 @@ def test_bucketed_state_rewrites_only_touched_buckets(spark, tmp_path):
     sink = transition_sink(path, n_buckets=8)
     sink(b1, 0)
 
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        _load_bucket_meta,
+    )
+
     def listing(store):
+        """bucket id → (current version dir, its sorted file list)."""
         root = os.path.join(path, store)
+        meta = _load_bucket_meta(root)
         return {
-            d: sorted(os.listdir(os.path.join(root, d)))
-            for d in os.listdir(root)
-            if d.startswith("__b=")
+            int(k): (
+                f"b={int(k)}-v{v}",
+                sorted(os.listdir(os.path.join(root, f"b={int(k)}-v{v}"))),
+            )
+            for k, v in meta["ver"].items()
         }
 
     ev_before, p_before = listing("events"), listing("pairs")
@@ -982,11 +1015,14 @@ def test_bucketed_state_rewrites_only_touched_buckets(spark, tmp_path):
     ev_after, p_after = listing("events"), listing("pairs")
     for store_before, store_after in ((ev_before, ev_after),
                                       (p_before, p_after)):
-        for d in store_before:
-            if d == f"__b={touched}":
-                assert store_after[d] != store_before[d]  # rewritten
+        for b in store_before:
+            if b == touched:
+                # rewritten as a NEW version dir (the old one left in
+                # place for manifest-grace readers)
+                assert store_after[b][0] != store_before[b][0]
             else:
-                assert store_after[d] == store_before[d]  # untouched
+                # untouched: SAME version dir, byte-identical listing
+                assert store_after[b] == store_before[b]
 
 
 def test_transition_sink_keeps_null_users(spark, tmp_path):

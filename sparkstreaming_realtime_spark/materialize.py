@@ -88,9 +88,37 @@ def _exit_sweep() -> None:  # pragma: no cover — runs at interpreter exit
 
 
 #: liveness marker dropped in every engine-owned tmp dir: the owning
-#: process's pid, checked with os.kill(pid, 0) by the startup sweep.
-#: A dot-prefixed name so Spark's readers treat it as hidden.
+#: process's ``pid <starttime>``, where starttime is the kernel's
+#: process start tick (/proc/<pid>/stat field 22) — the (pid,
+#: starttime) pair uniquely names a process INCARNATION, so a
+#: recycled pid (any unrelated long-lived process that later drew the
+#: same number) can never pin an orphaned dir forever the way a bare
+#: os.kill(pid, 0) check could. A dot-prefixed name so Spark's
+#: readers treat it as hidden.
 OWNER_MARKER = ".spark-graft-owner.pid"
+
+#: hard cap for markers whose liveness can only be judged by the
+#: LEGACY bare-pid check (no starttime recorded, or /proc is
+#: unavailable): past this age the sweep reclaims the dir even if
+#: SOME process answers to the pid — without a starttime the answer
+#: could be a recycled pid, and an unbounded benefit of the doubt
+#: would pin the orphan forever.
+LEGACY_MARKER_MAX_AGE = 48 * 3600
+
+
+def _proc_start_time(pid: int):
+    """The kernel start tick of ``pid``, or None when it can't be
+    read (process gone, or no /proc on this platform). Field 22 of
+    /proc/<pid>/stat, parsed after the last ')' because the comm
+    field may itself contain spaces and parens."""
+    import os  # noqa: F401 — platform probe only
+
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            data = f.read()
+        return int(data.rsplit(b")", 1)[1].split()[19])
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def _track_for_exit(path: str) -> None:
@@ -103,10 +131,13 @@ def _track_for_exit(path: str) -> None:
         # dir a live peer wrote once and only reads afterward (an IVF
         # index dir, an idle checkpoint dir) never refreshes its
         # mtime, so the age rule alone could reclaim it from under
-        # the peer — the pid marker makes ownership explicit
+        # the peer — the pid+starttime marker makes ownership explicit
         try:
+            pid = os.getpid()
+            start = _proc_start_time(pid)
+            stamp = f"{pid} {start}" if start is not None else str(pid)
             with open(os.path.join(path, OWNER_MARKER), "w") as f:
-                f.write(str(os.getpid()))
+                f.write(stamp)
         except OSError:  # dir raced away / read-only — age rule applies
             pass
     if not _EXIT_SWEEP_REGISTERED:
@@ -116,28 +147,46 @@ def _track_for_exit(path: str) -> None:
         _EXIT_SWEEP_REGISTERED = True
 
 
-def _owner_alive(marker_path: str) -> bool:
-    """True iff ``marker_path`` names a pid that is still running (a
-    LIVE concurrent session owns the dir). Missing/unreadable marker
-    → False: pre-marker dirs fall back to the age rule."""
+def _owner_alive(marker_path: str) -> str | None:
+    """Liveness verdict for the process a marker names:
+
+    - ``"verified"`` — the marker carries a starttime and a process
+      with that EXACT (pid, starttime) incarnation is running: the
+      owner is definitively alive, protect the dir unconditionally.
+    - ``"legacy"`` — liveness could only be judged by the bare-pid
+      probe (pre-starttime marker, or no /proc) and SOMETHING answers
+      to the pid: probably the owner, possibly a recycled pid — the
+      sweep protects it only up to :data:`LEGACY_MARKER_MAX_AGE`.
+    - ``None`` — no live owner (missing/unreadable marker, dead pid,
+      or a pid whose current incarnation's starttime differs from the
+      recorded one, i.e. a DETECTED recycle)."""
     import os
 
     try:
         with open(marker_path) as f:
-            pid = int(f.read().strip())
-    except (OSError, ValueError):
-        return False
+            fields = f.read().split()
+        pid = int(fields[0])
+        recorded = int(fields[1]) if len(fields) > 1 else None
+    except (OSError, ValueError, IndexError):
+        return None
     if pid == os.getpid():
-        return True
+        return "verified"
+    if recorded is not None:
+        current = _proc_start_time(pid)
+        if current is not None:
+            return "verified" if current == recorded else None
+        # /proc says nothing: either the pid is dead (ProcessLookup
+        # path below resolves it) or this platform has no /proc —
+        # fall through to the legacy probe
     try:
         os.kill(pid, 0)
-        return True
+        return "legacy"
     except ProcessLookupError:
-        return False
+        return None
     except PermissionError:  # alive under another uid
-        return True
+        return "legacy"
     except OSError:
-        return False
+        return None
 
 
 #: one recognizable stamp on EVERY engine-created temp dir (scratch
@@ -159,14 +208,19 @@ def sweep_stale_engine_dirs(
     OOM-killed JVM never runs atexit, so its ``spark-graft-*``
     checkpoint/scratch dirs survive in tmp forever (VERDICT r11
     observed six). On session start we reclaim any engine-prefixed
-    dir that (a) carries no LIVE owner pid marker (every engine dir
-    is stamped with its creator's pid at track time; os.kill(pid, 0)
-    decides liveness — a concurrent session's write-once dirs, whose
-    mtimes never refresh, are protected by this even across the age
-    threshold) and (b) has an mtime older than ``max_age_seconds``
-    (default 3 h — the fallback rule for pre-marker orphans). Dirs
-    tracked by THIS process are never touched. Returns the swept
-    paths."""
+    dir that (a) carries no VERIFIED-live owner marker (every engine
+    dir is stamped with its creator's pid + kernel starttime at track
+    time; a matching (pid, starttime) incarnation protects the dir
+    unconditionally — a concurrent session's write-once dirs, whose
+    mtimes never refresh, stay safe across the age threshold — while
+    a pid whose starttime DIFFERS is a detected recycle and protects
+    nothing) and (b) has an mtime older than ``max_age_seconds``
+    (default 3 h — the fallback rule for markerless orphans).
+    Markers that can only be judged by the bare-pid probe (legacy
+    stamp or no /proc) protect their dir only up to
+    :data:`LEGACY_MARKER_MAX_AGE` — a recycled pid answering the
+    probe must not pin an orphan forever. Dirs tracked by THIS
+    process are never touched. Returns the swept paths."""
     import glob
     import os
     import shutil
@@ -180,9 +234,13 @@ def sweep_stale_engine_dirs(
         try:
             if not os.path.isdir(d) or d in _EXIT_SWEEP_DIRS:
                 continue
-            if _owner_alive(os.path.join(d, OWNER_MARKER)):
-                continue  # a LIVE concurrent session owns it
-            if now - os.path.getmtime(d) < max_age_seconds:
+            age = now - os.path.getmtime(d)
+            verdict = _owner_alive(os.path.join(d, OWNER_MARKER))
+            if verdict == "verified":
+                continue  # the exact owner incarnation is running
+            if verdict == "legacy" and age < LEGACY_MARKER_MAX_AGE:
+                continue  # benefit of the doubt, but bounded
+            if age < max_age_seconds:
                 continue
         except OSError:  # raced with another cleanup — skip
             continue

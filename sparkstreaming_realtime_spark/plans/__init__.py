@@ -78,9 +78,14 @@ _PRIORITY = [
     # the dedup family keeps doc_split_leakage + curation funnel +
     # line-dedup parity in-window
     "streaming_bm25_parity",
-    # NEW r11 session 4: ES match_phrase — the positional sibling of
-    # the analyzed match-AND and its BM25 ranked form
-    "doc_phrase_search",
+    # ROTATED IN r14: the additive-store compaction rewrite
+    # (streaming/store.py — manifest-committed segments behind every
+    # batch=<id> sink) changes read_sink's code path, so the driver
+    # must re-hash the idempotent-sink parity end to end
+    # (doc_phrase_search rotated to the tail for it — green
+    # r11s4-r13; the ES family keeps doc_bm25_search +
+    # streaming_bm25_parity in-window)
+    "streaming_idempotent_sink_parity",
     # joins / rollups / TPC-H / extension sentinels
     # (hourly_window_rollup rotated to the tail r12 for the NEW
     # streaming co-purchase parity below — green r1-r11; the window
@@ -113,7 +118,12 @@ _PRIORITY = [
     # touch range join (events_gap_filled_resample rotated to the
     # tail for it — green r10-r11; the timeseries family keeps the
     # rolling/anomaly pair in-window)
-    "order_touch_attribution", "streaming_attribution_parity",
+    # ROTATED IN r14: count-min stores now compact (read_count_min
+    # folds segments ∪ tail), so the heavy-hitters parity must
+    # re-hash (order_touch_attribution rotated to the tail for it —
+    # green r11s4-r13; the attribution family keeps
+    # streaming_attribution_parity, which shares its oracle)
+    "streaming_heavy_hitters_parity", "streaming_attribution_parity",
     # NEW r10: zero-filled time-series resample (events_asof_last_order
     # rotated to the tail for it — green r4-r9, the as-of operator
     # stays pytest-pinned and in the r1-r9 green union)
@@ -143,7 +153,12 @@ _PRIORITY = [
     # r2-r10; doc_quality_bands rotated to the tail r12 — green
     # r5-r11; the quality family keeps events_quality_expectations +
     # doc_token_entropy in-window)
-    "doc_token_entropy",
+    # ROTATED IN r14: the quality gate's accepted store now compacts
+    # (append-mode segments; quarantine/verdicts stay per-batch audit
+    # dirs), so the gate parity re-hashes (doc_token_entropy rotated
+    # to the tail for it — green r5-r13; the quality family keeps
+    # events_quality_expectations in-window)
+    "streaming_quality_gate_parity",
     # NEW r11 session 4: BPE merge learning — tokenizer training over
     # the word-frequency vocabulary, the whole loop oracle-replayed
     # (doc_exact_k_sample rotated to the tail for it — green r1-r10;
@@ -374,8 +389,8 @@ _PRIORITY = [
     "user_funnel",
     "emb_semantic_dedup_clustered_auto", "streaming_dau_dedup_parity",
     "doc_exact_k_sample",
-    "streaming_idempotent_sink_parity", "streaming_observe_metrics_parity",
-    "streaming_quality_gate_parity",
+    "streaming_observe_metrics_parity",
+    "doc_phrase_search", "order_touch_attribution", "doc_token_entropy",
     "doc_minhash_near_dup", "emb_ivf_append_topk",
     "doc_pii_scrub", "streaming_state_profile_parity",
     "zordered_two_dim_lookup", "doc_exact_substr_dedup",
@@ -385,7 +400,7 @@ _PRIORITY = [
     "emb_feature_extract", "events_table_profile",
     "shipping_priority", "doc_gopher_filters", "events_asof_last_order",
     "emb_ivfpq_topk", "doc_repetition_bands", "doc_exact_dedup",
-    "streaming_heavy_hitters_parity", "clustered_point_lookup",
+    "clustered_point_lookup",
     "emb_hamming_topk", "doc_intra_line_dedup",
     "doc_frame_sample", "emb_pq_topk", "doc_source_mix",
     "doc_hash_split", "doc_resize_images", "bucketed_colocated_join",

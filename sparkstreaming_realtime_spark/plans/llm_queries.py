@@ -3267,9 +3267,13 @@ def streaming_bm25_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(src)
     )
     index = os.path.join(root, "index")
+    # compact_every=2: one mid-run fold — postings/doclen consolidate
+    # into an immutable append segment, the additive stats rows fold
+    # to one; the served ranking must still hash-equal the one-shot
+    # corpus search (streaming/store.py)
     q = run_available_now(
         stream,
-        bm25_index_sink(index),
+        bm25_index_sink(index, compact_every=2),
         checkpoint=os.path.join(root, "ckpt"),
         query_name="bm25_" + uuid.uuid4().hex[:8],
     )

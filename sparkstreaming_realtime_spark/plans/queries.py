@@ -3650,9 +3650,13 @@ def streaming_retention_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(src)
     )
     state = os.path.join(root, "state")
+    # compact_every=1: every batch folds the committed tail into a
+    # new manifest generation (streaming/store.py), so this row
+    # hash-gates the WHOLE compaction lifecycle — fold, atomic
+    # manifest publish, deferred GC — against the batch oracle
     q = run_available_now(
         stream,
-        retention_sink(state),
+        retention_sink(state, compact_every=1),
         checkpoint=os.path.join(root, "ckpt"),
         query_name="retention_" + uuid.uuid4().hex[:8],
     )
@@ -3947,9 +3951,14 @@ def streaming_copurchase_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(src)
     )
     state = os.path.join(root, "state")
+    # compact_every=2: the 4-batch stream folds once mid-run, so the
+    # read merges a compacted segment WITH live tail batches — the
+    # mixed shape a long-lived store always has (streaming/store.py)
     q = run_available_now(
         stream,
-        copurchase_sink(state, basket_col="basket", item_col="item"),
+        copurchase_sink(
+            state, basket_col="basket", item_col="item", compact_every=2
+        ),
         checkpoint=os.path.join(root, "ckpt"),
         query_name="copur_" + uuid.uuid4().hex[:8],
     )

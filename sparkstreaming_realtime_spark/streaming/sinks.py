@@ -329,6 +329,39 @@ def _has_buckets(path: str) -> bool:
     return meta is not None and bool(meta["ver"])
 
 
+#: env flag: after every funnel/transition event-store swap, scan the
+#: WHOLE store for a write id appearing in more than one row. The
+#: per-bucket ``dropDuplicates(__id)`` is exact ONLY under the
+#: replays-are-identical contract (a duplicate re-delivered with a
+#: DIFFERENT — or NULL-vs-non-NULL — user id hashes to a different
+#: bucket and escapes the dedup, silently corrupting counts); this
+#: check turns that contract violation into a loud failure. O(store)
+#: per batch, so it is debug-mode only — enable in integration tests
+#: or canary streams, never the hot path.
+STRICT_IDS_ENV = "SPARK_GRAFT_STRICT_IDS"
+
+
+def _assert_unique_ids(spark, path: str) -> None:
+    if not os.environ.get(STRICT_IDS_ENV):
+        return
+    dup = (
+        _read_buckets(spark, path)
+        .groupBy("__id")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(5)
+        .collect()
+    )
+    if dup:
+        ids = [r["__id"] for r in dup]
+        raise AssertionError(
+            f"event-id duplicated ACROSS buckets in {path}: {ids} — a "
+            "replay delivered the same id under a different key, which "
+            "the per-bucket dedup cannot collapse (violates the "
+            "replays-are-identical contract)"
+        )
+
+
 def _semi_on_user(df: DataFrame, touched: DataFrame, how: str) -> DataFrame:
     """Null-safe touched-user semi/anti join: ``eqNullSafe`` so a
     NULL user id matches itself — the batch operators window NULL
@@ -830,6 +863,7 @@ def funnel_sink(
         # unreplicated executor-local blocks, the materialize.py r2
         # lesson)
         _swap_buckets(merged, ev_path, buckets, ev_meta)
+        _assert_unique_ids(spark, ev_path)
         store = _read_buckets(spark, ev_path, buckets)
         touched = incoming.select("__u").distinct()
         recomputed = funnel_times(
@@ -965,6 +999,7 @@ def transition_sink(
         else:
             merged = incoming
         _swap_buckets(merged, ev_path, buckets, ev_meta)
+        _assert_unique_ids(spark, ev_path)
         store = _read_buckets(spark, ev_path, buckets)
         touched = incoming.select("__u").distinct()
         recomputed = transition_pairs_by_user(

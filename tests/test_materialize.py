@@ -300,8 +300,10 @@ def test_startup_sweep_respects_live_owner_marker(tmp_path):
 
 
 def test_engine_tmpdir_stamps_owner_marker():
-    """Every engine-owned tmp dir carries its creator's pid so peer
-    sessions' sweeps can check liveness."""
+    """Every engine-owned tmp dir carries its creator's pid AND
+    kernel starttime — the pair names a process INCARNATION, so a
+    later process that recycles the pid can't impersonate the owner
+    (ADVICE r13)."""
     import shutil
 
     from sparkstreaming_realtime_spark import materialize as m
@@ -310,11 +312,68 @@ def test_engine_tmpdir_stamps_owner_marker():
     try:
         marker = os.path.join(d, m.OWNER_MARKER)
         with open(marker) as f:
-            assert f.read() == str(os.getpid())
+            fields = f.read().split()
+        assert fields[0] == str(os.getpid())
+        start = m._proc_start_time(os.getpid())
+        if start is not None:  # Linux: starttime recorded and correct
+            assert fields[1] == str(start)
     finally:
         shutil.rmtree(d, ignore_errors=True)
         m._TMP_DIRS.remove(d)
         m._EXIT_SWEEP_DIRS.remove(d)
+
+
+def test_startup_sweep_detects_recycled_pid(tmp_path):
+    """ADVICE r13: a marker whose pid is alive but whose recorded
+    starttime doesn't match the CURRENT incarnation is a recycled
+    pid — it must not pin the orphan. The correct-incarnation marker
+    of the same pid still protects."""
+    import time
+
+    from sparkstreaming_realtime_spark import materialize as m
+
+    start = m._proc_start_time(1)  # pid 1 is always alive
+    if start is None:
+        import pytest
+
+        pytest.skip("no /proc on this platform")
+    recycled = tmp_path / "spark-graft-recycled"
+    genuine = tmp_path / "spark-graft-genuine"
+    for d in (recycled, genuine):
+        d.mkdir()
+    (recycled / m.OWNER_MARKER).write_text(f"1 {start + 7}")  # wrong gen
+    (genuine / m.OWNER_MARKER).write_text(f"1 {start}")
+    stale = time.time() - 4 * 3600
+    for d in (recycled, genuine):
+        os.utime(d, (stale, stale))
+    swept = m.sweep_stale_engine_dirs(tmp_root=str(tmp_path))
+    assert swept == [str(recycled)]
+    assert genuine.is_dir() and not recycled.exists()
+
+
+def test_startup_sweep_caps_legacy_marker_protection(tmp_path):
+    """A bare-pid marker (pre-starttime stamp) that some process
+    answers to protects its dir only up to LEGACY_MARKER_MAX_AGE —
+    an unverifiable owner can't pin an orphan forever (ADVICE r13's
+    PermissionError/recycled-pid path)."""
+    import time
+
+    from sparkstreaming_realtime_spark import materialize as m
+
+    young = tmp_path / "spark-graft-legacy-young"
+    ancient = tmp_path / "spark-graft-legacy-ancient"
+    for d in (young, ancient):
+        d.mkdir()
+        # pid 1: alive forever, and NOT this process — the bare-pid
+        # probe says "something answers", which is all legacy gives
+        (d / m.OWNER_MARKER).write_text("1")
+    t_young = time.time() - 4 * 3600  # past the 3 h age rule
+    t_ancient = time.time() - m.LEGACY_MARKER_MAX_AGE - 3600
+    os.utime(young, (t_young, t_young))
+    os.utime(ancient, (t_ancient, t_ancient))
+    swept = m.sweep_stale_engine_dirs(tmp_root=str(tmp_path))
+    assert swept == [str(ancient)]
+    assert young.is_dir() and not ancient.exists()
 
 
 def test_startup_sweep_runs_on_checkpoint_install(spark, tmp_path, monkeypatch):

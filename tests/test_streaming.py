@@ -1209,3 +1209,39 @@ def test_key_skew_from_streamed_counts_equals_batch(spark, tmp_path):
         [r[c] for c in cols] for r in want
     ]
     assert got[0]["n_rows"] == 13 and got[0]["n_keys"] == 4
+
+
+def test_strict_ids_flags_cross_bucket_duplicate(spark, tmp_path, monkeypatch):
+    """ADVICE r13: event-id dedup in funnel/transition sinks is
+    scoped to the touched buckets, so a duplicate re-delivered under
+    a DIFFERENT user id hashes elsewhere and escapes silently. The
+    SPARK_GRAFT_STRICT_IDS debug gate turns that contract violation
+    into a loud failure — and stays quiet on an honest replay."""
+    import datetime as dt_
+
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        STRICT_IDS_ENV,
+        transition_sink,
+    )
+
+    t0 = dt_.datetime(2024, 1, 10, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (eid, u, ty, t0 + dt_.timedelta(minutes=m))
+                for eid, u, ty, m in rows
+            ],
+            "event_id long, user_id long, event_type string,"
+            " event_time timestamp",
+        )
+
+    monkeypatch.setenv(STRICT_IDS_ENV, "1")
+    path = str(tmp_path / "trans")
+    sink = transition_sink(path, n_buckets=8)
+    sink(mk([(1, 7, "A", 0), (2, 7, "B", 5)]), 0)
+    # honest replay: same ids, same users — quiet
+    sink(mk([(1, 7, "A", 0), (2, 7, "B", 5)]), 0)
+    # contract violation: id 2 re-delivered under ANOTHER user
+    with pytest.raises(AssertionError, match="duplicated ACROSS buckets"):
+        sink(mk([(2, 23, "B", 5)]), 1)

@@ -51,22 +51,55 @@ def inventory(root: str) -> dict[str, tuple[int, int]]:
     return inv
 
 
-def bytes_written(before: dict, after: dict) -> tuple[int, int]:
-    """(bytes in new/changed files, store bytes after)."""
-    changed = sum(
+def live_bytes(root: str) -> int:
+    """Bytes in MANIFEST-referenced bucket dirs only: the r14 layout
+    keeps superseded version dirs one batch for reader grace, so a
+    raw directory total would overstate the live store."""
+    import json as _json
+
+    total = 0
+    for sub in os.listdir(root):
+        store = os.path.join(root, sub)
+        mpath = os.path.join(store, "_STORE.json")
+        if not os.path.isfile(mpath):
+            continue
+        with open(mpath) as f:
+            meta = _json.load(f)
+        for k, v in meta["ver"].items():
+            d = os.path.join(store, f"b={int(k)}-v{v}")
+            for dp, _dn, fns in os.walk(d):
+                for fn in fns:
+                    try:
+                        total += os.stat(os.path.join(dp, fn)).st_size
+                    except OSError:
+                        pass
+    return total
+
+
+def bytes_written(before: dict, after: dict) -> int:
+    """Bytes in new/changed files — the batch's physical write set."""
+    return sum(
         sz for p, (sz, mt) in after.items() if before.get(p) != (sz, mt)
     )
-    total = sum(sz for sz, _mt in after.values())
-    return changed, total
 
 
 def touched_dirs(before: dict, after: dict) -> set[str]:
+    """Bucket dirs that gained new/changed files. r14 layout: a swap
+    materializes a NEW ``b=<bucket>-v<ver>`` version dir per touched
+    bucket (old versions stay in place for manifest-grace readers),
+    so counting distinct buckets among changed paths still measures
+    exactly the per-batch physical write set."""
     dirs = set()
     for p, v in after.items():
         if before.get(p) != v:
-            seg = [s for s in p.split(os.sep) if s.startswith("__b=")]
+            seg = [
+                s
+                for s in p.split(os.sep)
+                if s.startswith("b=") and "-v" in s
+            ]
             if seg:
-                dirs.add(p.split(os.sep)[-3] + "/" + seg[-1])
+                bucket = seg[-1].split("-v")[0]
+                dirs.add(p.split(os.sep)[-3] + "/" + bucket)
     return dirs
 
 
@@ -95,8 +128,7 @@ def main() -> None:
     t0 = time.time()
     sink(ev, 0)
     seed_s = round(time.time() - t0, 2)
-    inv = inventory(state)
-    store_bytes = sum(sz for sz, _ in inv.values())
+    store_bytes = live_bytes(state)
     print(f"# seeded in {seed_s}s, store={store_bytes} bytes", flush=True)
 
     # re-deliveries: same behavioral events, FRESH ids (so the merge
@@ -118,7 +150,8 @@ def main() -> None:
         sink(batch, 1)
         wall = round(time.time() - t0, 2)
         after = inventory(state)
-        wrote, total = bytes_written(before, after)
+        wrote = bytes_written(before, after)
+        total = live_bytes(state)
         dirs = touched_dirs(before, after)
         leg = {
             "touched_frac": frac_label,
@@ -133,7 +166,7 @@ def main() -> None:
         print(json.dumps(leg), flush=True)
 
     out = {
-        "probe": "bucketed_state_sink_io_r13",
+        "probe": "bucketed_state_sink_io_r14",
         "sf_dir": sf_dir,
         "n_buckets": n_buckets,
         "n_events": n_events,

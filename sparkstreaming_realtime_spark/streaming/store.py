@@ -18,8 +18,8 @@ This module bounds it with manifest-committed compaction:
 
     {"gen": 3,                       # compaction generation
      "upto": 57,                     # batch ids <= upto are folded
-     "segments": {"": ["seg-3"]},    # committed base, per sub-store
-     "gc": ["seg-2", "batch=41"]}    # stale dirs, grace-deferred
+     "segments": {"": ["seg=3"]},    # committed base, per sub-store
+     "gc": ["seg=2", "batch=41"]}    # stale dirs, grace-deferred
 
 - **Live view** = committed segments ∪ tail ``batch=<id>`` dirs with
   ``id > upto`` (:func:`store_parts`). Without a manifest this
@@ -152,10 +152,25 @@ def store_parts(
     resolve as partition columns; the ``batch`` column itself is
     dropped — segment frames never had it."""
     m = load_manifest(path) or {"upto": -1, "segments": {}}
-    parts = [
-        spark.read.parquet(os.path.join(path, seg))
-        for seg in m["segments"].get(sub, [])
-    ]
+    segs = [os.path.join(path, seg) for seg in m["segments"].get(sub, [])]
+    # ONE multi-path scan over all segments, not one relation per
+    # segment: a per-segment union adds planning cost linear in
+    # segment count (PROBE_r14 measured the penalty on the append-
+    # mode store), while a single FileScan over N roots plans once.
+    # Segment dirs are k=v-named (``seg=<gen>``) precisely so the
+    # basePath-anchored read parses them as one consistent partition
+    # layer (a non-k=v root name here raises
+    # CONFLICTING_DIRECTORY_STRUCTURES); the synthetic ``seg`` column
+    # is dropped like the tail's ``batch``.
+    parts = []
+    if segs:
+        reader = spark.read
+        if use_base_path:
+            reader = reader.option("basePath", path)
+        sdf = reader.parquet(*segs)
+        if use_base_path and "seg" in sdf.columns:
+            sdf = sdf.drop("seg")
+        parts.append(sdf)
     tail = _tail_dirs(path, m["upto"], sub)
     if tail:
         reader = spark.read
@@ -210,7 +225,7 @@ def compact_additive(
     if len(ids) < compact_every:
         return False
     gen = m["gen"] + 1
-    seg_root = f"seg-{gen}"
+    seg_root = f"seg={gen}"
     # a crashed previous attempt at THIS generation is garbage the
     # old manifest never referenced — rebuild from scratch
     shutil.rmtree(os.path.join(path, seg_root), ignore_errors=True)

@@ -71,7 +71,7 @@ def test_rollup_compaction_preserves_sums_and_bounds_dirs(spark, tmp_path):
     m = load_manifest(path)
     assert m is not None and m["upto"] >= 3
     # fold mode keeps exactly ONE segment
-    assert m["segments"][""] == [f"seg-{m['gen']}"]
+    assert m["segments"][""] == [f"seg={m['gen']}"]
     # every on-disk batch dir at or below the fold line is exactly a
     # gc-pending dir (deferred one interval for reader grace) — none
     # is silently orphaned
@@ -85,7 +85,7 @@ def test_rollup_compaction_preserves_sums_and_bounds_dirs(spark, tmp_path):
         assert os.path.exists(os.path.join(path, d))
     # ...and dirs folded TWO rounds ago are gone
     assert not os.path.exists(os.path.join(path, "batch=0"))
-    assert not os.path.exists(os.path.join(path, "seg-0"))
+    assert not os.path.exists(os.path.join(path, "seg=0"))
 
 
 def test_rollup_replay_after_compaction_is_idempotent(spark, tmp_path):
@@ -111,9 +111,9 @@ def test_compaction_crash_before_publish_rebuilds(spark, tmp_path):
     for b in range(3):
         sink(_rollup_fixture(spark, b), b)
     assert load_manifest(path) is None  # ids [0,1] < 3: no fold yet
-    # simulate a crashed first fold: junk where seg-0 would land
-    junk = os.path.join(path, "seg-0", "part-junk")
-    os.makedirs(os.path.join(path, "seg-0"), exist_ok=True)
+    # simulate a crashed first fold: junk where seg=0 would land
+    junk = os.path.join(path, "seg=0", "part-junk")
+    os.makedirs(os.path.join(path, "seg=0"), exist_ok=True)
     with open(junk, "w") as f:
         f.write("not parquet")
     assert _got_rollup(spark, path) == _expected_rollup(3)  # reads OK
@@ -157,7 +157,7 @@ def test_raw_sink_compaction_keeps_dt_layout_and_rows(spark, tmp_path):
         )
         sink(df, b)
         keys += [f"r{b}_{i}" for i in range(4)]
-    seg0 = os.path.join(path, "seg-0")
+    seg0 = os.path.join(path, "seg=0")
     stamp = os.path.getmtime(seg0)
     for b in range(4, 7):
         df = spark.createDataFrame(
@@ -207,7 +207,7 @@ def test_bm25_compaction_matches_one_shot(spark, tmp_path):
         (r["doc_id"], r["bm25"]) for r in want
     ]
     m = load_manifest(path)
-    assert m["segments"]["stats"] == [f"seg-{m['gen']}/stats"]  # folded
+    assert m["segments"]["stats"] == [f"seg={m['gen']}/stats"]  # folded
     assert len(m["segments"]["postings"]) >= 2  # append-mode tiers
 
 

@@ -121,12 +121,55 @@ def reset_sink(path: str) -> None:
         shutil.rmtree(path)
 
 
-#: default bucket count for hash-bucketed state stores. Test-scale
-#: value; at production scale size B so one bucket is a sane parquet
-#: partition (B ≈ store_bytes / 128 MB..1 GB) — per-batch I/O is then
-#: O(touched_buckets × bucket_size), independent of store size once
-#: B exceeds the touched-key count of a batch.
+#: fallback bucket count for hash-bucketed state stores when a
+#: caller pins one explicitly. The DEFAULT path (``n_buckets=None``)
+#: instead SIZES the store at creation — see :func:`_auto_buckets` —
+#: because any fixed knob is wrong off its scale (the
+#: FIXED_KNOB_GUARD_N lesson, similarity.py): 32 buckets on a 100 TB
+#: store means 3 TB rewrites per touched key.
 STATE_BUCKETS = 32
+
+#: auto-sizing targets (:func:`_auto_buckets`). A bucket should be a
+#: normal parquet partition at steady state — per-batch I/O is then
+#: O(touched_keys × target), independent of store size.
+AUTO_BUCKET_TARGET_BYTES = 128 * 2**20
+#: batch-0 volume understates steady-state store size (a stream
+#: accumulates state long after its first micro-batch; only when the
+#: first batch is a seed/backfill are they close). Oversizing is the
+#: cheap direction — buckets beyond the live key count simply never
+#: materialize (a dir exists only when keys hash into it, so the
+#: store degenerates gracefully toward one-dir-per-key), while
+#: undersizing loses the touched-bucket economics until a manual
+#: re-hash — so bias up.
+AUTO_BUCKET_HEADROOM = 8
+#: JSON text overstates parquet-on-disk (columnar + snappy) — the
+#: estimator divides by this before applying the headroom.
+AUTO_BUCKET_JSON_DEFLATION = 4
+#: clamps: enough buckets that even a tiny store keeps per-key
+#: pruning, and a ceiling past which a real table format (row-level
+#: MERGE, manifest-tracked files) is the honest answer — 65536 ×
+#: 128 MB ≈ 8 TB of addressable state per store.
+AUTO_BUCKET_MIN = 8
+AUTO_BUCKET_MAX = 65536
+
+
+def _auto_buckets(sizing: DataFrame) -> int:
+    """Size a NEW bucketed store from its batch-0 state frame: one
+    aggregate estimates the frame's serialized bytes
+    (``octet_length(to_json(struct(*)))`` — no second write, no plan
+    statistics guesswork), deflates JSON→parquet, applies the
+    documented headroom, and targets :data:`AUTO_BUCKET_TARGET_BYTES`
+    per bucket. Runs exactly once per store lifetime (the result is
+    pinned in the store manifest); replays of batch 0 re-derive the
+    same value from the same rows."""
+    import math
+
+    est = sizing.agg(
+        F.sum(F.octet_length(F.to_json(F.struct(*sizing.columns))))
+    ).collect()[0][0]
+    par = (est or 0) / AUTO_BUCKET_JSON_DEFLATION
+    raw = math.ceil(par * AUTO_BUCKET_HEADROOM / AUTO_BUCKET_TARGET_BYTES)
+    return max(AUTO_BUCKET_MIN, min(AUTO_BUCKET_MAX, raw))
 
 
 def _bucket_of(n_buckets: int, *cols) -> "F.Column":
@@ -182,15 +225,25 @@ def _publish_bucket_meta(path: str, meta: dict) -> None:
     os.replace(tmp, os.path.join(path, _STORE_META))
 
 
-def _bucket_meta(path: str, n_buckets: int) -> dict:
+def _bucket_meta(
+    path: str, n_buckets: int | None, sizing: DataFrame | None = None
+) -> dict:
     """Load-or-init the store manifest, enforcing the persisted
     bucket count: the layout is a pure function of ``n_buckets``, so
     reopening with a different value would scatter each key's state
-    across two incompatible hash layouts — refuse loudly."""
+    across two incompatible hash layouts — refuse loudly.
+
+    ``n_buckets=None`` (the default on every bucketed sink) means
+    *adopt*: an existing store keeps its manifest value, a NEW store
+    sizes itself from ``sizing`` (its batch-0 state frame) via
+    :func:`_auto_buckets`. An explicit value is a pin — it still
+    raises on reopen mismatch."""
     meta = _load_bucket_meta(path)
     if meta is None:
+        if n_buckets is None:
+            n_buckets = _auto_buckets(sizing)
         return {"n_buckets": int(n_buckets), "ver": {}, "gc": []}
-    if int(meta["n_buckets"]) != int(n_buckets):
+    if n_buckets is not None and int(meta["n_buckets"]) != int(n_buckets):
         raise ValueError(
             f"bucketed store {path} was created with "
             f"n_buckets={meta['n_buckets']}; reopening with "
@@ -374,7 +427,7 @@ def _semi_on_user(df: DataFrame, touched: DataFrame, how: str) -> DataFrame:
 def dim_upsert_sink(
     path: str,
     ord_cols: tuple[str, ...] = ("ts_ms", "event_id"),
-    n_buckets: int = STATE_BUCKETS,
+    n_buckets: int | None = None,
 ):
     """K4's streaming binding: maintain a last-write-wins dim snapshot
     across micro-batches — the engine's replacement for the per-row
@@ -406,7 +459,6 @@ def dim_upsert_sink(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover_buckets(path)
-        meta = _bucket_meta(path, n_buckets)
         cols = ["table", "id", "data", "op", *ord_cols]
         incoming = batch_df.select(
             "table",
@@ -414,7 +466,12 @@ def dim_upsert_sink(
             "data",
             "op",
             *[F.col(c) for c in ord_cols],
-        ).withColumn("__b", _bucket_of(n_buckets, "table", "id"))
+        )
+        meta = _bucket_meta(path, n_buckets, sizing=incoming)
+        nb = meta["n_buckets"]
+        incoming = incoming.withColumn(
+            "__b", _bucket_of(nb, "table", "id")
+        )
         buckets = _touched_buckets(incoming)
         if not buckets:
             return
@@ -437,7 +494,7 @@ def dim_upsert_sink(
             snap.join(keep_ord, ["table", "id"])
             .withColumn("op", F.lit("U"))
             .select(*cols)
-            .withColumn("__b", _bucket_of(n_buckets, "table", "id"))
+            .withColumn("__b", _bucket_of(nb, "table", "id"))
         )
         _swap_buckets(out, path, buckets, meta)
 
@@ -454,7 +511,7 @@ def read_dim_snapshot(spark, path: str) -> DataFrame:
 def scd2_sink(
     path: str,
     ord_cols: tuple[str, ...] = ("ts_ms", "event_id"),
-    n_buckets: int = STATE_BUCKETS,
+    n_buckets: int | None = None,
 ):
     """Streaming SCD type-2 maintenance: keep the full versioned dim
     history (``operators.cdc.scd2_history``'s contract) current across
@@ -491,7 +548,6 @@ def scd2_sink(
     def write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover_buckets(path)
-        meta = _bucket_meta(path, n_buckets)
         state_cols = ["table", "id", "data", "op", *ord_cols,
                       "version", "valid_from", "valid_to", "is_current"]
         write_cols = ["table", "id", "data", "op", *ord_cols]
@@ -502,13 +558,18 @@ def scd2_sink(
             "data",
             "op",
             *[F.col(c) for c in ord_cols],
-        ).withColumn("__b", _bucket_of(n_buckets, "table", "id"))
+        )
+        meta = _bucket_meta(path, n_buckets, sizing=incoming)
+        nb = meta["n_buckets"]
+        incoming = incoming.withColumn(
+            "__b", _bucket_of(nb, "table", "id")
+        )
         buckets = _touched_buckets(incoming)
         if not buckets:
             return
         if _has_buckets(path):
             prior = _read_buckets(spark, path, buckets).withColumn(
-                "__b", _bucket_of(n_buckets, "table", "id")
+                "__b", _bucket_of(nb, "table", "id")
             )
             touched = incoming.select("table", "id").distinct().select(
                 F.col("table").alias("__tt"), F.col("id").alias("__ti")
@@ -540,7 +601,7 @@ def scd2_sink(
                 "is_current", F.col("valid_to").isNull().cast("int")
             )
             .select(*state_cols)
-            .withColumn("__b", _bucket_of(n_buckets, "table", "id"))
+            .withColumn("__b", _bucket_of(nb, "table", "id"))
         )
         out = (
             recomputed
@@ -784,7 +845,7 @@ def funnel_sink(
     type_col: str = "event_type",
     ts_col: str = "event_time",
     id_col: str = "event_id",
-    n_buckets: int = STATE_BUCKETS,
+    n_buckets: int | None = None,
 ):
     """Incremental ORDERED-funnel maintenance: keep the per-user
     first-touch completion times (operators/funnel.py:funnel_times)
@@ -834,8 +895,6 @@ def funnel_sink(
         spark = batch_df.sparkSession
         _recover_buckets(ev_path)
         _recover_buckets(t_path)
-        ev_meta = _bucket_meta(ev_path, n_buckets)
-        t_meta = _bucket_meta(t_path, n_buckets)
         incoming = batch_df.filter(
             F.col(type_col).isin(list(stages))
         ).select(
@@ -843,14 +902,21 @@ def funnel_sink(
             F.col(type_col).alias("__type"),
             F.col(ts_col).alias("__ts"),
             F.col(id_col).alias("__id"),
-        ).withColumn("__b", _bucket_of(n_buckets, "__u"))
+        )
+        # the events store sizes (or pins) B; the times store adopts
+        # the SAME resolved value — both are keyed by user, and the
+        # two sub-stores must share one hash layout
+        ev_meta = _bucket_meta(ev_path, n_buckets, sizing=incoming)
+        nb = ev_meta["n_buckets"]
+        t_meta = _bucket_meta(t_path, nb)
+        incoming = incoming.withColumn("__b", _bucket_of(nb, "__u"))
         buckets = _touched_buckets(incoming)
         if not buckets:
             return
         if _has_buckets(ev_path):
             merged = (
                 _read_buckets(spark, ev_path, buckets)
-                .withColumn("__b", _bucket_of(n_buckets, "__u"))
+                .withColumn("__b", _bucket_of(nb, "__u"))
                 .unionByName(incoming)
                 .dropDuplicates(["__id"])
             )
@@ -869,10 +935,10 @@ def funnel_sink(
         recomputed = funnel_times(
             _semi_on_user(store, touched, "left_semi"),
             list(stages), user_col="__u", type_col="__type", ts_col="__ts",
-        ).withColumn("__b", _bucket_of(n_buckets, "__u"))
+        ).withColumn("__b", _bucket_of(nb, "__u"))
         if _has_buckets(t_path):
             prior = _read_buckets(spark, t_path, buckets).withColumn(
-                "__b", _bucket_of(n_buckets, "__u")
+                "__b", _bucket_of(nb, "__u")
             )
             out = _semi_on_user(prior, touched, "left_anti").unionByName(
                 recomputed
@@ -942,7 +1008,7 @@ def transition_sink(
     type_col: str = "event_type",
     ts_col: str = "event_time",
     id_col: str = "event_id",
-    n_buckets: int = STATE_BUCKETS,
+    n_buckets: int | None = None,
 ):
     """Incremental Markov-transition maintenance: keep the per-user
     (from_event, to_event) counts (operators/funnel.py:
@@ -978,21 +1044,24 @@ def transition_sink(
         spark = batch_df.sparkSession
         _recover_buckets(ev_path)
         _recover_buckets(p_path)
-        ev_meta = _bucket_meta(ev_path, n_buckets)
-        p_meta = _bucket_meta(p_path, n_buckets)
         incoming = batch_df.select(
             F.col(user_col).alias("__u"),
             F.col(type_col).alias("__type"),
             F.col(ts_col).alias("__ts"),
             F.col(id_col).alias("__id"),
-        ).withColumn("__b", _bucket_of(n_buckets, "__u"))
+        )
+        # events sizes (or pins) B; pairs adopts the same layout
+        ev_meta = _bucket_meta(ev_path, n_buckets, sizing=incoming)
+        nb = ev_meta["n_buckets"]
+        p_meta = _bucket_meta(p_path, nb)
+        incoming = incoming.withColumn("__b", _bucket_of(nb, "__u"))
         buckets = _touched_buckets(incoming)
         if not buckets:
             return
         if _has_buckets(ev_path):
             merged = (
                 _read_buckets(spark, ev_path, buckets)
-                .withColumn("__b", _bucket_of(n_buckets, "__u"))
+                .withColumn("__b", _bucket_of(nb, "__u"))
                 .unionByName(incoming)
                 .dropDuplicates(["__id"])
             )
@@ -1009,10 +1078,10 @@ def transition_sink(
             type_col="__type",
             ts_col="__ts",
             order_col="__id",
-        ).withColumn("__b", _bucket_of(n_buckets, "__u"))
+        ).withColumn("__b", _bucket_of(nb, "__u"))
         if _has_buckets(p_path):
             prior = _read_buckets(spark, p_path, buckets).withColumn(
-                "__b", _bucket_of(n_buckets, "__u")
+                "__b", _bucket_of(nb, "__u")
             )
             out = _semi_on_user(prior, touched, "left_anti").unionByName(
                 recomputed

@@ -600,9 +600,15 @@ def test_snapshot_swap_survives_crash_between_renames(spark, tmp_path):
     } | set(meta2["gc"])
     on_disk = {d for d in os.listdir(hist) if d.startswith("b=")}
     assert on_disk <= referenced
+    # the auto-sized bucket count (tiny fixture -> the floor) is
+    # pinned in the manifest and survives crash recovery
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        AUTO_BUCKET_MIN,
+    )
+
     assert json.loads(
         open(os.path.join(hist, "_STORE.json")).read()
-    )["n_buckets"] == 32
+    )["n_buckets"] == AUTO_BUCKET_MIN
 
 
 def test_quality_gate_sink_routes_batches_by_verdict(spark, tmp_path):
@@ -1266,3 +1272,45 @@ def test_bucketed_store_pins_n_buckets(spark, tmp_path):
     # the refused write changed nothing
     got = read_dim_snapshot(spark, snap).select("table", "id").collect()
     assert [(r["table"], r["id"]) for r in got] == [("user_info", "1")]
+
+
+def test_auto_bucket_sizing_scales_with_state(spark, tmp_path, monkeypatch):
+    """Default n_buckets=None sizes a NEW store from its batch-0
+    state volume (VERDICT r13 #3: a fixed B=32 means 3 TB buckets on
+    a 100 TB store) and pins the choice in the manifest; reopening
+    with the default ADOPTS the persisted value."""
+    from sparkstreaming_realtime_spark.streaming import sinks as sk
+
+    def mk(path):
+        return sk.dim_upsert_sink(str(tmp_path / path))
+
+    def meta_b(path):
+        return sk._load_bucket_meta(str(tmp_path / path))["n_buckets"]
+
+    tiny = spark.createDataFrame(
+        [("user_info", '{"id":1,"v":1}', "I", 1000, 1)], CDC_SCHEMA
+    )
+    big = spark.createDataFrame(
+        [("user_info", '{"id":%d,"v":%d}' % (i, i), "I", 1000 + i, i)
+         for i in range(400)],
+        CDC_SCHEMA,
+    )
+    # production target: a tiny batch clamps to the floor
+    mk("small")(tiny, 0)
+    assert meta_b("small") == sk.AUTO_BUCKET_MIN
+    # shrink the per-bucket target so the sf-test volume exercises
+    # the sizing math: more state -> more buckets, clamped
+    monkeypatch.setattr(sk, "AUTO_BUCKET_TARGET_BYTES", 256)
+    mk("sized")(big, 0)
+    b_sized = meta_b("sized")
+    assert b_sized > sk.AUTO_BUCKET_MIN
+    assert b_sized <= sk.AUTO_BUCKET_MAX
+    # the choice is pinned: a second batch under the DEFAULT adopts
+    # the manifest value even though the target constant changed back
+    monkeypatch.setattr(sk, "AUTO_BUCKET_TARGET_BYTES", 128 * 2**20)
+    mk("sized")(tiny, 1)
+    assert meta_b("sized") == b_sized
+    # ...and the state is intact across the adopt (tiny's id=1
+    # upserts over big's — same key count)
+    got = sk.read_dim_snapshot(spark, str(tmp_path / "sized"))
+    assert got.count() == 400

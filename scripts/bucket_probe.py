@@ -165,6 +165,65 @@ def main() -> None:
         legs.append(leg)
         print(json.dumps(leg), flush=True)
 
+    # --- auto-sized comparison (VERDICT r13 #3 done-criterion) ---
+    # rebuild the store with n_buckets=None under a scaled-down
+    # per-bucket target (the sf0.1 corpus is ~2.5 MB of state; the
+    # production 128 MB target would clamp to the floor — shrinking
+    # the target reproduces the store/target RATIO a production
+    # store has, which is what the sizing math acts on), then
+    # re-measure the sparse legs: touched-ratio should improve on
+    # B=<fixed> because auto picks B from state size.
+    auto_target = int(sys.argv[3]) if len(sys.argv) > 3 else 32768
+    auto = None
+    if auto_target:
+        from sparkstreaming_realtime_spark.streaming import sinks as sk
+
+        sk.AUTO_BUCKET_TARGET_BYTES = auto_target
+        state2 = os.path.join(root, "state_auto")
+        sink2 = transition_sink(state2)  # n_buckets=None: auto
+        print(f"# seeding auto-sized store (target={auto_target}B)",
+              flush=True)
+        t0 = time.time()
+        sink2(ev, 0)
+        auto_seed_s = round(time.time() - t0, 2)
+        auto_b = sk._load_bucket_meta(
+            os.path.join(state2, "events")
+        )["n_buckets"]
+        auto_legs = []
+        base2 = 900_000_000
+        for frac_label, cond in [
+            ("~0.4%", F.col("user_id") % 256 == 0),
+            ("1 user", F.col("user_id") == 42),
+        ]:
+            batch = ev.filter(cond).withColumn(
+                "event_id",
+                (F.col("event_id") + F.lit(base2)).cast("long"),
+            )
+            base2 += 10_000_000
+            before = inventory(state2)
+            t0 = time.time()
+            sink2(batch, 1)
+            wall = round(time.time() - t0, 2)
+            after = inventory(state2)
+            wrote = bytes_written(before, after)
+            total = live_bytes(state2)
+            leg = {
+                "touched_frac": frac_label,
+                "touched_bucket_dirs": len(touched_dirs(before, after)),
+                "bytes_written": wrote,
+                "write_ratio": round(wrote / max(total, 1), 4),
+                "wall_s": wall,
+            }
+            auto_legs.append(leg)
+            print(json.dumps(leg), flush=True)
+        auto = {
+            "auto_target_bytes": auto_target,
+            "auto_n_buckets": auto_b,
+            "seed_wall_s": auto_seed_s,
+            "store_bytes": live_bytes(state2),
+            "legs": auto_legs,
+        }
+
     out = {
         "probe": "bucketed_state_sink_io_r14",
         "sf_dir": sf_dir,
@@ -174,6 +233,7 @@ def main() -> None:
         "seed_wall_s": seed_s,
         "seed_store_bytes": store_bytes,
         "legs": legs,
+        "auto_sized": auto,
     }
     print(json.dumps(out))
     import shutil

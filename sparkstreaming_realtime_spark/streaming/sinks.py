@@ -1177,7 +1177,9 @@ def _bm25_stats_fold(df: DataFrame) -> DataFrame:
 #: append-mode — immutable segments, no rewrite of prior postings;
 #: the one-row stats frames fold additively.
 _BM25_FOLDS = {
-    "postings": SubFold(),
+    # append-mode consolidation re-clusters the folded tail by term,
+    # so compacted segments prune exactly like fresh batches
+    "postings": SubFold(range_by="term"),
     "doclen": SubFold(),
     "stats": SubFold(fold=_bm25_stats_fold),
 }
@@ -1206,29 +1208,63 @@ def bm25_index_sink(path: str, id_col: str = "doc_id",
     the additive stats rows: the merged index is exactly the one-shot
     corpus index at any batch split. Per-batch work is O(batch
     tokens); a query (:func:`read_bm25_index`) filters the merged
-    postings to its terms (predicate pushdown — at production scale,
-    term-bucketed postings) and reuses the one-shot scorer verbatim,
-    so serving cost never re-reads document text."""
+    postings to its terms and reuses the one-shot scorer verbatim,
+    so serving cost never re-reads document text.
+
+    Postings are TERM-CLUSTERED (r14): each batch range-partitions
+    its postings by ``term`` and sorts within files, so every
+    parquet row group carries a tight ``[min_term, max_term]``
+    stat and a query's ``term IN (...)`` predicate pushes down to
+    row-group skipping — the partition-pruning half of an inverted
+    index on plain parquet, with no directory layout, persisted
+    bucket count, or reopen trap (term order is a property of each
+    file independently, so batches, replays, and compacted segments
+    compose freely; file count per batch sizes from the batch's
+    postings volume and may vary batch-to-batch)."""
     from ..functions.text import tokenize
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        import math
+
         toked = batch_df.select(
             F.col(id_col).alias("doc_id"),
             tokenize(text_col).alias("__toks"),
         )
         base = f"{path}/batch={batch_id}"
         dl = toked.select("doc_id", F.size("__toks").alias("dl"))
+        # one collected aggregate serves double duty: the additive
+        # stats row (written below as a literal frame — cheaper than
+        # the full re-tokenize the old stats write ran) and the
+        # postings file-count sizing (sum_dl upper-bounds distinct
+        # (doc, term) rows; ~16 parquet bytes per posting)
+        srow = dl.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_dl"),
+        ).collect()[0]
+        nf = max(
+            1,
+            min(
+                4096,
+                math.ceil(
+                    int(srow["sum_dl"]) * 16 / AUTO_BUCKET_TARGET_BYTES
+                ),
+            ),
+        )
         (
             toked.select("doc_id", F.explode("__toks").alias("term"))
             .groupBy("doc_id", "term")
             .agg(F.count("*").alias("tf"))
+            .repartitionByRange(nf, "term")
+            .sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(f"{base}/postings")
         )
         dl.write.mode("overwrite").parquet(f"{base}/doclen")
-        dl.agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("dl").cast("bigint").alias("sum_dl"),
+        batch_df.sparkSession.createDataFrame(
+            [(int(srow["n_docs"]), int(srow["sum_dl"]))],
+            "n_docs bigint, sum_dl bigint",
         ).write.mode("overwrite").parquet(f"{base}/stats")
         if compact_every:
             compact_additive(
@@ -1260,6 +1296,10 @@ def read_bm25_index(
     if not query_terms:
         raise ValueError("read_bm25_index needs at least one query term")
     terms = sorted({t.lower() for t in query_terms})
+    # the postings files are term-clustered (range-partitioned +
+    # sorted at write), so this IN predicate pushes down to parquet
+    # row-group skipping — the scan touches only the files/row
+    # groups whose [min_term, max_term] stats intersect the query
     tf = read_additive(spark, path, "postings").filter(
         F.col("term").isin(terms)
     )

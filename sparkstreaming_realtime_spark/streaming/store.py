@@ -84,6 +84,9 @@ class SubFold:
     tail into a new segment, prior segments carry over untouched.
     ``partition_by``: re-partition the segment by this column when
     present (the raw sink's ``dt`` layout survives compaction).
+    ``range_by``: range-partition + sort the segment files by this
+    column (the BM25 postings' term clustering survives compaction,
+    so min/max row-group stats keep pruning on the compacted base).
     ``use_base_path``: read the tail with ``basePath`` so partition
     columns below ``batch=<id>`` (e.g. ``dt=``) resolve; the
     synthetic ``batch`` column is dropped before writing.
@@ -91,6 +94,7 @@ class SubFold:
 
     fold: Optional[Callable[[DataFrame], DataFrame]] = None
     partition_by: Optional[str] = None
+    range_by: Optional[str] = None
     use_base_path: bool = False
 
 
@@ -267,6 +271,11 @@ def compact_additive(
             new_segments[sub] = [out_rel]
             next_gc.extend(prior)
         writer = out_df.write.mode("overwrite")
+        if spec.range_by and spec.range_by in out_df.columns:
+            out_df = out_df.repartitionByRange(
+                spec.range_by
+            ).sortWithinPartitions(spec.range_by)
+            writer = out_df.write.mode("overwrite")
         if spec.partition_by and spec.partition_by in out_df.columns:
             # co-locate each partition value before partitionBy —
             # writing straight off a many-task plan emits

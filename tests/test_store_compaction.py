@@ -258,3 +258,52 @@ def test_quality_gate_accepted_store_compacts_with_gaps(spark, tmp_path):
     assert load_manifest(os.path.join(path, "accepted")) is not None
     # verdicts remain one-per-batch (the audit log is never folded)
     assert len(os.listdir(os.path.join(path, "verdicts"))) == 7
+
+
+def test_bm25_postings_are_term_clustered(spark, tmp_path, monkeypatch):
+    """The postings files are range-partitioned + sorted by term, so
+    a query's IN predicate reaches parquet as a pushed filter and
+    row-group min/max stats can skip non-matching files: per-file
+    term ranges must be pairwise disjoint, and the pushdown must
+    appear in the physical plan."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        bm25_index_sink,
+        read_bm25_index,
+    )
+
+    from sparkstreaming_realtime_spark.streaming import sinks as sk
+
+    # shrink the per-file target so the test corpus spans several
+    # range partitions (production: 128 MB files)
+    monkeypatch.setattr(sk, "AUTO_BUCKET_TARGET_BYTES", 4096)
+    path = str(tmp_path / "bm25")
+    sink = bm25_index_sink(path, compact_every=0)
+    # enough distinct terms to spread over several range partitions
+    docs = [
+        (i, " ".join(f"term{j:03d}" for j in range(i % 40, i % 40 + 12)))
+        for i in range(200)
+    ]
+    sink(spark.createDataFrame(docs, "doc_id long, text string"), 0)
+    files = g.glob(f"{path}/batch=0/postings/part-*.parquet")
+    ranges = []
+    for fp in files:
+        r = (
+            spark.read.parquet(fp)
+            .agg(F.min("term"), F.max("term"))
+            .collect()[0]
+        )
+        if r[0] is not None:
+            ranges.append((r[0], r[1]))
+    ranges.sort()
+    assert len(ranges) >= 2  # the clustering actually split by range
+    for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: stats-based skipping works
+    plan = read_bm25_index(
+        spark, path, ["term005", "term017"], k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "In(term" in plan.replace(" ", "")

@@ -221,6 +221,13 @@ HEADLINE = [
     # sets, distinct-over-union + the shared fold at read; same
     # oracle as user_retention_cohorts)
     "streaming_retention_parity",
+    # r14: hybrid retrieval — exact-integer reciprocal-rank fusion of
+    # the BM25 and brute-cosine top-10s, and its end-to-end twin
+    # serving BOTH branches from streaming-maintained stores
+    # (term-clustered BM25 index + idempotent embeddings store, each
+    # compacted mid-run; same oracle)
+    "doc_hybrid_rrf_search",
+    "streaming_hybrid_rrf_parity",
 ]
 
 #: queries that build a PERSISTED per-(session, sf) index on first

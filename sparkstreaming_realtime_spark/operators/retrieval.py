@@ -200,3 +200,63 @@ def match_phrase_docs(
         occ.filter(F.col("n_occurrences") > 0)
         .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
     )
+
+
+#: RRF constant (Cormack/Clarke/Buettcher 2009's k=60 — the value
+#: Elasticsearch's ``rrf`` retriever also defaults to) and the
+#: integer scale that keeps fused scores exact: contributions are
+#: SCALE div (k + rank), a BIGINT floor division both engines
+#: compute identically — no float summation order to disagree on.
+RRF_K = 60
+RRF_SCALE = 1_000_000_000_000
+
+
+def rrf_fuse(
+    branches: list[tuple[str, DataFrame, str, list]],
+    k: int = RRF_K,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of already-ranked retrieval branches —
+    hybrid search's standard combinator (Cormack et al. 2009; the
+    reference's ES surface grew the same ``rrf`` retriever for
+    combining its ``match`` ranking with vector hits).
+
+    ``branches``: (name, frame, id_col, order_exprs) per branch — a
+    TOP-K list each (the lexical/vector probe already pruned it), so
+    every frame here is k rows and the fusion runs at driver scale;
+    the single-partition ``row_number`` window is the correct tool
+    on a k-row frame, not a scale hazard. Ranks join full-outer on
+    the id (a doc ranked by one branch only still scores), and the
+    fused score is Σ SCALE div (k + rank_b) — exact integers, so
+    Spark and any SQL oracle agree bit-for-bit. Returns
+    (id, rank_<name>..., rrf_micro) ordered (rrf_micro desc, id),
+    limit ``topk``."""
+    from pyspark.sql import Window
+
+    fused = None
+    for name, df, id_col, order in branches:
+        w = Window.orderBy(*order)
+        ranked = df.select(
+            F.col(id_col).alias("id"),
+            F.row_number().over(w).cast("bigint").alias(f"rank_{name}"),
+        )
+        fused = (
+            ranked
+            if fused is None
+            else fused.join(ranked, "id", "full_outer")
+        )
+    contrib = [
+        F.coalesce(
+            F.expr(f"{RRF_SCALE} div ({k} + rank_{name})"),
+            F.lit(0).cast("bigint"),
+        )
+        for name, _df, _id, _o in branches
+    ]
+    score = contrib[0]
+    for c in contrib[1:]:
+        score = score + c
+    return (
+        fused.withColumn("rrf_micro", score.cast("bigint"))
+        .orderBy(F.desc("rrf_micro"), F.asc("id"))
+        .limit(topk)
+    )

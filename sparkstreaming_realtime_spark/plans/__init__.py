@@ -345,7 +345,11 @@ _PRIORITY = [
     # emb_cells_arrow_assign rotated to the tail — green r8-r10 /
     # r9-r10; dedup keeps four in-window rows, the Arrow matmul path
     # stays pytest-pinned and in the r9-r10 green union)
-    "doc_lang_distinct_sketch", "streaming_anomaly_parity",
+    # (doc_lang_distinct_sketch rotated to the tail r14 for the NEW
+    # hybrid RRF search — green r11s2-r13; the KMV family keeps
+    # doc_shingle_distinct_sketch + streaming_distinct_sketch_parity
+    # in-window)
+    "streaming_anomaly_parity",
     # NEW r11 session 4: DDSketch quantiles — the mergeable
     # percentile member completing the sketch trio (batch + additive
     # streaming twin share one oracle; corpus_overlap_sketch and
@@ -365,7 +369,20 @@ _PRIORITY = [
     # the curation funnel, and keep-longest's tail union, and the
     # components loop stays pinned by tests + the clustered SemDeDup
     # rows' shared quantizer)
-    "events_winsorized_stats",
+    # (events_winsorized_stats rotated to the tail r14 for the NEW
+    # hybrid parity below — green r11s4-r13; the DDSketch family
+    # keeps events_value_ddsketch + streaming_ddsketch_parity
+    # in-window)
+    # NEW r14: hybrid retrieval — reciprocal-rank fusion (Cormack et
+    # al. 2009 k=60, the ES ``rrf`` retriever) of the exact BM25
+    # top-10 and the brute-cosine top-10, exact-integer
+    # SCALE div (k + rank) scores; and its end-to-end streaming twin,
+    # where BOTH branches serve from streaming-maintained stores
+    # (term-clustered BM25 index + idempotent embeddings store, each
+    # compacted mid-run) — same oracle, so the maintained indexes
+    # must reproduce the one-shot fusion bit-for-bit
+    "doc_hybrid_rrf_search",
+    "streaming_hybrid_rrf_parity",
     # tail (51+): green in earlier driver artifacts, still verified
     # every session by scripts/check_oracle.py (full registry) and
     # pytest. r13 displacements first: corpus_overlap_sketch (r11-r12),

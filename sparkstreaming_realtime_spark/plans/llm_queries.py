@@ -3281,6 +3281,155 @@ def streaming_bm25_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_bm25_index(spark, index, list(_BM25_TERMS), k=10)
 
 
+def _hybrid_rrf_oracle() -> str:
+    """Compose the two branch oracles verbatim (BM25 top-10, brute
+    cosine top-10) and fuse with exact-integer reciprocal-rank
+    contributions — DuckDB's ``//`` is the same BIGINT floor
+    division as Spark's ``div``."""
+    from ..operators import retrieval as _rt
+
+    return f"""
+WITH bm AS (SELECT * FROM ({_BM25_ORACLE}) t),
+bmr AS (SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                 AS rank_text
+        FROM bm),
+cosb AS (SELECT * FROM ({_TOPK_ORACLE}) t),
+cosr AS (SELECT vec_id AS doc_id,
+                row_number() OVER (ORDER BY cos DESC, vec_id)
+                  AS rank_vector
+         FROM cosb),
+f AS (SELECT coalesce(b.doc_id, c.doc_id) AS id,
+             b.rank_text, c.rank_vector,
+             (coalesce({_rt.RRF_SCALE} // ({_rt.RRF_K} + b.rank_text), 0)
+              + coalesce({_rt.RRF_SCALE} // ({_rt.RRF_K} + c.rank_vector), 0)
+             )::BIGINT AS rrf_micro
+      FROM bmr b FULL OUTER JOIN cosr c ON b.doc_id = c.doc_id)
+SELECT id, rank_text, rank_vector, rrf_micro
+FROM f ORDER BY rrf_micro DESC, id LIMIT 10
+"""
+
+
+@register(
+    "doc_hybrid_rrf_search",
+    oracle=_hybrid_rrf_oracle(),
+    tags=("LLM", "text", "retrieval", "similarity"),
+)
+def doc_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    top-10 (doc_bm25_search's exact branch) with the vector cosine
+    top-10 vs the vec_id=0 query embedding (emb_cosine_topk's exact
+    branch) — the ES ``rrf`` retriever's semantics
+    (operators/retrieval.py:rrf_fuse; Cormack et al. 2009, k=60)
+    over the engine's own two index families. Both branches arrive
+    top-k-pruned (term-clustered postings / TakeOrdered cosine), so
+    the fusion itself is a k-row full-outer join with exact-integer
+    SCALE div (k + rank) scores — no float summation to disagree
+    with the oracle. A doc ranked by only one branch still scores
+    (NULL rank on the other), matching hybrid search's union-of-
+    candidates contract."""
+    from ..operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = rt.bm25_search(docs, list(_BM25_TERMS), k=10)
+    q = sim.query_vector(emb, _QUERY_VEC_ID)
+    cos = sim.cosine_topk(emb, q, k=10, exclude_id=_QUERY_VEC_ID)
+    return rt.rrf_fuse(
+        [
+            ("text", bm, "doc_id",
+             [F.desc("bm25"), F.asc("doc_id")]),
+            ("vector", cos, "vec_id",
+             [F.desc("cos"), F.asc("vec_id")]),
+        ],
+        topk=10,
+    )
+
+
+@register(
+    "streaming_hybrid_rrf_parity",
+    oracle=_hybrid_rrf_oracle(),
+    tags=("LLM", "text", "retrieval", "similarity", "streaming"),
+)
+def streaming_hybrid_rrf_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hybrid RRF search served entirely from STREAMING-MAINTAINED
+    stores — the production shape of doc_hybrid_rrf_search: the
+    lexical branch reads the continuously-indexed BM25 store
+    (bm25_index_sink, term-clustered postings, compacted mid-run)
+    and the vector branch scans an embeddings store a stream
+    maintains through the idempotent sink (segments ∪ tail after a
+    mid-run fold), so neither branch ever re-reads source tables at
+    query time. Branch rankings hash-equal their one-shot twins
+    (the bm25/idempotent parity contracts), the fusion is the same
+    exact-integer rrf_fuse, and the oracle IS doc_hybrid_rrf_search's
+    oracle, unchanged."""
+    import os
+    import uuid
+
+    from ..materialize import engine_tmpdir
+    from ..operators import retrieval as rt
+    from ..streaming.pipelines import run_available_now
+    from ..streaming.sinks import (
+        bm25_index_sink,
+        idempotent_parquet_sink,
+        read_bm25_index,
+        read_sink,
+    )
+
+    root = engine_tmpdir("hybrid_parity_")
+
+    def streamed(src_df, src_name, sink, n_parts=4):
+        src = os.path.join(root, src_name)
+        src_df.repartition(n_parts).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+        )
+        q = run_available_now(
+            stream,
+            sink,
+            checkpoint=os.path.join(root, f"ckpt_{src_name}"),
+            query_name=f"hyb_{src_name}_" + uuid.uuid4().hex[:8],
+        )
+        q.awaitTermination()
+
+    index = os.path.join(root, "index")
+    streamed(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        "docs",
+        bm25_index_sink(index, compact_every=2),
+    )
+    emb_store = os.path.join(root, "emb")
+    streamed(
+        _t(spark, sf_dir, "embeddings"),
+        "emb",
+        idempotent_parquet_sink(
+            emb_store,
+            key_cols=("vec_id",),
+            partition_col=None,
+            compact_every=2,
+        ),
+    )
+    bm = read_bm25_index(spark, index, list(_BM25_TERMS), k=10)
+    emb = read_sink(spark, emb_store)
+    q = sim.query_vector(emb, _QUERY_VEC_ID)
+    cos = sim.cosine_topk(emb, q, k=10, exclude_id=_QUERY_VEC_ID)
+    return rt.rrf_fuse(
+        [
+            ("text", bm, "doc_id",
+             [F.desc("bm25"), F.asc("doc_id")]),
+            ("vector", cos, "vec_id",
+             [F.desc("cos"), F.asc("vec_id")]),
+        ],
+        topk=10,
+    )
+
+
 _BPE_ORACLE = rf"""
 SELECT lang,
        sum(len({_toks_sql("text")}))::BIGINT AS word_tokens,

@@ -31,8 +31,13 @@ This module bounds it with manifest-committed compaction:
   read cost becomes O(keys + tail), independent of stream lifetime.
 - **Append mode** (identity stores: raw rows, BM25 postings/doclen):
   compaction consolidates ONLY the tail into a new segment and never
-  rewrites prior segments — size-tiered, so total compaction work is
-  O(data), not the O(data²) a rewrite-the-world scheme would cost.
+  rewrites the whole store. Segments are SIZE-TIERED (r14): once
+  :data:`TIER_FANOUT` of them accumulate, the smallest ``fanout``
+  merge into one — the LSM leveling rule, so the segment count stays
+  O(fanout · log(data)) instead of growing one-per-generation with
+  stream lifetime, and each row is rewritten O(log_fanout(data))
+  times total, never the O(data²) a rewrite-the-world scheme would
+  cost.
 - **Exactly-once under replay**: only ids ``< batch_id`` fold.
   Structured Streaming runs epochs sequentially and replays at most
   the in-flight batch, so everything below the current id is
@@ -73,6 +78,23 @@ from pyspark.sql import DataFrame
 COMPACT_EVERY = 16
 
 _MANIFEST = "_MANIFEST.json"
+
+#: append-mode size-tiering fan-in: merge the smallest ``fanout``
+#: segments whenever at least this many exist. 8 keeps steady-state
+#: listing/planning at O(fanout · log) segments while each row is
+#: rewritten only O(log_8 data) times over the store's lifetime.
+TIER_FANOUT = 8
+
+
+def _dir_bytes(root: str) -> int:
+    total = 0
+    for dp, _dn, fns in os.walk(root):
+        for fn in fns:
+            try:
+                total += os.stat(os.path.join(dp, fn)).st_size
+            except OSError:
+                pass
+    return total
 
 
 @dataclass(frozen=True)
@@ -206,6 +228,26 @@ def read_additive(spark, path: str, sub: str = "") -> DataFrame:
     return out
 
 
+def _write_segment(path: str, rel: str, df: DataFrame, spec: SubFold) -> None:
+    """Write one segment dir applying the spec's layout contracts:
+    ``range_by`` re-clusters (range partition + in-file sort, so
+    min/max row-group stats keep pruning), ``partition_by``
+    co-locates each value before ``partitionBy`` (writing straight
+    off a many-task plan emits n_tasks × n_values tiny files)."""
+    writer = df.write.mode("overwrite")
+    if spec.range_by and spec.range_by in df.columns:
+        df = df.repartitionByRange(
+            spec.range_by
+        ).sortWithinPartitions(spec.range_by)
+        writer = df.write.mode("overwrite")
+    if spec.partition_by and spec.partition_by in df.columns:
+        df = df.repartition(spec.partition_by)
+        writer = df.write.mode("overwrite").partitionBy(
+            spec.partition_by
+        )
+    writer.parquet(os.path.join(path, rel))
+
+
 def compact_additive(
     spark,
     path: str,
@@ -230,9 +272,11 @@ def compact_additive(
         return False
     gen = m["gen"] + 1
     seg_root = f"seg={gen}"
-    # a crashed previous attempt at THIS generation is garbage the
-    # old manifest never referenced — rebuild from scratch
+    # a crashed previous attempt at THIS generation (tail segment or
+    # tier merge) is garbage the old manifest never referenced —
+    # rebuild from scratch
     shutil.rmtree(os.path.join(path, seg_root), ignore_errors=True)
+    shutil.rmtree(os.path.join(path, f"{seg_root}-m"), ignore_errors=True)
     # last round's dropped dirs have had a full compaction interval
     # of reader grace — reclaim them now
     for d in m.get("gc", []):
@@ -257,34 +301,51 @@ def compact_additive(
             tail_df = tail_df.drop("batch")
         prior = m["segments"].get(sub, [])
         if spec.fold is None:
-            # append mode: consolidate only the tail; prior segments
-            # are immutable (size-tiered — no O(data²) rewrites)
-            out_df = tail_df
-            new_segments[sub] = prior + [out_rel]
+            # append mode: consolidate only the tail into a new
+            # segment; prior segments stay immutable this step
+            _write_segment(path, out_rel, tail_df, spec)
+            segs = prior + [out_rel]
+            if len(segs) >= TIER_FANOUT:
+                # size-tiered merge (LSM leveling): fold the smallest
+                # ``fanout`` segments into one, so the segment count
+                # is bounded ~O(fanout · log data) instead of one-
+                # per-generation forever, and each row is rewritten
+                # only O(log_fanout data) times over the store's
+                # lifetime. Identity stores hold disjoint rows, so
+                # the merge is pure concatenation — answers cannot
+                # change, only layout.
+                sizes = sorted(
+                    (_dir_bytes(os.path.join(path, s)), s) for s in segs
+                )
+                merge = [s for _, s in sizes[:TIER_FANOUT]]
+                keep = [s for _, s in sizes[TIER_FANOUT:]]
+                m_rel = (
+                    f"{seg_root}-m/{sub}" if sub else f"{seg_root}-m"
+                )
+                mreader = spark.read
+                if spec.use_base_path:
+                    mreader = mreader.option("basePath", path)
+                mdf = mreader.parquet(
+                    *[os.path.join(path, s) for s in merge]
+                )
+                if spec.use_base_path:
+                    for c in ("batch", "seg"):
+                        if c in mdf.columns:
+                            mdf = mdf.drop(c)
+                _write_segment(path, m_rel, mdf, spec)
+                new_segments[sub] = keep + [m_rel]
+                next_gc.extend(merge)
+            else:
+                new_segments[sub] = segs
         else:
             merged = tail_df
             for s in prior:
                 merged = merged.unionByName(
                     spark.read.parquet(os.path.join(path, s))
                 )
-            out_df = spec.fold(merged)
+            _write_segment(path, out_rel, spec.fold(merged), spec)
             new_segments[sub] = [out_rel]
             next_gc.extend(prior)
-        writer = out_df.write.mode("overwrite")
-        if spec.range_by and spec.range_by in out_df.columns:
-            out_df = out_df.repartitionByRange(
-                spec.range_by
-            ).sortWithinPartitions(spec.range_by)
-            writer = out_df.write.mode("overwrite")
-        if spec.partition_by and spec.partition_by in out_df.columns:
-            # co-locate each partition value before partitionBy —
-            # writing straight off a many-task plan emits
-            # n_tasks × n_values tiny files
-            out_df = out_df.repartition(spec.partition_by)
-            writer = out_df.write.mode("overwrite").partitionBy(
-                spec.partition_by
-            )
-        writer.parquet(os.path.join(path, out_rel))
     next_gc.extend(f"batch={i}" for i in ids)
     _publish_manifest(
         path,

@@ -307,3 +307,53 @@ def test_bm25_postings_are_term_clustered(spark, tmp_path, monkeypatch):
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
     assert "In(term" in plan.replace(" ", "")
+
+
+def test_append_mode_segments_are_size_tiered(spark, tmp_path, monkeypatch):
+    """Append-mode segments must not grow one-per-generation forever
+    (that is lifetime growth one level up): once TIER_FANOUT exist,
+    the smallest fanout merge into one — segment count stays bounded,
+    rows stay intact, merged dirs get gc'd one interval later."""
+    from sparkstreaming_realtime_spark.streaming import store as st
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        idempotent_parquet_sink,
+        read_sink,
+    )
+
+    monkeypatch.setattr(st, "TIER_FANOUT", 3)
+    path = str(tmp_path / "raw")
+    sink = idempotent_parquet_sink(
+        path, key_cols=("k",), partition_col=None, compact_every=2
+    )
+    keys = []
+    n_batches = 16
+    for b in range(n_batches):
+        rows = [(f"r{b}_{i}", b) for i in range(4)]
+        sink(
+            spark.createDataFrame(rows, "k string, v long"), b
+        )
+        keys += [r[0] for r in rows]
+    m = load_manifest(path)
+    segs = m["segments"][""]
+    # ~8 generations of appends, fanout 3: the segment list stays
+    # bounded (merge collapses 3 -> 1 whenever it fills)
+    assert len(segs) <= 3
+    got = sorted(
+        r["k"] for r in read_sink(spark, path).select("k").collect()
+    )
+    assert got == sorted(keys)
+    # every on-disk seg dir is manifest-referenced or gc-pending
+    on_disk = {d for d in os.listdir(path) if d.startswith("seg=")}
+    referenced = {s.split("/")[0] for s in segs} | {
+        d.split("/")[0] for d in m["gc"] if d.startswith("seg=")
+    }
+    assert on_disk <= referenced
+    # replay of the last batch still overwrites cleanly post-merge
+    sink(
+        spark.createDataFrame(
+            [(f"r{n_batches - 1}_{i}", 99) for i in range(4)],
+            "k string, v long",
+        ),
+        n_batches - 1,
+    )
+    assert read_sink(spark, path).count() == len(keys)

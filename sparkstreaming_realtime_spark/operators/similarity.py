@@ -102,16 +102,14 @@ _SEED_PREFIX = "ivfseed:"
 def _centroid_literal(cents: list[tuple[int, list[float]]]) -> Column:
     """Centroids as a literal array<struct<cell,v>> — n_cells·dim
     doubles baked into the plan, the DataFrame analog of a broadcast
-    (centroid tables are tiny by construction)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
-            )
-            for cell, vec in cents
-        ]
-    )
+    (centroid tables are tiny by construction). Built via ONE
+    ``F.expr`` crossing (functions.literals) — the element-wise
+    ``F.lit`` loop paid one py4j round-trip per double, ~0.3 s at
+    k=8·dim=64 and multi-second at auto-k, at every plan build and
+    every k-means iteration."""
+    from ..functions.literals import keyed_vector_lit
+
+    return keyed_vector_lit(cents, "cell", "v")
 
 
 def assign_cell(
@@ -863,9 +861,13 @@ def rh_signature_bits(
     16 separate 64-element literal dots made Janino compilation
     (~10 s) dominate the whole LSH pass regardless of data size."""
     c = F.col(emb_col) if isinstance(emb_col, str) else emb_col
-    planes_lit = F.array(
-        *[F.array(*[F.lit(x) for x in plane]) for plane in planes]
-    )
+    # one py4j call for the whole plane table (functions.literals):
+    # the element-wise F.lit loop cost ~1.5 s of driver round-trips
+    # per plan BUILD for a 36×64 table — per micro-batch in the
+    # ingest-screening loops, dominating their per-batch wall clock
+    from ..functions.literals import double_matrix_lit
+
+    planes_lit = double_matrix_lit(planes)
     return F.transform(
         planes_lit,
         lambda plane: (
@@ -1452,16 +1454,11 @@ _PQ_SEED_PREFIX = "pqseed:"
 def _code_literal(book: list[tuple[int, list[float]]]) -> Column:
     """One subspace codebook as a literal array<struct<code,v>> —
     k × sub_dim doubles baked into the plan (codebooks are tiny by
-    construction, like :func:`_centroid_literal`)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(code).alias("code"),
-                F.array(*[F.lit(float(x)) for x in vec]).alias("v"),
-            )
-            for code, vec in book
-        ]
-    )
+    construction, like :func:`_centroid_literal` — and built the same
+    one-py4j-call way)."""
+    from ..functions.literals import keyed_vector_lit
+
+    return keyed_vector_lit(book, "code", "v")
 
 
 def assign_code(
@@ -1633,6 +1630,8 @@ def pq_search(
     the scan reads m_sub ints per row instead of dim floats."""
     import math
 
+    from ..functions.literals import double_array_lit
+
     m_sub = len(books)
     sub_dim = len(query_vec) // m_sub
     qn = round(
@@ -1645,8 +1644,8 @@ def pq_search(
         for _code, vec in books[m]:
             ips.append(round(sum(a * b for a, b in zip(qs, vec)), 6))
             n2s.append(round(sum(b * b for b in vec), 6))
-        ip_tabs.append(F.array(*[F.lit(v) for v in ips]))
-        n2_tabs.append(F.array(*[F.lit(v) for v in n2s]))
+        ip_tabs.append(double_array_lit(ips))
+        n2_tabs.append(double_array_lit(n2s))
     s_ip = sum(
         (
             F.element_at(ip_tabs[m], F.col("codes")[m] + 1)

@@ -3399,22 +3399,34 @@ def streaming_hybrid_rrf_parity(
         q.awaitTermination()
 
     index = os.path.join(root, "index")
-    streamed(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"),
-        "docs",
-        bm25_index_sink(index, compact_every=2),
-    )
     emb_store = os.path.join(root, "emb")
-    streamed(
-        _t(spark, sf_dir, "embeddings"),
-        "emb",
-        idempotent_parquet_sink(
-            emb_store,
-            key_cols=("vec_id",),
-            partition_col=None,
-            compact_every=2,
-        ),
-    )
+    # the two maintenance pipelines are INDEPENDENT (separate sources,
+    # separate stores) — run them as concurrent streaming queries so
+    # the light embeddings stream back-fills executor capacity the
+    # lexical pipeline's micro-batch tails leave idle (guide §2.6);
+    # each runs exactly the work it ran sequentially
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_docs = pool.submit(
+            streamed,
+            _t(spark, sf_dir, "documents").select("doc_id", "text"),
+            "docs",
+            bm25_index_sink(index, compact_every=2),
+        )
+        fut_emb = pool.submit(
+            streamed,
+            _t(spark, sf_dir, "embeddings"),
+            "emb",
+            idempotent_parquet_sink(
+                emb_store,
+                key_cols=("vec_id",),
+                partition_col=None,
+                compact_every=2,
+            ),
+        )
+        fut_docs.result()
+        fut_emb.result()
     bm = read_bm25_index(spark, index, list(_BM25_TERMS), k=10)
     emb = read_sink(spark, emb_store)
     q = sim.query_vector(emb, _QUERY_VEC_ID)

@@ -24,6 +24,7 @@ from .store import (
     compact_additive,
     read_additive,
     store_parts,
+    write_rows_parquet,
 )
 
 
@@ -1262,10 +1263,15 @@ def bm25_index_sink(path: str, id_col: str = "doc_id",
             .parquet(f"{base}/postings")
         )
         dl.write.mode("overwrite").parquet(f"{base}/doclen")
-        batch_df.sparkSession.createDataFrame(
+        # the stats row is ALREADY on the driver (srow above) — a
+        # createDataFrame(...).write round-trip would spend a whole
+        # Spark job (~0.5 s of task+commit overhead) per micro-batch
+        # re-writing one literal row; write it driver-side instead
+        write_rows_parquet(
+            f"{base}/stats",
+            [("n_docs", "bigint"), ("sum_dl", "bigint")],
             [(int(srow["n_docs"]), int(srow["sum_dl"]))],
-            "n_docs bigint, sum_dl bigint",
-        ).write.mode("overwrite").parquet(f"{base}/stats")
+        )
         if compact_every:
             compact_additive(
                 batch_df.sparkSession, path, batch_id, _BM25_FOLDS,
@@ -1383,9 +1389,12 @@ def copurchase_sink(
                 .write.mode("overwrite")
                 .parquet(f"{base}/items")
             )
-            rolled.agg(
-                F.count("*").cast("bigint").alias("n")
-            ).write.mode("overwrite").parquet(f"{base}/baskets")
+            # one-row basket count: count on the materialized rolled
+            # frame + a driver-side literal write (a Spark write job
+            # for one row is ~0.5 s of pure task/commit overhead)
+            write_rows_parquet(
+                f"{base}/baskets", [("n", "bigint")], [(rolled.count(),)]
+            )
             if compact_every:
                 compact_additive(
                     batch_df.sparkSession, path, batch_id,

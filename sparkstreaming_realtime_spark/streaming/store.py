@@ -228,6 +228,39 @@ def read_additive(spark, path: str, sub: str = "") -> DataFrame:
     return out
 
 
+def write_rows_parquet(
+    path: str, schema: "list[tuple[str, str]]", rows: list[tuple]
+) -> None:
+    """Driver-side parquet write for TINY frames the driver already
+    holds (the additive stats rows: one row of exact integer sums per
+    batch). A ``createDataFrame(...).write.parquet`` of one literal
+    row costs a full Spark job — task launch, commit protocol,
+    ~0.5 s of fixed overhead per micro-batch; writing the same bytes
+    with pyarrow on the driver costs milliseconds and reads back
+    identically (int64/binary parquet types are engine-neutral).
+
+    ``schema`` is [(name, type)] with type in {"bigint", "string"}.
+    Same replay discipline as a Spark overwrite: stage into a tmp dir
+    then swap — a replayed micro-batch rebuilds the identical dir,
+    and a crash mid-swap is overwritten by the replay."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_types = {"bigint": pa.int64(), "string": pa.string()}
+    arrays = [
+        pa.array([r[i] for r in rows], type=pa_types[t])
+        for i, (_n, t) in enumerate(schema)
+    ]
+    table = pa.table(dict(zip((n for n, _t in schema), arrays)))
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+
+
 def _write_segment(path: str, rel: str, df: DataFrame, spec: SubFold) -> None:
     """Write one segment dir applying the spec's layout contracts:
     ``range_by`` re-clusters (range partition + in-file sort, so
@@ -281,9 +314,11 @@ def compact_additive(
     # of reader grace — reclaim them now
     for d in m.get("gc", []):
         shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    new_segments: dict[str, list[str]] = {}
-    next_gc: list[str] = []
-    for sub, spec in folds.items():
+    def _fold_sub(sub: str, spec: SubFold) -> tuple[str, list[str], list[str]]:
+        """Fold ONE sub-store; returns (sub, its segment list, its gc
+        entries). Sub-stores touch disjoint directories, so the folds
+        are independent jobs — run concurrently below (guide §2.6),
+        with the manifest publish staying the single commit point."""
         out_rel = f"{seg_root}/{sub}" if sub else seg_root
         reader = spark.read
         if spec.use_base_path:
@@ -333,19 +368,30 @@ def compact_additive(
                         if c in mdf.columns:
                             mdf = mdf.drop(c)
                 _write_segment(path, m_rel, mdf, spec)
-                new_segments[sub] = keep + [m_rel]
-                next_gc.extend(merge)
-            else:
-                new_segments[sub] = segs
-        else:
-            merged = tail_df
-            for s in prior:
-                merged = merged.unionByName(
-                    spark.read.parquet(os.path.join(path, s))
-                )
-            _write_segment(path, out_rel, spec.fold(merged), spec)
-            new_segments[sub] = [out_rel]
-            next_gc.extend(prior)
+                return sub, keep + [m_rel], merge
+            return sub, segs, []
+        merged = tail_df
+        for s in prior:
+            merged = merged.unionByName(
+                spark.read.parquet(os.path.join(path, s))
+            )
+        _write_segment(path, out_rel, spec.fold(merged), spec)
+        return sub, [out_rel], list(prior)
+
+    new_segments: dict[str, list[str]] = {}
+    next_gc: list[str] = []
+    if len(folds) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(folds)) as pool:
+            results = list(
+                pool.map(lambda kv: _fold_sub(*kv), folds.items())
+            )
+    else:
+        results = [_fold_sub(sub, spec) for sub, spec in folds.items()]
+    for sub, segs, gc in results:
+        new_segments[sub] = segs
+        next_gc.extend(gc)
     next_gc.extend(f"batch={i}" for i in ids)
     _publish_manifest(
         path,

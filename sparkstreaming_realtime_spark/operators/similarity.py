@@ -1098,14 +1098,19 @@ def prepare_eval_index(
         rh_band_buckets(
             evalset, planes, id_col, bands, rows_per_band, vec_col=vec_col
         ).select(id_col, "bucket"),
-        eager=True,
     )
     vectors = materialize(
         evalset.select(
             id_col, vec_col, l2_norm(vec_col).alias("norm")
         ),
-        eager=True,
     )
+    # the two materializations are independent — force them as
+    # concurrent jobs (guide §2.6) instead of two sequential eager
+    # passes; each is exactly the job it was
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda df: df.count(), (buckets, vectors)))
     return EvalIndex(bands, rows_per_band, buckets, vectors)
 
 

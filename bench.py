@@ -416,6 +416,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = queries()
 
+    # EFFECTIVE parallelism of this run (r14 VERDICT #2): the session
+    # honors $SPARK_GRAFT_CPUS via local[N] (session.py), but earlier
+    # artifacts reported os.cpu_count() — machine CPUs, always 32 —
+    # which made the driver's 8-core scaling probe unattributable
+    # (suspect_cpus_ignored). Parse N out of the actual master so the
+    # artifact records what the run really used.
+    master = spark.sparkContext.master
+    if master.startswith("local[") and master.rstrip("]")[6:].isdigit():
+        n_cpus = int(master.rstrip("]")[6:])
+    else:  # local[*] or a cluster master: defaultParallelism is N
+        n_cpus = spark.sparkContext.defaultParallelism
+
     # warm-up: JVM, parquet footer cache, codegen. Every headline
     # query once at the smallest SF — the generated classes are the
     # same, so the timed sf run measures steady-state execution, not
@@ -525,7 +537,8 @@ def main() -> None:
         "pass_spread": spread,
         "loadavg_1m_start": load_at_start,
         "loadavg_1m_end": round(os.getloadavg()[0], 2),
-        "n_cpus": os.cpu_count(),
+        "n_cpus": n_cpus,
+        "machine_cpus": os.cpu_count(),
         # methodology self-description (r9 ADVICE): these queries'
         # offline index builds ran UNTIMED in warm-up, so their
         # timings are steady-state serving — artifacts before r9
@@ -566,6 +579,7 @@ def main() -> None:
         "shared8_sum": round(sum(shared8.values()), 3),
         "n_queries": len(timings),
         "n_errors": len(errors),
+        "n_cpus": n_cpus,
         "loadavg_1m": [load_at_start, round(os.getloadavg()[0], 2)],
         "prebuilt_indexes": prebuilt,
         "prebuild_sec": prebuild_s,

@@ -23,9 +23,46 @@ from .store import (
     SubFold,
     compact_additive,
     read_additive,
+    run_concurrent,
     store_parts,
     write_rows_parquet,
 )
+
+#: env flag: print per-step wall times inside the sink writers to
+#: stderr — the measure-first tool (guide §1) behind the optimization
+#: rounds' per-batch cost accounting. Off (zero overhead) unless set.
+STEP_TIMERS_ENV = "SPARK_GRAFT_STEP_TIMERS"
+
+
+class _step:
+    """Context manager: ``with _step("label"):`` prints the block's
+    wall time to stderr when :data:`STEP_TIMERS_ENV` is set."""
+
+    __slots__ = ("label", "t0")
+
+    def __init__(self, label: str):
+        self.label = label
+
+    def __enter__(self):
+        if os.environ.get(STEP_TIMERS_ENV):
+            import time
+
+            self.t0 = time.perf_counter()
+        else:
+            self.t0 = None
+        return self
+
+    def __exit__(self, *exc):
+        if self.t0 is not None:
+            import sys
+            import time
+
+            print(
+                f"[step] {self.label}: {time.perf_counter() - self.t0:.3f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+        return False
 
 
 def kafka_sink_options(
@@ -1379,27 +1416,50 @@ def copurchase_sink(
         rolled = _rolled_items(batch_df, basket_col, item_col, max_basket)
         base = f"{path}/batch={batch_id}"
         try:
-            _pair_counts(rolled, 1).write.mode("overwrite").parquet(
-                f"{base}/pairs"
-            )
-            (
-                rolled.select(F.explode("__items").alias("item"))
-                .groupBy("item")
-                .agg(F.count("*").cast("bigint").alias("n"))
-                .write.mode("overwrite")
-                .parquet(f"{base}/items")
-            )
-            # one-row basket count: count on the materialized rolled
-            # frame + a driver-side literal write (a Spark write job
-            # for one row is ~0.5 s of pure task/commit overhead)
-            write_rows_parquet(
-                f"{base}/baskets", [("n", "bigint")], [(rolled.count(),)]
-            )
-            if compact_every:
-                compact_additive(
-                    batch_df.sparkSession, path, batch_id,
-                    _COPURCHASE_FOLDS, compact_every=compact_every,
+            # ONE job computes the rolled frame (populating its
+            # materialized blocks) and returns the basket count — the
+            # exact value the baskets store needs, written driver-side
+            # (a Spark write job for one row is ~0.5 s of pure
+            # task/commit overhead). The pairs/items sub-writes then
+            # read the SAME blocks and touch disjoint directories, so
+            # they run as concurrent jobs (guide §2.6) instead of
+            # back-to-back — per-batch wall time drops from
+            # count+pairs+items to count+max(pairs, items).
+            # count FIRST (one job computes the rolled frame and
+            # populates its materialized blocks — racing all three
+            # consumers instead A/B-measured WORSE, 6.2 s vs 5.4 s:
+            # concurrent jobs each recompute the not-yet-cached rolled
+            # partitions), then the two sub-writes read the same
+            # blocks into disjoint dirs as concurrent jobs (§2.6).
+            with _step(f"copur b{batch_id} count"):
+                n_baskets = rolled.count()
+            with _step(f"copur b{batch_id} baskets"):
+                write_rows_parquet(
+                    f"{base}/baskets", [("n", "bigint")], [(n_baskets,)]
                 )
+
+            def _pairs() -> None:
+                _pair_counts(rolled, 1).write.mode("overwrite").parquet(
+                    f"{base}/pairs"
+                )
+
+            def _items() -> None:
+                (
+                    rolled.select(F.explode("__items").alias("item"))
+                    .groupBy("item")
+                    .agg(F.count("*").cast("bigint").alias("n"))
+                    .write.mode("overwrite")
+                    .parquet(f"{base}/items")
+                )
+
+            with _step(f"copur b{batch_id} pairs+items"):
+                run_concurrent([_pairs, _items])
+            if compact_every:
+                with _step(f"copur b{batch_id} compact"):
+                    compact_additive(
+                        batch_df.sparkSession, path, batch_id,
+                        _COPURCHASE_FOLDS, compact_every=compact_every,
+                    )
         finally:
             # the rolled frame is per-batch scratch; holding its
             # blocks across a long stream would pile up per batch

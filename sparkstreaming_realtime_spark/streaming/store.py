@@ -261,6 +261,29 @@ def write_rows_parquet(
     os.rename(tmp, path)
 
 
+def run_concurrent(thunks: list) -> list:
+    """Run independent Spark-job-submitting thunks as CONCURRENT jobs
+    (guide §2.6 — actions are only sequential because driver code
+    calls them sequentially). Each worker is wrapped in
+    ``pyspark.inheritable_thread_target`` so it inherits the calling
+    thread's JVM-thread-local properties (job group / description /
+    scheduler pool) under pinned-thread mode — cancelling the caller's
+    job group therefore cancels jobs submitted from these threads too,
+    and UI labels stay attached. Returns results in submission order;
+    the first raised exception propagates."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [
+            pool.submit(inheritable_thread_target(t)) for t in thunks
+        ]
+        return [f.result() for f in futures]
+
+
 def _write_segment(path: str, rel: str, df: DataFrame, spec: SubFold) -> None:
     """Write one segment dir applying the spec's layout contracts:
     ``range_by`` re-clusters (range partition + in-file sort, so
@@ -380,15 +403,12 @@ def compact_additive(
 
     new_segments: dict[str, list[str]] = {}
     next_gc: list[str] = []
-    if len(folds) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=len(folds)) as pool:
-            results = list(
-                pool.map(lambda kv: _fold_sub(*kv), folds.items())
-            )
-    else:
-        results = [_fold_sub(sub, spec) for sub, spec in folds.items()]
+    results = run_concurrent(
+        [
+            (lambda sub=sub, spec=spec: _fold_sub(sub, spec))
+            for sub, spec in folds.items()
+        ]
+    )
     for sub, segs, gc in results:
         new_segments[sub] = segs
         next_gc.extend(gc)

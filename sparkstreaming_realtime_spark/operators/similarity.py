@@ -382,7 +382,7 @@ def load_centroids(spark, index_path: str) -> list[tuple[int, list[float]]]:
     """The persisted centroid table as the Python literal
     :func:`assign_cell` consumes (n_cells·dim doubles — tiny by
     construction)."""
-    rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    rows = read_ivf_centroids(spark, index_path).collect()
     return sorted(
         (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in rows
     )
@@ -508,6 +508,24 @@ def _delta_stamp(fs, Path, delta_dir: str) -> tuple:
         return (False, -1)
 
 
+#: relation-frame cache beside the layout cache (r15): the resolved
+#: corpus DataFrame (base ∪ pending deltas) keyed by the layout it was
+#: built from — a `spark.read.parquet` costs ~0.1 s of driver-side
+#: file listing + schema inference PER CALL, paid per micro-batch in
+#: the streaming serve path for an index that did not change. An
+#: entry serves only while (stamp, pending) still match the layout
+#: cache's current probe AND the caller is the same SparkSession (a
+#: frame cannot outlive its session); every mutator invalidates.
+_IVF_FRAME_CACHE: dict[str, tuple] = {}
+
+#: same idea for the tiny centroid table: static per index by
+#: contract (re-training is a separate offline job — build_ivf_index
+#: overwrites it and invalidates). Keyed per session like the corpus
+#: frames. An EXTERNAL session rewriting centroids in place without
+#: a rebuild is outside every maintenance contract in this module.
+_IVF_CENTROID_FRAME_CACHE: dict[str, tuple] = {}
+
+
 def invalidate_ivf_layout(index_path: str | None = None) -> None:
     """Drop the cached pending-delta layout for ``index_path`` (or
     all indexes) — needed only when an external session mutates an
@@ -515,8 +533,24 @@ def invalidate_ivf_layout(index_path: str | None = None) -> None:
     granularity (see ``_IVF_LAYOUT_CACHE``)."""
     if index_path is None:
         _IVF_LAYOUT_CACHE.clear()
+        _IVF_FRAME_CACHE.clear()
+        _IVF_CENTROID_FRAME_CACHE.clear()
     else:
         _IVF_LAYOUT_CACHE.pop(_layout_key(index_path), None)
+        _IVF_FRAME_CACHE.pop(_layout_key(index_path), None)
+        _IVF_CENTROID_FRAME_CACHE.pop(_layout_key(index_path), None)
+
+
+def read_ivf_centroids(spark, index_path: str) -> DataFrame:
+    """The index's centroid table as a DataFrame, relation-cached per
+    (index, session) — see :data:`_IVF_CENTROID_FRAME_CACHE`."""
+    key = _layout_key(index_path)
+    cached = _IVF_CENTROID_FRAME_CACHE.get(key)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    df = spark.read.parquet(f"{key}/centroids")
+    _IVF_CENTROID_FRAME_CACHE[key] = (spark, df)
+    return df
 
 
 def _delta_batches(fs, Path, delta_dir: str) -> list[str]:
@@ -680,6 +714,12 @@ def read_ivf_corpus(spark, index_path: str) -> DataFrame:
     else:
         fresh_probe = False
     pending = cached[1]
+    # relation-frame hit: same layout, same session — skip the
+    # spark.read listing/inference entirely (~0.1 s per call)
+    fkey = (cached[0], tuple(pending))
+    fcached = _IVF_FRAME_CACHE.get(key)
+    if fcached is not None and fcached[0] == fkey and fcached[1] is spark:
+        return fcached[2]
     try:
         base = spark.read.parquet(corpus)
         if pending:
@@ -689,6 +729,7 @@ def read_ivf_corpus(spark, index_path: str) -> DataFrame:
                 .drop("batch")
             )
             base = base.unionByName(delta.select(*base.columns))
+        _IVF_FRAME_CACHE[key] = (fkey, spark, base)
         return base
     except Exception:
         if fresh_probe:
@@ -720,7 +761,7 @@ def ivf_search(
     directories (dynamic partition pruning). Returns (vec_id, label,
     cos) like :func:`cosine_topk` so the strategies are drop-in
     comparable."""
-    cents = spark.read.parquet(f"{index_path}/centroids")
+    cents = read_ivf_centroids(spark, index_path)
     best_cells = (
         cents.crossJoin(F.broadcast(query))
         .select(
@@ -2273,7 +2314,7 @@ def ivf_serve(
 
     from ..functions.vectors import cosine_similarity
 
-    cents = spark.read.parquet(f"{index_path}/centroids")
+    cents = read_ivf_centroids(spark, index_path)
     corpus = read_ivf_corpus(spark, index_path)
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("__ccos"), F.asc("cell")

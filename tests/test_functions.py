@@ -112,6 +112,53 @@ def test_cosine_similarity(spark):
     assert [r.c for r in row] == [1.0, 0.0]
 
 
+def test_vector_expr_fast_path_bit_equals_lambda_path(spark):
+    """The one-``F.expr``-call fast path (r15 — plan-build cost only)
+    must produce BIT-identical doubles to the lambda-HOF path for
+    every vector function, on double and float arrays alike: same
+    zip-then-fold shape, same left-to-right accumulation order. A
+    Column-object argument selects the lambda path, a plain name the
+    expr path — comparing the two IS the before/after comparison."""
+    import random
+    import struct
+
+    from sparkstreaming_realtime_spark.functions.vectors import (
+        dot,
+        l2_norm,
+        l2_sq,
+    )
+
+    rnd = random.Random(42)
+    for dtype in ("double", "float"):
+        rows = [
+            (
+                [rnd.uniform(-1e3, 1e3) for _ in range(37)],
+                [rnd.uniform(-1e3, 1e3) for _ in range(37)],
+            )
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, f"a array<{dtype}>, b array<{dtype}>"
+        )
+        fast = df.select(
+            dot("a", "b").alias("d"),
+            l2_norm("a").alias("n"),
+            cosine_similarity("a", "b").alias("c"),
+            l2_sq("a", "b").alias("s"),
+        ).collect()
+        slow = df.select(
+            dot(F.col("a"), F.col("b")).alias("d"),
+            l2_norm(F.col("a")).alias("n"),
+            cosine_similarity(F.col("a"), F.col("b")).alias("c"),
+            l2_sq(F.col("a"), F.col("b")).alias("s"),
+        ).collect()
+        for r1, r2 in zip(fast, slow):
+            for k in ("d", "n", "c", "s"):
+                assert struct.pack("<d", r1[k]) == struct.pack(
+                    "<d", r2[k]
+                ), (dtype, k, r1[k], r2[k])
+
+
 def test_salted_join_matches_plain_join(spark):
     """Skew-salted join must be row-for-row identical to the plain
     join it replaces — on data with one hot key."""

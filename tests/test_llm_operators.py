@@ -549,6 +549,39 @@ def test_ivf_append_replay_is_idempotent_and_served(spark, tmp_path):
     assert wide == [2, 3, 4, 10, 11]
 
 
+def test_ivf_frame_cache_reuses_relation_and_invalidates(spark, tmp_path):
+    """The relation-frame cache (r15): a second read of an unchanged
+    index returns the SAME DataFrame object (no re-listing), a
+    mutator drops the entry, and the rebuilt frame reflects the
+    mutation — so the cache can never serve a stale corpus through
+    the in-process maintenance flows."""
+    base = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "ivf")
+    sim.build_ivf_index(base, dim=2, path=path, n_cells=2, iters=1)
+    f1 = sim.read_ivf_corpus(spark, path)
+    f2 = sim.read_ivf_corpus(spark, path)
+    assert f1 is f2  # relation reused, not re-listed
+    c1 = sim.read_ivf_centroids(spark, path)
+    assert sim.read_ivf_centroids(spark, path) is c1
+    late = spark.createDataFrame(
+        [(10, [0.95, 0.05], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sim.ivf_append(late, path, batch_id=0)
+    assert path not in sim._IVF_FRAME_CACHE  # append invalidates
+    f3 = sim.read_ivf_corpus(spark, path)
+    assert f3 is not f1
+    assert {r["vec_id"] for r in f3.collect()} == {1, 2, 3, 10}
+    # a DIFFERENT session must never be handed another session's frame
+    sim._IVF_CENTROID_FRAME_CACHE[path] = (object(), "not-a-frame")
+    assert sim.read_ivf_centroids(spark, path) is not c1
+    sim.invalidate_ivf_layout(path)
+    assert path not in sim._IVF_CENTROID_FRAME_CACHE
+
+
 def test_ivf_layout_cache_serves_without_fs_probe_and_invalidates(
     spark, tmp_path, monkeypatch
 ):

@@ -1105,7 +1105,17 @@ def transition_sink(
             )
         else:
             merged = incoming
-        _swap_buckets(merged, ev_path, buckets, ev_meta)
+        # NOTE (r15 A/B, guide §1.3 — measured and REJECTED): eagerly
+        # materializing ``merged`` once and running the two swaps as
+        # concurrent jobs off its blocks (the "overlap the dependent
+        # swaps" idea carried from r14) measured WORSE, 0.87 s/batch
+        # → 1.35 s/batch at sf0.1: the extra materialize job costs
+        # ~0.33 s, and both swap jobs then read row-oriented DISK_ONLY
+        # blocks where the pairs recompute previously re-read the
+        # events swap's freshly-written COLUMNAR parquet. The serial
+        # write-then-reread shape below is the measured floor.
+        with _step(f"trans b{batch_id} ev swap"):
+            _swap_buckets(merged, ev_path, buckets, ev_meta)
         _assert_unique_ids(spark, ev_path)
         store = _read_buckets(spark, ev_path, buckets)
         touched = incoming.select("__u").distinct()
@@ -1126,7 +1136,8 @@ def transition_sink(
             )
         else:
             out = recomputed
-        _swap_buckets(out, p_path, buckets, p_meta)
+        with _step(f"trans b{batch_id} pairs swap"):
+            _swap_buckets(out, p_path, buckets, p_meta)
 
     return write
 

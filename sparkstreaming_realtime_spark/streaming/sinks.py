@@ -94,6 +94,37 @@ def kafka_sink_options(
     return opts
 
 
+def _overlap_compact(
+    write_thunks: list,
+    spark,
+    path: str,
+    batch_id: int,
+    folds: dict,
+    compact_every: int,
+) -> None:
+    """Run a batch's write thunk(s) and the PRIOR tail's compaction as
+    CONCURRENT jobs (guide §2.6). Safe by construction:
+    ``compact_additive`` folds only batch ids strictly BELOW
+    ``batch_id`` — fully-committed directories the current batch never
+    touches — and stages its segment under ``seg=<gen>``, disjoint
+    from every ``batch=<id>`` dir the write thunks produce. The
+    manifest publish stays compaction's single commit point, and the
+    foreachBatch writer returns only after BOTH join, so the streaming
+    checkpoint still commits after all output landed. A crash between
+    the manifest publish and the batch write completing replays the
+    batch (offsets uncommitted), which overwrites its dirs and no-ops
+    the already-advanced compaction — the same convergence argument as
+    the sequential order."""
+    thunks = list(write_thunks)
+    if compact_every:
+        thunks.append(
+            lambda: compact_additive(
+                spark, path, batch_id, folds, compact_every=compact_every
+            )
+        )
+    run_concurrent(thunks)
+
+
 def idempotent_parquet_sink(
     path: str,
     key_cols: tuple[str, ...],
@@ -118,21 +149,22 @@ def idempotent_parquet_sink(
     stream lifetime."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        out = os.path.join(path, f"batch={batch_id}")
-        deduped = batch_df.dropDuplicates(list(key_cols))
-        writer = deduped.write.mode("overwrite")
-        if partition_col and partition_col in batch_df.columns:
-            writer = writer.partitionBy(partition_col)
-        writer.parquet(out)
-        if compact_every:
-            compact_additive(
-                batch_df.sparkSession,
-                path,
-                batch_id,
-                {"": SubFold(partition_by=partition_col,
-                             use_base_path=True)},
-                compact_every=compact_every,
-            )
+        def _batch() -> None:
+            out = os.path.join(path, f"batch={batch_id}")
+            deduped = batch_df.dropDuplicates(list(key_cols))
+            writer = deduped.write.mode("overwrite")
+            if partition_col and partition_col in batch_df.columns:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(out)
+
+        _overlap_compact(
+            [_batch],
+            batch_df.sparkSession,
+            path,
+            batch_id,
+            {"": SubFold(partition_by=partition_col, use_base_path=True)},
+            compact_every,
+        )
 
     return write
 
@@ -697,13 +729,18 @@ def count_min_sink(path: str, item_col: str = "item",
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         cells = sk.count_min_cells(batch_df, item_col, d, w)
-        cells.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
-        if compact_every:
-            compact_additive(
-                batch_df.sparkSession, path, batch_id,
-                {"": SubFold(fold=_sum_fold(("row", "col"), "c"))},
-                compact_every=compact_every,
-            )
+        _overlap_compact(
+            [
+                lambda: cells.write.mode("overwrite").parquet(
+                    f"{path}/batch={batch_id}"
+                )
+            ],
+            batch_df.sparkSession,
+            path,
+            batch_id,
+            {"": SubFold(fold=_sum_fold(("row", "col"), "c"))},
+            compact_every,
+        )
 
     return write
 
@@ -737,26 +774,33 @@ def quality_gate_sink(
         rows = verdict.collect()  # suite-sized: one row per check
         ok = all(r["passed"] == 1 for r in rows)
         dest = "accepted" if ok else "quarantine"
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(path, dest, f"batch={batch_id}")
-        )
-        verdict.write.mode("overwrite").parquet(
-            os.path.join(path, "verdicts", f"batch={batch_id}")
-        )
-        if compact_every:
-            # bound the ACCEPTED store's directory growth (append-mode
-            # consolidation; id gaps from quarantined batches are
-            # fine — `upto` marks them folded, their rows live in the
-            # other stores). quarantine/ and verdicts/ stay one dir
-            # per batch deliberately: they are the audit/replay log,
-            # read per-incident, never folded.
-            compact_additive(
-                batch_df.sparkSession,
-                os.path.join(path, "accepted"),
-                batch_id,
-                {"": SubFold()},
-                compact_every=compact_every,
+
+        def _batch() -> None:
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(path, dest, f"batch={batch_id}")
             )
+
+        def _verdict() -> None:
+            verdict.write.mode("overwrite").parquet(
+                os.path.join(path, "verdicts", f"batch={batch_id}")
+            )
+
+        # bound the ACCEPTED store's directory growth (append-mode
+        # consolidation; id gaps from quarantined batches are
+        # fine — `upto` marks them folded, their rows live in the
+        # other stores). quarantine/ and verdicts/ stay one dir
+        # per batch deliberately: they are the audit/replay log,
+        # read per-incident, never folded. The batch write, the
+        # verdict write, and the accepted-store compaction touch
+        # disjoint dirs — concurrent jobs (§2.6).
+        _overlap_compact(
+            [_batch, _verdict],
+            batch_df.sparkSession,
+            os.path.join(path, "accepted"),
+            batch_id,
+            {"": SubFold()},
+            compact_every,
+        )
 
     return write
 
@@ -815,13 +859,18 @@ def kmv_sink(path: str, item_col: str = "item", k: int | None = None,
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         sketch = sk.kmv_sketch(batch_df, item_col, kk)
-        sketch.write.mode("overwrite").parquet(f"{path}/batch={batch_id}")
-        if compact_every:
-            compact_additive(
-                batch_df.sparkSession, path, batch_id,
-                {"": SubFold(fold=_kmv_fold(kk))},
-                compact_every=compact_every,
-            )
+        _overlap_compact(
+            [
+                lambda: sketch.write.mode("overwrite").parquet(
+                    f"{path}/batch={batch_id}"
+                )
+            ],
+            batch_df.sparkSession,
+            path,
+            batch_id,
+            {"": SubFold(fold=_kmv_fold(kk))},
+            compact_every,
+        )
 
     return write
 
@@ -856,15 +905,18 @@ def line_count_sink(path: str, text_col: str = "text",
     from ..operators.dedup import line_counts
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        line_counts(batch_df, text_col, id_col).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/batch={batch_id}")
-        if compact_every:
-            compact_additive(
-                batch_df.sparkSession, path, batch_id,
-                {"": SubFold(fold=_sum_fold(("line_fp",), "n_docs"))},
-                compact_every=compact_every,
-            )
+        _overlap_compact(
+            [
+                lambda: line_counts(batch_df, text_col, id_col)
+                .write.mode("overwrite")
+                .parquet(f"{path}/batch={batch_id}")
+            ],
+            batch_df.sparkSession,
+            path,
+            batch_id,
+            {"": SubFold(fold=_sum_fold(("line_fp",), "n_docs"))},
+            compact_every,
+        )
 
     return write
 
@@ -1015,18 +1067,19 @@ def rollup_sum_sink(path: str, key_cols: tuple[str, ...],
     reprocesses facts. Read with :func:`read_rollup_sum`."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.groupBy(*key_cols)
-            .agg(F.sum(value_col).cast("bigint").alias(value_col))
-            .write.mode("overwrite")
-            .parquet(f"{path}/batch={batch_id}")
+        _overlap_compact(
+            [
+                lambda: batch_df.groupBy(*key_cols)
+                .agg(F.sum(value_col).cast("bigint").alias(value_col))
+                .write.mode("overwrite")
+                .parquet(f"{path}/batch={batch_id}")
+            ],
+            batch_df.sparkSession,
+            path,
+            batch_id,
+            {"": SubFold(fold=_sum_fold(key_cols, value_col))},
+            compact_every,
         )
-        if compact_every:
-            compact_additive(
-                batch_df.sparkSession, path, batch_id,
-                {"": SubFold(fold=_sum_fold(key_cols, value_col))},
-                compact_every=compact_every,
-            )
 
     return write
 
@@ -1186,15 +1239,18 @@ def retention_sink(path: str, user_col: str = "user_id",
     from ..operators.funnel import active_days
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        active_days(batch_df, user_col, ts_col).write.mode(
-            "overwrite"
-        ).parquet(f"{path}/batch={batch_id}")
-        if compact_every:
-            compact_additive(
-                batch_df.sparkSession, path, batch_id,
-                {"": SubFold(fold=_active_days_fold)},
-                compact_every=compact_every,
-            )
+        _overlap_compact(
+            [
+                lambda: active_days(batch_df, user_col, ts_col)
+                .write.mode("overwrite")
+                .parquet(f"{path}/batch={batch_id}")
+            ],
+            batch_df.sparkSession,
+            path,
+            batch_id,
+            {"": SubFold(fold=_active_days_fold)},
+            compact_every,
+        )
 
     return write
 
@@ -1301,16 +1357,6 @@ def bm25_index_sink(path: str, id_col: str = "doc_id",
                 ),
             ),
         )
-        (
-            toked.select("doc_id", F.explode("__toks").alias("term"))
-            .groupBy("doc_id", "term")
-            .agg(F.count("*").alias("tf"))
-            .repartitionByRange(nf, "term")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(f"{base}/postings")
-        )
-        dl.write.mode("overwrite").parquet(f"{base}/doclen")
         # the stats row is ALREADY on the driver (srow above) — a
         # createDataFrame(...).write round-trip would spend a whole
         # Spark job (~0.5 s of task+commit overhead) per micro-batch
@@ -1320,11 +1366,32 @@ def bm25_index_sink(path: str, id_col: str = "doc_id",
             [("n_docs", "bigint"), ("sum_dl", "bigint")],
             [(int(srow["n_docs"]), int(srow["sum_dl"]))],
         )
-        if compact_every:
-            compact_additive(
-                batch_df.sparkSession, path, batch_id, _BM25_FOLDS,
-                compact_every=compact_every,
+
+        def _postings() -> None:
+            (
+                toked.select("doc_id", F.explode("__toks").alias("term"))
+                .groupBy("doc_id", "term")
+                .agg(F.count("*").alias("tf"))
+                .repartitionByRange(nf, "term")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(f"{base}/postings")
             )
+
+        def _doclen() -> None:
+            dl.write.mode("overwrite").parquet(f"{base}/doclen")
+
+        # postings and doclen land in disjoint dirs of THIS batch and
+        # the compaction folds only PRIOR batches — three concurrent
+        # jobs (§2.6) instead of three back-to-back
+        _overlap_compact(
+            [_postings, _doclen],
+            batch_df.sparkSession,
+            path,
+            batch_id,
+            _BM25_FOLDS,
+            compact_every,
+        )
 
     return write
 
@@ -1463,14 +1530,17 @@ def copurchase_sink(
                     .parquet(f"{base}/items")
                 )
 
-            with _step(f"copur b{batch_id} pairs+items"):
-                run_concurrent([_pairs, _items])
-            if compact_every:
-                with _step(f"copur b{batch_id} compact"):
-                    compact_additive(
-                        batch_df.sparkSession, path, batch_id,
-                        _COPURCHASE_FOLDS, compact_every=compact_every,
-                    )
+            # pairs/items land in disjoint dirs of THIS batch and the
+            # compaction folds only PRIOR batches — all concurrent
+            with _step(f"copur b{batch_id} pairs+items+compact"):
+                _overlap_compact(
+                    [_pairs, _items],
+                    batch_df.sparkSession,
+                    path,
+                    batch_id,
+                    _COPURCHASE_FOLDS,
+                    compact_every,
+                )
         finally:
             # the rolled frame is per-batch scratch; holding its
             # blocks across a long stream would pile up per batch

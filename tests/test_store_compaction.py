@@ -357,3 +357,59 @@ def test_append_mode_segments_are_size_tiered(spark, tmp_path, monkeypatch):
         n_batches - 1,
     )
     assert read_sink(spark, path).count() == len(keys)
+
+
+def test_overlap_compact_joins_all_jobs_and_propagates_errors(
+    spark, tmp_path
+):
+    """The write∥compaction overlap (r15, guide §2.6): a sink's
+    ``write`` must return only after BOTH the batch write thunks and
+    the prior-tail compaction finished (the streaming checkpoint
+    commits on return), the folded view must equal the sequential
+    order's, and a failing write thunk must propagate so the epoch is
+    NOT committed."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sparkstreaming_realtime_spark.streaming.sinks import (
+        _overlap_compact,
+    )
+    from sparkstreaming_realtime_spark.streaming.store import SubFold
+
+    path = str(tmp_path / "store")
+
+    def batch(b):
+        return spark.createDataFrame(
+            [(f"k{i % 3}", i + b) for i in range(5)], "k string, v long"
+        )
+
+    def write(df, bid):
+        _overlap_compact(
+            [
+                lambda: df.write.mode("overwrite").parquet(
+                    f"{path}/batch={bid}"
+                )
+            ],
+            spark,
+            path,
+            bid,
+            {"": SubFold(fold=lambda d: d.groupBy("k").agg(
+                F.sum("v").cast("bigint").alias("v")))},
+            2,
+        )
+
+    for b in range(4):
+        write(batch(b), b)
+    # on return from the compacting batch, manifest AND batch dir are
+    # both present (the join happened before write() returned)
+    m = load_manifest(path)
+    assert m is not None and m["upto"] >= 1
+    assert 3 in batch_ids(path)
+    got = _got_rollup(spark, path)
+    assert got == _expected_rollup(4)
+    # a failing write thunk propagates out of the overlap
+    with pytest.raises(RuntimeError, match="boom"):
+        _overlap_compact(
+            [lambda: (_ for _ in ()).throw(RuntimeError("boom"))],
+            spark, path, 9, {"": SubFold()}, 2,
+        )

@@ -120,23 +120,25 @@ def _rolled_items(
     return materialize(rolled.select("__items"))
 
 
+#: the in-row pair enumeration as ONE SQL string: the nested-lambda
+#: F.transform build costs ~115 ms of py4j round trips per plan
+#: (measured r15) — paid per micro-batch in copurchase_sink — while
+#: F.expr parses the identical tree in one crossing. ``__items`` is
+#: the fixed internal column _rolled_items emits.
+_PAIR_STRUCTS_SQL = (
+    "flatten(transform(__items, (x, i) ->"
+    " transform(slice(__items, i + 2, size(__items)),"
+    " y -> struct(x AS item_a, y AS item_b))))"
+)
+
+
 def _pair_counts(rolled: DataFrame, min_pair_support: int) -> DataFrame:
     """(item_a, item_b, pair_n) with item_a < item_b from the rolled
     basket arrays — pairs enumerate INSIDE the row (C(k, 2) per
     basket); `items` inside the nested lambdas is a plain column
     reference, so the no-CSE-in-HOF rule costs nothing."""
-    items = F.col("__items")
-    pair_structs = F.flatten(
-        F.transform(
-            items,
-            lambda x, i: F.transform(
-                F.slice(items, i + 2, F.size(items)),
-                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
-            ),
-        )
-    )
     return (
-        rolled.select(F.explode(pair_structs).alias("__p"))
+        rolled.select(F.explode(F.expr(_PAIR_STRUCTS_SQL)).alias("__p"))
         .select("__p.item_a", "__p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count("*").cast("bigint").alias("pair_n"))

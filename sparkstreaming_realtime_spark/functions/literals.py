@@ -24,10 +24,17 @@ raises instead of guessing.
 from __future__ import annotations
 
 import math
+import re
 from typing import Iterable, Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+#: struct field names interpolate into SQL text — restrict to plain
+#: identifiers so a quote or other metacharacter can't produce a
+#: broken/unintended expression (r14 ADVICE; all callers pass
+#: constants, but the function is public)
+_FIELD_NAME = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def _fmt_double(x: float) -> str:
@@ -71,6 +78,11 @@ def keyed_vector_lit(
     pairs = list(pairs)
     if not pairs:
         raise ValueError("empty keyed-vector literal has no element type")
+    for name in (key_name, vec_name):
+        if not _FIELD_NAME.match(name):
+            raise ValueError(
+                f"field name {name!r} is not a plain identifier"
+            )
     parts = []
     for k, vec in pairs:
         k = int(k)

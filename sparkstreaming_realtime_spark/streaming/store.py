@@ -243,6 +243,7 @@ def write_rows_parquet(
     Same replay discipline as a Spark overwrite: stage into a tmp dir
     then swap — a replayed micro-batch rebuilds the identical dir,
     and a crash mid-swap is overwritten by the replay."""
+    import glob
     import uuid
 
     import pyarrow as pa
@@ -254,9 +255,17 @@ def write_rows_parquet(
         for i, (_n, t) in enumerate(schema)
     ]
     table = pa.table(dict(zip((n for n, _t in schema), arrays)))
+    # a crash between a previous attempt's staging and rename orphans
+    # its tmp sibling inside the batch dir (each attempt uses a fresh
+    # uuid) — reclaim stale ones before staging (r14 ADVICE)
+    for stale in glob.glob(f"{path}.tmp-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    # local-store swap (same visibility contract as the Spark
+    # overwrite it replaced: a concurrent reader can observe the dir
+    # briefly missing; the parity readers only run between batches)
     shutil.rmtree(path, ignore_errors=True)
     os.rename(tmp, path)
 
